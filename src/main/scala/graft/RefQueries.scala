@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Upsert}
+import graft.sources.{CsvIngest, Gen}
+
+/** Queries covering the reference's own operator surface (SURVEY.md §2
+  * O1-O17): generator, CSV ingest, keyed upsert/dedup, pagination, JSON
+  * page, counters.
+  */
+object RefQueries {
+  import Queries.Q
+
+  /** O14 — deterministic synthetic locations (reference: parallel CSV
+    * generator, `cmd/gen_file/main.go`).
+    */
+  val genLocations: Q = (s, _) => Gen.locations(s, 1000).orderBy("locid")
+
+  /** O1-O3 — CSV write + by-name header-bound read roundtrip
+    * (`internal/writer/writer.go:74-99`). The oracle checks the roundtrip
+    * preserves the generated values exactly.
+    */
+  val csvRoundtrip: Q = (s, _) => {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    Gen.writeCsv(Gen.locations(s, 500), tmp)
+    CsvIngest.readLocations(s, tmp).toDF().orderBy("locid")
+  }
+
+  /** §1.4 — intra-batch duplicate keys resolved deterministically
+    * last-write-wins (the reference would fail the chunk; SURVEY.md §1.4).
+    */
+  val ingestDedup: Q = (s, _) => {
+    val base = Gen.locations(s, 1000).withColumn("seq", lit(1L))
+    val dups = Gen.locations(s, 200)
+      .withColumn("business", concat(lit("DUP_"), col("business")))
+      .withColumn("seq", lit(2L))
+    Upsert.lastWins(base.unionByName(dups), Seq("locid"), col("seq"))
+      .orderBy("locid")
+  }
+
+  val ingestDedupSql: String =
+    s"""WITH base AS (SELECT *, 1 AS seq FROM (${Gen.locationsSql(1000)})),
+       |dups AS (SELECT locid, loctimezone, country, locname,
+       |                'DUP_' || business AS business, 2 AS seq
+       |         FROM (${Gen.locationsSql(200)})),
+       |u AS (SELECT *, row_number() OVER (PARTITION BY locid ORDER BY seq DESC) AS rn
+       |      FROM (SELECT * FROM base UNION ALL SELECT * FROM dups))
+       |SELECT locid, loctimezone, country, locname, business, seq
+       |FROM u WHERE rn = 1 ORDER BY locid""".stripMargin
+
+  /** O6 — the upsert sink's merge semantics as a relational op
+    * (`internal/db/db.go:63-72`): existing rows survive unless an incoming
+    * row shares the key, in which case incoming values win.
+    */
+  val upsertMerge: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val existing = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", lit("base").as("src"))
+    val incoming = orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice" * 2).as("o_totalprice"), lit("update").as("src"))
+    Upsert.upsert(existing, incoming, Seq("o_orderkey"), lit(0L))
+      .orderBy("o_orderkey")
+  }
+
+  val upsertMergeSql: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src, 0 AS seq
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |incoming AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+      |         'update' AS src, 1 AS seq
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |      FROM (SELECT * FROM existing UNION ALL SELECT * FROM incoming))
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, src
+      |FROM u WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
+  /** O9 — deterministic LIMIT/OFFSET page (`internal/db/db.go:111-137`). */
+  val pagination: Q = (s, dir) => {
+    import s.implicits._
+    Relational.page(Tables(s, dir, "orders"), Seq($"o_orderkey"), 20, 100)
+  }
+
+  val paginationSql: String =
+    "SELECT * FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100"
+
+  /** O10 — server-side JSON array page (`internal/db/db.go:113-118`). */
+  val jsonPage: Q = (s, dir) => {
+    import s.implicits._
+    Relational.jsonPage(
+      Tables(s, dir, "orders").filter($"o_orderkey" < 10),
+      Seq($"o_orderkey", $"o_orderstatus", $"o_orderpriority"))
+  }
+
+  val jsonPageSql: String =
+    """SELECT coalesce(to_json(list_sort(list(struct_pack(
+      |  o_orderkey := o_orderkey, o_orderstatus := o_orderstatus,
+      |  o_orderpriority := o_orderpriority)))), '[]') AS page_json
+      |FROM orders WHERE o_orderkey < 10""".stripMargin
+
+  /** O12 — row counters (`internal/writer/writer.go:52,63-64`). */
+  val counts: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  val countsSql: String =
+    "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem"
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "ref_gen_locations" -> (genLocations, Some(Gen.locationsSql(1000) + " ORDER BY locid")),
+    "ref_csv_roundtrip" -> (csvRoundtrip, Some(Gen.locationsSql(500) + " ORDER BY locid")),
+    "ref_ingest_dedup" -> (ingestDedup, Some(ingestDedupSql)),
+    "ref_upsert_merge" -> (upsertMerge, Some(upsertMergeSql)),
+    "ref_pagination" -> (pagination, Some(paginationSql)),
+    "ref_json_page" -> (jsonPage, Some(jsonPageSql)),
+    "ref_counts" -> (counts, Some(countsSql))
+  )
+}
