@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loader for the driver's read-only parquet corpus (TESTDATA.md).
   *
@@ -15,5 +16,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's timestamp type
+    * (µs) cannot represent directly ([PARQUET_TYPE_ILLEGAL]). Read the
+    * column as raw nanos and truncate to µs — exactly what µs-native
+    * engines (DuckDB included) do when reading the same file, so oracle
+    * comparisons agree.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 }
