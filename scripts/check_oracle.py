@@ -38,6 +38,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         if name not in oracle:
             n = len(spark_rel.fetchall())
+            if n == 0:
+                failures += 1  # empty unchecked dump must fail, like the driver gate
             print(f"  ~ {name}: rows-only check, {n} rows {'OK' if n > 0 else 'EMPTY!'}")
             continue
         duck_rel = con.sql(oracle[name])

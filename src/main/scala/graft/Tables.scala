@@ -24,10 +24,25 @@ object Tables {
     * column as raw nanos and truncate to µs — exactly what µs-native
     * engines (DuckDB included) do when reading the same file, so oracle
     * comparisons agree.
+    *
+    * Truncation uses integer `div`, not `/`: nanosecond epochs (~1.7e18)
+    * exceed double's 53-bit mantissa, so float division would round by up
+    * to ±1 µs near boundaries and diverge from DuckDB's exact result.
+    *
+    * The `nanosAsLong` legacy flag is restored after the eager schema read
+    * so it does not leak into unrelated parquet reads on the shared session.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.schema // force schema resolution while the flag is set
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

@@ -25,11 +25,20 @@ object Upsert {
 
   /** Keep exactly one row per key: the one with the highest `seq`
     * (ties broken by `tiebreak` desc to stay total, hence deterministic).
+    *
+    * If the caller supplies no tiebreak, every non-key column is appended
+    * as an implicit tiebreak so the window order is total: equal `seq`
+    * values would otherwise let `row_number` pick a partition-order-
+    * dependent (nondeterministic) winner.
     */
   def lastWins(df: DataFrame, keys: Seq[String], seq: Column,
                tiebreak: Seq[Column] = Nil): DataFrame = {
+    val keySet = keys.toSet
+    val totalOrder =
+      if (tiebreak.nonEmpty) tiebreak
+      else df.columns.filterNot(keySet).map(col).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((seq.desc +: tiebreak.map(_.desc)): _*)
+      .orderBy((seq.desc +: totalOrder.map(_.desc)): _*)
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
@@ -38,11 +47,21 @@ object Upsert {
   /** `existing` merged with `incoming`; incoming wins per key; within
     * incoming, the row with the highest `incomingSeq` wins.
     * Requires identical schemas (use unionByName semantics upstream).
+    *
+    * `incomingSeq` must be >= 0 (existing rows sit at sequence 0 and any
+    * incoming row must outrank them; negative values would let existing
+    * rows win and Long.MaxValue would overflow the +1 offset). Violations
+    * fail the job at execution rather than silently mis-merging.
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              incomingSeq: Column): DataFrame = {
+    val seq = incomingSeq.cast("long")
+    val checked = when(seq.isNull || seq < 0L || seq === Long.MaxValue,
+        raise_error(concat(lit("Upsert.upsert: incomingSeq out of range [0, Long.MaxValue): "),
+          seq.cast("string"))))
+      .otherwise(seq + 1L)
     val tagged = existing.withColumn("__graft_seq", lit(0L))
-      .unionByName(incoming.withColumn("__graft_seq", incomingSeq.cast("long") + 1L))
+      .unionByName(incoming.withColumn("__graft_seq", checked))
     lastWins(tagged, keys, col("__graft_seq")).drop("__graft_seq")
   }
 }

@@ -2,10 +2,12 @@ package graft.sinks
 
 import java.sql.{Connection, DriverManager}
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.util.LongAccumulator
 
 import graft.model.Location
+import graft.operators.Upsert
 
 /** Faithful port of the reference's batched keyed upsert sink
   * (O6-O8 in SURVEY.md §2; `internal/db/db.go:43-110`).
@@ -94,14 +96,26 @@ object JdbcUpsertSink {
 
   /** Distributed upsert write. `parallelism` mirrors the reference's 10
     * workers but should be sized to the target DB's connection budget.
+    *
+    * Before writing, rows are deduplicated per `locid` (last-wins by `seq`,
+    * default constant 0 → deterministic via Upsert.lastWins' implicit
+    * tiebreak) and hash-repartitioned BY KEY: a multi-row
+    * `ON CONFLICT DO UPDATE` touching the same key twice fails in Postgres
+    * ("cannot affect row a second time"), and the same key landing in two
+    * partitions would race nondeterministically across connections.
     */
   def write(
       ds: Dataset[Location],
       url: String,
       parallelism: Int = 10,
       chunkSize: Int = 12000,
-      rowsWritten: Option[LongAccumulator] = None): Unit = {
-    ds.repartition(parallelism).foreachPartition { (it: Iterator[Location]) =>
+      rowsWritten: Option[LongAccumulator] = None,
+      seq: Column = lit(0L)): Unit = {
+    import ds.sparkSession.implicits._
+    val deduped = Upsert.lastWins(ds.toDF(), Seq("locid"), seq)
+      .repartition(parallelism, col("locid"))
+      .as[Location]
+    deduped.foreachPartition { (it: Iterator[Location]) =>
       if (it.nonEmpty) {
         val conn = DriverManager.getConnection(url)
         try {
