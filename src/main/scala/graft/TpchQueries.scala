@@ -1,0 +1,425 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Extended relational surface over the TPC-H-ish corpus (SURVEY.md §2
+  * category checklist: joins, aggregations, windows, set ops, sorts/top-k,
+  * scalar functions — all marked *absent* in the reference and supplied here
+  * Spark-natively).
+  *
+  * Scale notes applied throughout:
+  *   - dimension tables of FIXED cardinality (region=5, nation=25) are
+  *     explicitly `broadcast()` — no shuffle of the fact side, at any SF;
+  *   - tables that GROW with SF (customer, supplier, part) are joined with
+  *     shuffle joins and left to AQE to pick broadcast at small SF;
+  *   - filters are applied before joins so parquet pushdown (PushedFilters)
+  *     and column pruning (ReadSchema) shrink the scan — the dominant cost
+  *     at 100 TB;
+  *   - every double aggregate goes through [[graft.functions.Exact]]
+  *     (order-independent decimal sums) so results are identical on 1 or
+  *     10 000 partitions;
+  *   - every query ends in an ORDER BY whose trailing key is unique, so
+  *     the oracle hash-compare is stable.
+  */
+object TpchQueries {
+  import Queries.Q
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  // ---------------------------------------------------------------- joins
+
+  /** TPC-H Q3-shaped shipping priority: 3-way join, agg, top-10.
+    * lineitem⋈orders shuffle on orderkey; customer side is filtered to one
+    * segment before the join. AQE may broadcast the filtered customer side
+    * at low SF; at high SF all three shuffle on their keys — the minimum.
+    */
+  val q3ShippingPriority: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val ord = Tables(s, dir, "orders")
+      .filter($"o_orderdate" < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" > ts("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped local-supplier revenue: 6-table join. region and
+    * nation are constant-size → broadcast; supplier/customer/orders/
+    * lineitem shuffle on join keys (they all grow with SF).
+    */
+  val q5RegionRevenue: Q = (s, dir) => {
+    import s.implicits._
+    val nations = broadcast(
+      Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select("n_nationkey", "n_name"))
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1997-01-01"))
+          .select("o_orderkey", "o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nations, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q17-shaped small-quantity revenue: per-key average as a join
+    * (the decorrelated form of the correlated subquery — one shuffle on
+    * l_partkey for the avg, one for the join; Catalyst/AQE pick the join
+    * strategy).
+    */
+  val q17SmallQty: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy($"l_partkey".as("a_partkey"))
+      .agg(davg($"l_quantity").as("avg_qty"))
+    li.join(avgQty, $"l_partkey" === $"a_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem l JOIN (
+       |  SELECT l_partkey AS a_partkey, ${sqlDavg("l_quantity")} AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.a_partkey
+       |WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_qty""".stripMargin
+
+  /** LEFT OUTER join + aggregation with null-preserving counts: customers
+    * against only their high-value orders; customers with none keep a
+    * 0-count / null-sum row (the join's null-extension is the point).
+    */
+  val joinLeftBigOrders: Q = (s, dir) => {
+    import s.implicits._
+    val big = Tables(s, dir, "orders")
+      .filter($"o_totalprice" > 450000.0)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .join(big, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_big_orders"),
+        dsum($"o_totalprice").as("big_total"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinLeftSql: String =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+       |  ${sqlDsum("o_totalprice")} AS big_total
+       |FROM customer LEFT JOIN (
+       |  SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+       |  ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** LEFT SEMI: orders having at least one max-quantity lineitem. Spark
+    * plans a semi join — the probe side streams, no duplicate expansion.
+    */
+  val joinSemi: Q = (s, dir) => {
+    import s.implicits._
+    val maxed = Tables(s, dir, "lineitem")
+      .filter($"l_quantity" >= 50.0).select("l_orderkey")
+    Tables(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .join(maxed, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .orderBy($"o_orderkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 50.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** LEFT ANTI: the complement — orders with NO max-quantity lineitem. */
+  val joinAnti: Q = (s, dir) => {
+    import s.implicits._
+    val maxed = Tables(s, dir, "lineitem")
+      .filter($"l_quantity" >= 50.0).select("l_orderkey")
+    Tables(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .join(maxed, $"o_orderkey" === $"l_orderkey", "left_anti")
+      .orderBy($"o_orderkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 50.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- windows
+
+  /** Top-3 customers by account balance per nation (dense_rank over a
+    * keyed window — one shuffle on the partition key). nation is
+    * broadcast for the name lookup.
+    */
+  val windowTop3PerNation: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .withColumn("rk", dense_rank().over(w))
+      .filter($"rk" <= 3)
+      .join(broadcast(Tables(s, dir, "nation").select("n_nationkey", "n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"c_acctbal", $"rk")
+      .orderBy($"n_name", $"rk", $"c_custkey")
+  }
+
+  val windowTop3Sql: String =
+    """SELECT n_name, c_custkey, c_acctbal, rk FROM (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    dense_rank() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer) c JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rk <= 3 ORDER BY n_name, rk, c_custkey""".stripMargin
+
+  /** Running (cumulative) order total per customer — a frame-bounded
+    * window sum. The sum runs in decimal so the cumulation is exact and
+    * engine-independent.
+    */
+  val windowRunningTotal: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 50)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("running_total",
+        sum($"o_totalprice".cast("decimal(22,6)")).over(w).cast("double"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders WHERE o_custkey <= 50
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** lag(): days since the customer's previous order (null for the
+    * first). Dates are compared as DATE in both engines.
+    */
+  val windowOrderGap: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 50)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .withColumn("gap_days",
+        datediff(to_date($"o_orderdate"), to_date($"prev_date")))
+      .select($"o_custkey", $"o_orderkey", $"gap_days")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowGapSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+      |FROM orders WHERE o_custkey <= 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- set ops
+
+  /** INTERSECT / EXCEPT / UNION over key sets, tagged and stacked into one
+    * deterministic result. Spark plans these as aggregate/semi-join —
+    * one shuffle each.
+    */
+  val setOps: Q = (s, dir) => {
+    import s.implicits._
+    val rich = Tables(s, dir, "customer")
+      .filter($"c_acctbal" > 9000.0).select($"c_custkey")
+    val building = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val both = rich.intersect(building).withColumn("tag", lit("rich_building"))
+    val richOnly = rich.except(building).withColumn("tag", lit("rich_only"))
+    val either = rich.union(building).distinct().withColumn("tag", lit("rich_or_building"))
+    both.unionByName(richOnly).unionByName(either)
+      .orderBy($"tag", $"c_custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0),
+      |building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_custkey, 'rich_building' AS tag
+      |  FROM (SELECT * FROM rich INTERSECT SELECT * FROM building)
+      |UNION ALL
+      |SELECT c_custkey, 'rich_only' FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
+      |UNION ALL
+      |SELECT c_custkey, 'rich_or_building'
+      |  FROM (SELECT * FROM rich UNION SELECT * FROM building)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  // ----------------------------------------------------- aggs / groupings
+
+  /** ROLLUP over (status, priority): subtotal rows get an 'ALL' sentinel
+    * (portable across engines; source columns are non-null). Partial
+    * aggregation still applies — the shuffle carries group rows only.
+    */
+  val aggRollup: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** PIVOT: order counts per market segment × status. The pivot values
+    * are given explicitly, so no extra distinct-collect job runs.
+    */
+  val aggPivotStatus: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .join(Tables(s, dir, "orders").select("o_custkey", "o_orderstatus"),
+        $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .orderBy($"c_mktsegment")
+  }
+
+  val aggPivotSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** DISTINCT projection (dedup-as-aggregate; one shuffle on all cols). */
+  val aggDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority")
+      .distinct()
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ------------------------------------------------- dates / scalar funcs
+
+  /** Month bucketing (date_trunc) — the batch analogue of a tumbling
+    * window, grouped with exact sums.
+    */
+  val dateMonthly: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"month")
+  }
+
+  val dateMonthlySql: String =
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Scalar string-function surface on part: case mapping, length,
+    * token split, regexp extraction, substring, concat — all
+    * codegen'd built-ins (SURVEY.md §2 "scalar functions").
+    */
+  val strPartFuncs: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_upper"),
+        length($"p_name").as("name_len"),
+        split_part($"p_type", lit(" "), lit(1)).as("type_first"),
+        regexp_extract($"p_brand", "(\\d+)", 1).as("brand_num"),
+        substring($"p_name", 1, 5).as("name_pfx"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+
+  val strPartSql: String =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  split_part(p_type, ' ', 1) AS type_first,
+      |  regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+      |  substring(p_name, 1, 5) AS name_pfx,
+      |  p_brand || '|' || p_type AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority, Some(q3Sql)),
+    "q5_region_revenue" -> (q5RegionRevenue, Some(q5Sql)),
+    "q17_small_qty_revenue" -> (q17SmallQty, Some(q17Sql)),
+    "join_left_big_orders" -> (joinLeftBigOrders, Some(joinLeftSql)),
+    "join_semi_maxqty" -> (joinSemi, Some(joinSemiSql)),
+    "join_anti_maxqty" -> (joinAnti, Some(joinAntiSql)),
+    "window_top3_per_nation" -> (windowTop3PerNation, Some(windowTop3Sql)),
+    "window_running_total" -> (windowRunningTotal, Some(windowRunningSql)),
+    "window_order_gap" -> (windowOrderGap, Some(windowGapSql)),
+    "set_ops_customers" -> (setOps, Some(setOpsSql)),
+    "agg_rollup_status_priority" -> (aggRollup, Some(aggRollupSql)),
+    "agg_pivot_status" -> (aggPivotStatus, Some(aggPivotSql)),
+    "agg_distinct_status_priority" -> (aggDistinct, Some(aggDistinctSql)),
+    "date_monthly_orders" -> (dateMonthly, Some(dateMonthlySql)),
+    "str_part_funcs" -> (strPartFuncs, Some(strPartSql))
+  )
+}
