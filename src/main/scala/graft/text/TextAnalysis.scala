@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale training-data
+  * pipelines: tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a composition of codegen'd built-in expressions —
+  * no UDFs — so the whole pipeline stays inside WholeStageCodegen and
+  * scales linearly with the scan: per-row work, no shuffle, no state.
+  * Each primitive has an exact ANSI-SQL mirror (the `sql*` builders) used
+  * by the DuckDB oracle, which doubles as documentation of the semantics.
+  */
+object TextAnalysis {
+
+  /** Canonical text normalization for dedup/fingerprinting: lowercase,
+    * collapse whitespace runs, trim. Two documents equal under this are
+    * "exact" duplicates for pipeline purposes.
+    */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  def sqlNormText(e: String): String = s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** Whitespace tokens of already-normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+  def sqlTokens(e: String): String = s"string_split(${sqlNormText(e)}, ' ')"
+
+  def nTokens(c: Column): Column = size(tokens(c))
+  def sqlNTokens(e: String): String = s"CAST(len(${sqlTokens(e)}) AS INT)"
+
+  def nUniqTokens(c: Column): Column = size(array_distinct(tokens(c)))
+  def sqlNUniqTokens(e: String): String =
+    s"CAST(len(list_distinct(${sqlTokens(e)})) AS INT)"
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space symbols — the standard pre-tokenizer regex shape.
+    */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def nBpeTokens(c: Column): Column = size(regexp_extract_all(c, lit(bpePattern), lit(0)))
+  def sqlNBpeTokens(e: String): String =
+    s"CAST(len(regexp_extract_all($e, '$bpePattern')) AS INT)"
+
+  /** Occurrences of any of `words` as whole words (case-insensitive). */
+  def wordHits(c: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit(words.mkString("\\b(?:", "|", ")\\b")), lit(0)))
+  def sqlWordHits(e: String, words: Seq[String]): String =
+    s"CAST(len(regexp_extract_all(lower($e), '${words.mkString("\\b(?:", "|", ")\\b")}')) AS INT)"
+
+  /** Tiny per-language stopword inventories for the n-gram-free heuristic
+    * language ID. Ordered map: argmax ties resolve in this fixed order.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Heuristic language ID: stopword-hit rate per language, argmax with
+    * deterministic tie-breaking in [[langStopwords]] order. Returns
+    * (scores..., best) columns; callers project what they need.
+    */
+  def langScores(c: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, words) => lang -> wordHits(c, words) }
+
+  def langBest(c: Column): Column = {
+    val scores = langScores(c)
+    // argmax, first-wins on ties, 'und' (undetermined) when all zero
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    val best = scores.foldLeft[Option[Column]](None) {
+      case (None, (lang, sc)) => Some(struct(sc.as("s"), lit(lang).as("l")))
+      case (Some(acc), (lang, sc)) =>
+        Some(when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+          .otherwise(acc))
+    }.get
+    when(allZero, lit("und")).otherwise(best.getField("l"))
+  }
+
+  def sqlLangBest(e: String): String = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> sqlWordHits(e, words)
+    }
+    val allZero = scores.map { case (_, s) => s"$s = 0" }.mkString(" AND ")
+    // mirror of langBest's fold: strictly-greater replaces, so first
+    // language in inventory order wins ties
+    val best = scores.tail.foldLeft(
+      s"{'s': ${scores.head._2}, 'l': '${scores.head._1}'}") {
+      case (acc, (lang, s)) =>
+        s"(CASE WHEN $s > struct_extract($acc, 's') THEN {'s': $s, 'l': '$lang'} ELSE $acc END)"
+    }
+    s"(CASE WHEN $allZero THEN 'und' ELSE struct_extract($best, 'l') END)"
+  }
+
+  /** Content fingerprint: md5 of the normalized text — identical across
+    * engines, usable as an exact-dedup key and a shard-stable bucket id.
+    */
+  def fingerprint(c: Column): Column = md5(normText(c).cast("binary"))
+  def sqlFingerprint(e: String): String = s"md5(${sqlNormText(e)})"
+}

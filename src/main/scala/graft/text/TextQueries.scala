@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{Queries, Tables}
+import TextAnalysis._
+
+/** Oracle-checked text-analysis queries over the `documents` table —
+  * the text half of the training-data-pipeline surface (token stats,
+  * quality scoring, language ID, fingerprint dedup).
+  *
+  * All are narrow per-row transforms + one aggregation at most: at 100 TB
+  * they are scan-bound and embarrassingly parallel (no shuffle except the
+  * final dedup group-by, which shuffles only on the 32-char fingerprint).
+  */
+object TextQueries {
+  import Queries.Q
+
+  /** Token statistics: whitespace tokens, distinct tokens, BPE-ish
+    * subword count, and mean token length — the core length/fertility
+    * metrics used for corpus filtering.
+    */
+  val tokenStats: Q = (s, dir) => {
+    import s.implicits._
+    val norm = normText($"text")
+    val nt = nTokens($"text")
+    Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        nt.as("n_tokens"),
+        nUniqTokens($"text").as("n_uniq_tokens"),
+        nBpeTokens($"text").as("n_bpe_tokens"),
+        $"n_chars",
+        ((length(norm) - nt + 1).cast("double") / nt.cast("double"))
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenStatsSql: String = {
+    val nt = sqlNTokens("text")
+    s"""SELECT doc_id,
+       |  $nt AS n_tokens,
+       |  ${sqlNUniqTokens("text")} AS n_uniq_tokens,
+       |  ${sqlNBpeTokens("text")} AS n_bpe_tokens,
+       |  n_chars,
+       |  CAST(length(${sqlNormText("text")}) - $nt + 1 AS DOUBLE)
+       |    / CAST($nt AS DOUBLE) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: weighted blend of stopword rate, token diversity,
+    * alphabetic purity, and a saturating length credit — the standard
+    * cheap-heuristics layer before model-based filtering. Arithmetic is
+    * written in one fixed association order so every engine produces
+    * bit-identical doubles.
+    */
+  val qualityScore: Q = (s, dir) => {
+    import s.implicits._
+    val nt = nTokens($"text").cast("double")
+    val norm = normText($"text")
+    val stopRatio = wordHits($"text", langStopwords.head._2).cast("double") / nt
+    val uniqRatio = nUniqTokens($"text").cast("double") / nt
+    val alphaRatio = length(regexp_replace(norm, "[^a-z]", "")).cast("double") /
+      length(norm).cast("double")
+    val lenScore = least(lit(1.0), $"n_chars".cast("double") / lit(500.0))
+    Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        stopRatio.as("stop_ratio"),
+        uniqRatio.as("uniq_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        lenScore.as("len_score"),
+        (((lit(0.3) * stopRatio + lit(0.3) * uniqRatio) + lit(0.2) * alphaRatio)
+          + lit(0.2) * lenScore).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val nt = s"CAST(${sqlNTokens("text")} AS DOUBLE)"
+    val stop = s"(CAST(${sqlWordHits("text", langStopwords.head._2)} AS DOUBLE) / $nt)"
+    val uniq = s"(CAST(${sqlNUniqTokens("text")} AS DOUBLE) / $nt)"
+    val alpha = s"(CAST(length(regexp_replace(${sqlNormText("text")}, '[^a-z]', '', 'g')) AS DOUBLE)" +
+      s" / CAST(length(${sqlNormText("text")}) AS DOUBLE))"
+    val len = "least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(500.0 AS DOUBLE))"
+    s"""SELECT doc_id,
+       |  $stop AS stop_ratio,
+       |  $uniq AS uniq_ratio,
+       |  $alpha AS alpha_ratio,
+       |  $len AS len_score,
+       |  ((CAST(0.3 AS DOUBLE) * $stop + CAST(0.3 AS DOUBLE) * $uniq)
+       |    + CAST(0.2 AS DOUBLE) * $alpha) + CAST(0.2 AS DOUBLE) * $len AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heuristic language ID: per-language stopword hit counts + argmax
+    * (deterministic tie-break), compared against the table's claimed
+    * `lang` label.
+    */
+  val langId: Q = (s, dir) => {
+    import s.implicits._
+    val scored = langScores($"text").map { case (l, c) => c.as(s"hits_$l") }
+    Tables(s, dir, "documents")
+      .select(($"doc_id" +: $"lang" +: scored :+ langBest($"text").as("lang_pred")): _*)
+      .withColumn("agrees", ($"lang" === $"lang_pred").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val scored = langStopwords.map { case (l, _) =>
+      s"${sqlWordHits("text", langStopwords.toMap.apply(l))} AS hits_$l"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, lang,
+       |  $scored,
+       |  ${sqlLangBest("text")} AS lang_pred,
+       |  CAST(lang = ${sqlLangBest("text")} AS INT) AS agrees
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup via content fingerprint: the corpus is doubled with
+    * case/whitespace-mutated copies, then collapsed by md5(normalized
+    * text) — each group keeps its smallest doc_id as the canonical
+    * survivor. At scale this is THE cheap first dedup pass: one shuffle
+    * on a 32-char key, perfectly balanced by the hash itself.
+    */
+  val fingerprintDedup: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val mutated = docs.select(($"doc_id" + 10000).as("doc_id"),
+      concat(upper($"text"), lit("  ")).as("text"))
+    docs.unionByName(mutated)
+      .groupBy(fingerprint($"text").as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("canonical_doc"))
+      .orderBy($"fp")
+  }
+
+  val fingerprintDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, upper(text) || '  ' FROM documents)
+       |SELECT ${sqlFingerprint("text")} AS fp,
+       |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
+       |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
+    "text_quality_score" -> (qualityScore, Some(qualityScoreSql)),
+    "text_lang_id" -> (langId, Some(langIdSql)),
+    "text_fingerprint_dedup" -> (fingerprintDedup, Some(fingerprintDedupSql))
+  )
+}
