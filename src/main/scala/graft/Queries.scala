@@ -63,7 +63,8 @@ object Queries {
   /** name -> (query, Some(oracle sql) | None for rows-only-checked ops) */
   val all: Map[String, (Q, Option[String])] = Map(
     "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql))
-  ) ++ RefQueries.all ++ TpchQueries.all ++ graft.text.TextQueries.all
+  ) ++ RefQueries.all ++ TpchQueries.all ++
+    graft.text.TextQueries.all ++ graft.text.DedupQueries.all
 
   def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
   def oracleSql: Map[String, String] =

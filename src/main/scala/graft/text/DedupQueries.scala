@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{Queries, Tables}
+import NearDup._
+
+/** Oracle-checked near-duplicate detection queries over `documents`:
+  * MinHash+LSH (shingle → minhash → band → bucket-join → exact verify),
+  * SimHash signatures, and character-n-gram Jaccard/containment.
+  *
+  * Each builds a corpus of originals ∪ deterministic mutations so the
+  * near-dup structure is known, then recovers it. The LSH query follows
+  * the canonical at-scale plan: per-row signatures in the scan, one
+  * shuffle on (band, value) for candidates, exact similarity only on
+  * candidate pairs — never an O(n²) cross join.
+  */
+object DedupQueries {
+  import Queries.Q
+
+  private val K = 8 // minhash permutations = LSH bands (r = 1)
+
+  /** MinHash + LSH near-dup pairs: originals vs copies with the last 5
+    * words dropped; recovered pairs verified by exact shingle Jaccard.
+    */
+  val minhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    // original + truncated copy from ONE scan (explode, not self-union —
+    // half the I/O, and avoids HOF lambda-binding clashes on reused plans)
+    val corpus = base.select(explode(array(
+        struct($"doc_id", $"toks"),
+        struct(($"doc_id" + 10000).as("doc_id"),
+          slice($"toks", lit(1), size($"toks") - 5).as("toks")))).as("r"))
+      .select($"r.doc_id", $"r.toks")
+    val shingled = corpus.select($"doc_id", wordShingles($"toks", 3).as("sh"))
+    val sig = shingled.select($"doc_id", minhashes($"sh", K).as("mh"))
+    lshCandidates(sig, "doc_id", "mh")
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+      .select($"doc_a", $"doc_b", jaccard($"sh_a", $"sh_b").as("jaccard"))
+      .filter($"jaccard" >= 0.4)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val minhashLshSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000, list_slice(toks, 1, len(toks) - 5) FROM base),
+       |shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM corpus),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, $K),
+       |    i -> list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS mh
+       |  FROM shingled),
+       |bands AS (
+       |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $K),
+       |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_cat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |          JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_cat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Per-document 64-bit SimHash signatures + 16-bit band keys (the
+    * bucketing keys a banded hamming-dedup would shuffle on).
+    */
+  val simhashSig: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.normText($"text").as("norm"))
+      .select($"doc_id", expr(tokenHashesExpr(sparkDialect, "norm")).as("hs"))
+      .select($"doc_id", expr(simhashExpr(sparkDialect, "hs", "size(hs)")).as("simhash"))
+      .select(($"doc_id" +: $"simhash" +:
+        (0 until 4).map(i => substring($"simhash", 1 + 16 * i, 16).as(s"band_$i"))): _*)
+      .orderBy($"doc_id")
+  }
+
+  val simhashSigSql: String = {
+    val bandCols = (0 until 4)
+      .map(i => s"substr(simhash, ${1 + 16 * i}, 16) AS band_$i").mkString(",\n  ")
+    s"""WITH norm AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlNormText("text")} AS norm FROM documents),
+       |h AS (SELECT doc_id, ${tokenHashesExpr(duckDialect, "norm")} AS hs FROM norm),
+       |sig AS (SELECT doc_id, ${simhashExpr(duckDialect, "hs", "len(hs)")} AS simhash FROM h)
+       |SELECT doc_id, simhash,
+       |  $bandCols
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  /** Character-5-gram Jaccard + containment between each document and a
+    * suffix-extended copy: containment of the original in the copy is
+    * exactly 1.0, Jaccard strictly below — the asymmetric/symmetric
+    * measure contrast near-dup pipelines rely on.
+    */
+  val ngramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val a = docs.select($"doc_id".as("doc_a"), charNgrams($"text", 5).as("ng_a"))
+    val b = docs.select(($"doc_id" + 10000).as("doc_b"),
+      charNgrams(concat($"text", lit(" shared suffix payload")), 5).as("ng_b"))
+    a.join(b, $"doc_b" === $"doc_a" + 10000)
+      .select($"doc_a", $"doc_b",
+        jaccard($"ng_a", $"ng_b").as("jaccard"),
+        containment($"ng_a", $"ng_b").as("containment"))
+      .orderBy($"doc_a")
+  }
+
+  val ngramJaccardSql: String = {
+    def ngrams(e: String) = {
+      val n = TextAnalysis.sqlNormText(e)
+      s"list_distinct(list_transform(range(1, length($n) - 3), i -> substr($n, i, 5)))"
+    }
+    s"""WITH a AS (SELECT doc_id AS doc_a, ${ngrams("text")} AS ng_a FROM documents),
+       |b AS (SELECT doc_id + 10000 AS doc_b,
+       |  ${ngrams("text || ' shared suffix payload'")} AS ng_b FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(ng_a, ng_b)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_cat(ng_a, ng_b))) AS DOUBLE) AS jaccard,
+       |  CAST(len(list_intersect(ng_a, ng_b)) AS DOUBLE) /
+       |    CAST(len(ng_a) AS DOUBLE) AS containment
+       |FROM a JOIN b ON doc_b = doc_a + 10000
+       |ORDER BY doc_a""".stripMargin
+  }
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
+    "dedup_simhash_sig" -> (simhashSig, Some(simhashSigSql)),
+    "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql))
+  )
+}

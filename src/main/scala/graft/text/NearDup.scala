@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives for training-data dedup at scale:
+  * word-shingle MinHash + LSH banding, 64-bit SimHash signatures, and
+  * character-n-gram Jaccard/containment.
+  *
+  * Hash choice: every hash is md5 over an explicit string — md5 is
+  * bit-identical across engines (unlike murmur variants), so the DuckDB
+  * oracle reproduces signatures exactly. MinHash minima are taken over the
+  * hex strings lexicographically, which is a uniform order on the hash
+  * space and needs no hex→int conversion anywhere.
+  *
+  * Scale shape (the point of LSH): signatures are computed per-row in the
+  * scan (no shuffle), candidates come from ONE shuffle on (band, value),
+  * and the exact-similarity join touches only candidate pairs — never the
+  * O(n²) cross product. This is the same plan at 500 docs or 10 billion.
+  */
+object NearDup {
+
+  /** Distinct n-word shingles of a token array (empty when too short —
+    * Spark's `sequence(0, negative)` would otherwise count DOWN).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** k MinHash values over a shingle set: hash_i(s) = md5(i || '|' || s),
+    * minimum per i taken lexicographically on the hex string.
+    */
+  def minhashes(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet,
+        t => md5(concat(i.cast("string"), lit("|"), t).cast("binary")))))
+
+  /** Distinct character n-grams of normalized text. */
+  def charNgrams(c: Column, n: Int): Column = {
+    val norm = TextAnalysis.normText(c)
+    when(length(norm) >= n,
+      array_distinct(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two DISTINCT string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Containment |A∩B| / |A| — the asymmetric near-dup measure. */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(a).cast("double")
+
+  /** LSH candidate pairs: explode each doc's k minhashes into (band,
+    * value) keys; docs sharing any key are candidates. One shuffle on the
+    * band key; the output is the candidate edge list (doc_a < doc_b).
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, mhCol: String): DataFrame = {
+    val bands = sig.select(col(idCol), posexplode(col(mhCol)))
+      .toDF(idCol, "band", "mh")
+    bands.alias("a").join(bands.alias("b"), Seq("band", "mh"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** Hex-digit → 4 bits (MSB first) lookup table, and the hex alphabet.
+    * Bit extraction is pure string arithmetic so both engines agree
+    * without any hex→integer conversion.
+    */
+  private val bitLookup: String =
+    (0 until 16).map(d => Integer.toBinaryString(d | 16).substring(1)).mkString
+  private val hexAlphabet = "0123456789abcdef"
+
+  /** Engine dialect for the generated SimHash expression. */
+  final case class Dialect(
+      split: (String, String) => String,
+      distinct: String => String,
+      transform: (String, String, String) => String,
+      range: (Int, Int) => String, // inclusive start, exclusive end
+      join: (String, String) => String,
+      sumInts: String => String,
+      md5: String => String)
+
+  val sparkDialect: Dialect = Dialect(
+    split = (e, sep) => s"split($e, '$sep')",
+    distinct = e => s"array_distinct($e)",
+    transform = (e, v, body) => s"transform($e, $v -> $body)",
+    range = (a, b) => s"sequence($a, ${b - 1})",
+    join = (e, sep) => s"array_join($e, '$sep')",
+    sumInts = e => s"aggregate($e, 0, (acc, x) -> acc + x)",
+    md5 = e => s"md5(cast($e as binary))")
+
+  val duckDialect: Dialect = Dialect(
+    split = (e, sep) => s"string_split($e, '$sep')",
+    distinct = e => s"list_distinct($e)",
+    transform = (e, v, body) => s"list_transform($e, $v -> $body)",
+    range = (a, b) => s"range($a, $b)",
+    join = (e, sep) => s"array_to_string($e, '$sep')",
+    sumInts = e => s"CAST(list_sum($e) AS INT)",
+    md5 = e => s"md5($e)")
+
+  /** Stage 1 of SimHash: md5 each distinct token once. Materialized as
+    * its own projected column so the 64 bit-votes of stage 2 reuse the
+    * hashes instead of re-hashing tokens 64×.
+    */
+  def tokenHashesExpr(d: Dialect, textExpr: String): String =
+    d.transform(d.distinct(d.split(textExpr, " ")), "t", d.md5("t"))
+
+  /** Stage 2: 64-bit SimHash over a token-hash array column, as a 64-char
+    * '0'/'1' string. Bit b of the signature is the majority vote across
+    * token hashes of bit b, where bit b of a hash = bit (b mod 4) of hex
+    * digit b/4 — extracted via the string lookup table, so no hex→integer
+    * conversion and both engines agree exactly.
+    */
+  def simhashExpr(d: Dialect, hashesCol: String, nCol: String): String = {
+    val digitVal =
+      s"(instr('$hexAlphabet', substr(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1)"
+    val bit = s"CAST(substr('$bitLookup', $digitVal * 4 + (b % 4) + 1, 1) AS INT)"
+    val votes = d.sumInts(d.transform(hashesCol, "h", bit))
+    val bitChar = s"(CASE WHEN 2 * $votes >= $nCol THEN '1' ELSE '0' END)"
+    d.join(d.transform(d.range(0, 64), "b", bitChar), "")
+  }
+}
