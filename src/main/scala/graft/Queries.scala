@@ -64,7 +64,8 @@ object Queries {
   val all: Map[String, (Q, Option[String])] = Map(
     "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql))
   ) ++ RefQueries.all ++ TpchQueries.all ++
-    graft.text.TextQueries.all ++ graft.text.DedupQueries.all
+    graft.text.TextQueries.all ++ graft.text.DedupQueries.all ++
+    graft.vector.SimilarityQueries.all
 
   def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
   def oracleSql: Map[String, String] =

@@ -1,0 +1,190 @@
+package graft.vector
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Queries, Tables}
+import VectorOps._
+
+/** Oracle-checked similarity-search queries over `embeddings`
+  * (`array<float>`, 64-dim): brute-force cosine top-k as the exactness
+  * baseline, sign-LSH bucketed ANN as the scale path, an IVF-style
+  * coarse-quantizer assignment, and cosine near-dup pair recovery.
+  *
+  * Scale shapes:
+  *   - brute force broadcasts the (tiny) query set and scans the corpus
+  *     once — correct baseline, O(n·q) compute, no corpus shuffle;
+  *   - sign-LSH shuffles once on the bucket key, then scores only within
+  *     buckets — the classic sub-linear ANN trade;
+  *   - IVF centroids are one posexplode + groupBy(label, dim) partial
+  *     aggregation; assignment is a broadcast join against k·d centroid
+  *     cells. All floating-point kernels run through VectorOps' exact
+  *     decimal summation, so results are partition- and engine-invariant.
+  */
+object SimilarityQueries {
+  import Queries.Q
+
+  private val H = 6 // LSH hyperplanes → 64 buckets
+
+  /** Brute-force exact cosine top-10 for query vectors 0-4. */
+  val knnBrute: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .withColumn("cosine", round($"cosine", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val knnBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${sqlCosine("embedding", "q_emb")} AS cosine
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** ANN via sign-LSH buckets: score only vectors sharing the query's
+    * bucket — top-5 within bucket per query.
+    */
+  val annLsh: Q = (s, dir) => {
+    import s.implicits._
+    val bucketed = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", signBucket($"embedding", H).as("bucket"))
+    val queries = bucketed.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"bucket", $"vec_id", cosine($"embedding", $"q_emb").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .withColumn("cosine", round($"cosine", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val annLshSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |    ${sqlSignBucket("embedding", H)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+       |      FROM b WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, b.bucket AS bucket, vec_id,
+       |    ${sqlCosine("embedding", "q_emb")} AS cosine
+       |  FROM b JOIN q ON b.bucket = q.bucket WHERE vec_id <> q_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, bucket, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding near-dup recovery: corpus ∪ one-dimension-perturbed copies,
+    * LSH-bucketed, exact cosine >= 0.98 within buckets. Random pairs top
+    * out near 0.51 on this corpus, so survivors are exactly the planted
+    * twins that kept their bucket.
+    */
+  val cosineNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val corpus = emb.select(explode(array(
+        struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
+        struct(($"vec_id" + 10000).as("vec_id"),
+          transform($"embedding", (x, d) =>
+            when(d === 0, x.cast("double") + lit(0.05))
+              .otherwise(x.cast("double"))).as("v")))).as("r"))
+      .select($"r.vec_id", $"r.v")
+      .withColumn("bucket", signBucket($"v", H))
+    corpus.alias("a").join(corpus.alias("b"), "bucket")
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosine($"a.v", $"b.v").as("cosine"))
+      .filter($"cosine" >= 0.98)
+      .withColumn("cosine", round($"cosine", 9))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val cosineNearDupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |              ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, ${sqlSignBucket("v", H)} AS bucket FROM corpus)
+       |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |  round(${sqlCosine("a.v", "b2.v")}, 9) AS cosine
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE ${sqlCosine("a.v", "b2.v")} >= 0.98
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** IVF-style coarse quantizer: per-label centroids (posexplode +
+    * groupBy(label, dim) exact mean), then assign every vector to its
+    * max-cosine centroid.
+    */
+  val ivfAssign: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val cells = emb.select($"vec_id", $"label", posexplode($"embedding"))
+      .toDF("vec_id", "label", "pos", "val")
+      .withColumn("val", $"val".cast("double"))
+    val centroids = cells.groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"val".cast("decimal(30,15)")).cast("double") / count(lit(1)))
+        .as("c"))
+    val dots = cells.select($"vec_id", $"pos", $"val")
+      .join(broadcast(centroids), Seq("pos"))
+      .groupBy($"vec_id", $"c_label")
+      .agg(
+        sum(($"val" * $"c").cast("decimal(30,15)")).cast("double").as("dot"),
+        sum(($"val" * $"val").cast("decimal(30,15)")).cast("double").as("nv"),
+        sum(($"c" * $"c").cast("decimal(30,15)")).cast("double").as("nc"))
+      .select($"vec_id", $"c_label",
+        ($"dot" / (sqrt($"nv") * sqrt($"nc"))).as("cos_c"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"c_label")
+    dots.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .select($"vec_id", $"label", $"c_label".as("nearest_label"),
+        round($"cos_c", 9).as("cos_c"))
+      .orderBy($"vec_id")
+  }
+
+  val ivfAssignSql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, label, d AS pos, CAST(embedding[d] AS DOUBLE) AS val
+      |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+      |centroids AS (
+      |  SELECT label AS c_label, pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM cells GROUP BY label, pos),
+      |dots AS (
+      |  SELECT vec_id, c_label,
+      |    CAST(SUM(CAST(val * c AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+      |    CAST(SUM(CAST(val * val AS DECIMAL(30,15))) AS DOUBLE) AS nv,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(30,15))) AS DOUBLE) AS nc
+      |  FROM cells JOIN centroids USING (pos)
+      |  GROUP BY vec_id, c_label),
+      |scored AS (SELECT vec_id, c_label, dot / (sqrt(nv) * sqrt(nc)) AS cos_c
+      |           FROM dots),
+      |best AS (SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS rn FROM scored)
+      |SELECT b.vec_id, e.label, b.c_label AS nearest_label, round(b.cos_c, 9) AS cos_c
+      |FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+      |WHERE rn = 1 ORDER BY b.vec_id""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
+    "sim_ann_lsh" -> (annLsh, Some(annLshSql)),
+    "sim_cosine_neardup" -> (cosineNearDup, Some(cosineNearDupSql)),
+    "sim_ivf_assign" -> (ivfAssign, Some(ivfAssignSql))
+  )
+}

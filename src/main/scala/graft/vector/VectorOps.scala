@@ -1,0 +1,78 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `array<float>` embedding columns —
+  * built entirely from higher-order functions (zip_with / transform /
+  * aggregate), all codegen-friendly, no UDFs.
+  *
+  * Determinism: float×float products are computed in double (exact — 24-bit
+  * mantissas multiply into 48 < 53 bits), then each product is rounded once
+  * to DECIMAL(30,15) and summed exactly. The sum is therefore associative —
+  * independent of partitioning AND of engine summation order — which is
+  * what lets a DuckDB oracle hash-match Spark on floating-point kernels.
+  * One final cast back to double restores the ergonomic type.
+  */
+object VectorOps {
+
+  private val Dec = "decimal(30,15)"
+
+  /** Exact (order-independent) dot product of two float arrays, as double. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, v) => (acc + v).cast(Dec))
+      .cast("double")
+
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** Cosine similarity with the fixed association dot / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column =
+    dotExact(a, b) / (normExact(a) * normExact(b))
+
+  /** DuckDB mirror of [[dotExact]] (list_sum over DECIMAL is exact). */
+  def sqlDotExact(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"z -> CAST(CAST(struct_extract(z, 1) AS DOUBLE) * CAST(struct_extract(z, 2) AS DOUBLE) AS DECIMAL(30,15)))) AS DOUBLE)"
+
+  def sqlNormExact(a: String): String = s"sqrt(${sqlDotExact(a, a)})"
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDotExact(a, b)} / (${sqlNormExact(a)} * ${sqlNormExact(b)}))"
+
+  // ------------------------------------------------ sign-random-hyperplane LSH
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, 1-based
+    * dim d): integer arithmetic then one double division — bit-identical
+    * everywhere, no RNG state to ship.
+    */
+  private def weight(j: Column, d: Column): Column =
+    (((j * 1009 + d * 9176) % 97) - 48).cast("double") / lit(48.0)
+
+  /** Sign-LSH bucket key: one bit per hyperplane ('1' iff the exact
+    * decimal projection is >= 0), concatenated into an `h`-char string.
+    * Cosine-similar vectors agree on most signs, so near neighbors land
+    * in the same bucket with high probability — the shuffle key for ANN.
+    */
+  def signBucket(v: Column, h: Int): Column =
+    array_join(
+      transform(sequence(lit(0), lit(h - 1)), j => {
+        val proj = aggregate(
+          transform(v, (x, d0) =>
+            (weight(j, d0 + 1) * x.cast("double")).cast(Dec)),
+          lit(0).cast(Dec),
+          (acc, p) => (acc + p).cast(Dec))
+        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      }), "")
+
+  /** DuckDB mirror of [[signBucket]] (1-based dims via range). */
+  def sqlSignBucket(v: String, h: Int): String = {
+    val w = "(CAST((((j * 1009 + d * 9176) % 97) - 48) AS DOUBLE) / CAST(48.0 AS DOUBLE))"
+    val proj = s"list_sum(list_transform(range(1, 65), " +
+      s"d -> CAST($w * CAST($v[d] AS DOUBLE) AS DECIMAL(30,15))))"
+    s"array_to_string(list_transform(range(0, $h), " +
+      s"j -> CASE WHEN $proj >= 0 THEN '1' ELSE '0' END), '')"
+  }
+}
