@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Event-time analytics over the `events` stream table, expressed in
+  * batch so the DuckDB oracle can check them; the same transforms run
+  * unchanged on a `readStream` DataFrame (see [[graft.streaming.Streams]])
+  * with watermarks supplying state cleanup.
+  *
+  * Scale: windowed group-bys partially aggregate before the shuffle, so
+  * the exchange carries |windows × types| rows, not |events|.
+  * Sessionization shuffles once on user_id — the same key a streaming
+  * flatMapGroupsWithState would state-partition on.
+  */
+object EventQueries {
+  import Queries.Q
+
+  /** 10-minute tumbling windows per event type. */
+  val tumbling: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val tumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+       |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** 10-minute windows sliding every 5 — each event lands in two windows
+    * (the oracle unnests the two candidate starts explicitly).
+    */
+  val sliding: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"window.start".as("w_start"), $"n", $"total_value")
+      .orderBy($"w_start")
+  }
+
+  val slidingSql: String =
+    s"""WITH e AS (SELECT value,
+       |    time_bucket(INTERVAL '5 minutes', ts) AS tb FROM events),
+       |w AS (SELECT value,
+       |    unnest([tb, tb - INTERVAL '5 minutes']) AS w_start FROM e)
+       |SELECT w_start, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin
+
+  /** Sessionization with a 30-minute inactivity gap: lag + running sum of
+    * session-start flags assigns session numbers, then one aggregate per
+    * (user, session). Gap arithmetic runs on exact epoch microseconds.
+    */
+  val sessions: Q = (s, dir) => {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val flagged = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1).otherwise(0))
+      .withColumn("session_n",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy($"user_id", $"session_n")
+      .agg(min($"ts").as("sess_start"), max($"ts").as("sess_end"),
+        count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .orderBy($"user_id", $"session_n")
+  }
+
+  val sessionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > ${30L * 60 * 1000000}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM (SELECT *, lag(us, 1) OVER (PARTITION BY user_id
+       |          ORDER BY us, event_id) AS prev_us FROM e)),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+       |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM sess GROUP BY user_id, session_n
+       |ORDER BY user_id, session_n""".stripMargin
+
+  /** Semi-structured props: JSON field extraction + per-type stats. */
+  val jsonProps: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        (sum($"k").cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonPropsSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "events_tumbling_10m" -> (tumbling, Some(tumblingSql)),
+    "events_sliding_10m5m" -> (sliding, Some(slidingSql)),
+    "events_sessions_30m" -> (sessions, Some(sessionsSql)),
+    "events_json_props" -> (jsonProps, Some(jsonPropsSql))
+  )
+}

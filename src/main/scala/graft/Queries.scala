@@ -63,7 +63,7 @@ object Queries {
   /** name -> (query, Some(oracle sql) | None for rows-only-checked ops) */
   val all: Map[String, (Q, Option[String])] = Map(
     "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql))
-  ) ++ RefQueries.all ++ TpchQueries.all ++
+  ) ++ RefQueries.all ++ TpchQueries.all ++ EventQueries.all ++
     graft.text.TextQueries.all ++ graft.text.DedupQueries.all ++
     graft.vector.SimilarityQueries.all
 

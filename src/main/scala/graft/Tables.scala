@@ -39,7 +39,10 @@ object Tables {
     try {
       val df = spark.read.parquet(s"$dir/events.parquet")
       df.schema // force schema resolution while the flag is set
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp_ntz: wall-clock equals the file's naive nanos (session is
+      // UTC), and parquet dumps stay NTZ so oracle engines read them naive
+      // rather than as UTC-adjusted instants.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

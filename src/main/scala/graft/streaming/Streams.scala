@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.model.Schemas
+import graft.operators.Upsert
+
+/** Structured Streaming surface: the reference streams CSV bytes into a
+  * keyed upsert sink (`internal/writer/writer.go:40-129` — transport-level
+  * streaming, no event time); this module supplies both that ingest shape
+  * and the event-time operators the reference lacks (SURVEY.md §2
+  * "Streaming": watermarks, windowed aggs, stateful sessionization).
+  *
+  * Scale: state is partitioned by the grouping key across executors;
+  * watermarks bound state size. `foreachBatch` gives the micro-batch
+  * boundary the reference's 12 000-row chunks approximated, with Spark
+  * managing backpressure instead of a hand-rolled bounded channel.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of [[graft.EventQueries.tumbling]] (same transform, plus the
+    * watermark that lets the state store evict closed windows).
+    */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "10 minutes",
+                     windowLen: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** One event on the wire. */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** A closed (or force-flushed) session. */
+  final case class Session(user_id: Long, sess_start: Timestamp,
+                           sess_end: Timestamp, n_events: Long)
+
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Stateful sessionization with an inactivity gap, via
+    * flatMapGroupsWithState: per-user state holds the open session;
+    * events extend it or close it and open the next. Emits closed
+    * sessions; processing-time timeout flushes idle users' state.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutDuration(gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** The reference's flagship path as a stream: watch a directory for CSV
+    * files, dedup each micro-batch per key (last-wins), and append to a
+    * parquet "table" — `foreachBatch` is where a JDBC upsert sink
+    * ([[graft.sinks.JdbcUpsertSink]]) would slot in against a real DB.
+    */
+  def csvIngestStream(spark: SparkSession, inDir: String, outDir: String,
+                      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(Schemas.locations)
+      .option("header", "true")
+      .csv(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Upsert.lastWins(batch, Seq("locid"), lit(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+}
