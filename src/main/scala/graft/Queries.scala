@@ -61,8 +61,13 @@ object Queries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** name -> (query, Some(oracle sql) | None for rows-only-checked ops) */
+  /** Rows-only checked (decode stub is JVM code, not SQL-expressible). */
+  val multimodalPipeline: Q =
+    (s, _) => graft.multimodal.Multimodal.pipelineSummary(s, 200)
+
   val all: Map[String, (Q, Option[String])] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql))
+    "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
+    "multimodal_pipeline" -> (multimodalPipeline, None)
   ) ++ RefQueries.all ++ TpchQueries.all ++ EventQueries.all ++
     graft.text.TextQueries.all ++ graft.text.DedupQueries.all ++
     graft.vector.SimilarityQueries.all

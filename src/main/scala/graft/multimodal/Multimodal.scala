@@ -1,0 +1,159 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media as opaque `binary` columns with typed metadata, and
+  * decode / resize / feature-extract / frame-sample as per-partition
+  * iterator transforms.
+  *
+  * The Spark-side shape is the real thing — schema, encoders, lazy
+  * iterator-to-iterator mapPartitions (no per-partition materialization,
+  * so executor memory is bounded by one element, not one partition), and
+  * partition-count-independent results. Only [[Codecs.decodeImage]] is a
+  * STUB: real image/audio codecs are not in this environment, so it
+  * produces a deterministic fake raster from the bytes. In a PySpark
+  * deployment the same stage is `mapInPandas` batches hitting a codec
+  * library; swapping the stub does not change any plumbing here.
+  */
+object Multimodal {
+
+  /** A media object: opaque payload + typed metadata. `kind` selects the
+    * decode path (image | audio | video).
+    */
+  final case class MediaFile(media_id: Long, kind: String, data: Array[Byte],
+                             width: Int, height: Int, n_frames: Int)
+
+  /** Per-media extracted features. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 mean_intensity: Double, histogram: Array[Long],
+                                 embedding: Array[Float])
+
+  /** One sampled video frame (payload slice + its index). */
+  final case class Frame(media_id: Long, frame_idx: Int, data: Array[Byte])
+
+  object Codecs {
+
+    /** STUB decode — deterministic fake raster: pixel(i) = payload byte
+      * i mod len. A real deployment replaces this body with an actual
+      * image codec; signature and callers stay unchanged.
+      */
+    def decodeImage(data: Array[Byte], width: Int, height: Int): Array[Int] = {
+      val px = new Array[Int](width * height)
+      var i = 0
+      while (i < px.length) { px(i) = data(i % data.length) & 0xff; i += 1 }
+      px
+    }
+
+    /** Nearest-neighbour resize of a row-major grayscale raster. */
+    def resize(px: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] = {
+      val out = new Array[Int](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          out(y * outW + x) = px(sy * w + (x * w / outW))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** 16-bin intensity histogram. */
+    def histogram(px: Array[Int]): Array[Long] = {
+      val bins = new Array[Long](16)
+      var i = 0
+      while (i < px.length) { bins(px(i) >> 4) += 1; i += 1 }
+      bins
+    }
+
+    /** Tiny 8-dim feature embedding: mean, variance proxy, and 6
+      * normalized histogram moments — deterministic real arithmetic.
+      */
+    def embed(px: Array[Int], hist: Array[Long]): Array[Float] = {
+      val n = px.length.toDouble
+      val mean = px.sum / n
+      val varr = px.map(p => (p - mean) * (p - mean)).sum / n
+      val h6 = (0 until 6).map(i => (hist(i * 2) + hist(i * 2 + 1)) / n)
+      (Seq(mean / 255.0, math.sqrt(varr) / 255.0) ++ h6).map(_.toFloat).toArray
+    }
+  }
+
+  /** Deterministic synthetic media corpus (no media files ship with the
+    * test data): payload bytes from a per-id LCG, dimensions from the id.
+    * `spark.range` is a parallel, splittable source — corpus generation
+    * scales like any other scan.
+    */
+  def syntheticCorpus(spark: SparkSession, n: Long): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      var s = id * 6364136223846793005L + 1442695040888963407L
+      val len = 256 + (id % 512).toInt
+      val data = new Array[Byte](len)
+      var i = 0
+      while (i < len) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        data(i) = (s >>> 56).toByte
+        i += 1
+      }
+      MediaFile(id, kind, data, 32 + (id % 32).toInt, 32 + (id % 16).toInt,
+        if (kind == "video") 8 + (id % 8).toInt else 1)
+    }
+  }
+
+  /** decode → resize(16×16) → histogram → embed, one pass per partition.
+    * Lazy iterator chain: constant memory per task regardless of
+    * partition size — the property that matters when a partition holds
+    * thousands of images at 100 TB.
+    */
+  def featurize(ds: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val px = Codecs.decodeImage(m.data, m.width, m.height)
+        val small = Codecs.resize(px, m.width, m.height, 16, 16)
+        val hist = Codecs.histogram(small)
+        MediaFeatures(m.media_id, m.kind, m.data.length,
+          small.sum / 256.0, hist, Codecs.embed(small, hist))
+      }
+    }
+  }
+
+  /** Uniform-stride frame sampling for video rows: the payload is split
+    * into n_frames equal slices and every `stride`-th slice is emitted.
+    * flatMap keeps the iterator lazy; non-video rows produce nothing.
+    */
+  def sampleFrames(ds: Dataset[MediaFile], stride: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      if (m.kind != "video" || m.n_frames <= 0) Iterator.empty
+      else {
+        val frameLen = math.max(1, m.data.length / m.n_frames)
+        Iterator.range(0, m.n_frames, stride).map { f =>
+          val from = f * frameLen
+          Frame(m.media_id, f,
+            m.data.slice(from, math.min(from + frameLen, m.data.length)))
+        }
+      }
+    }
+  }
+
+  /** The query-surface entry: synthetic corpus → features, projected to
+    * stable scalar columns (rows-only checked — the decode stub is JVM
+    * code, not SQL-expressible).
+    */
+  def pipelineSummary(spark: SparkSession, n: Long): Dataset[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    featurize(syntheticCorpus(spark, n))
+      .select($"media_id", $"kind", $"n_bytes",
+        round($"mean_intensity", 6).as("mean_intensity"),
+        $"histogram", $"embedding")
+      .orderBy($"media_id")
+  }
+}
