@@ -18,7 +18,9 @@ import NearDup._
 object DedupQueries {
   import Queries.Q
 
-  private val K = 8 // minhash permutations = LSH bands (r = 1)
+  private val K = 8     // minhash permutations
+  private val Bands = 4 // LSH bands of r = 2 hashes each (AND-amplified)
+  private val R = 2
 
   /** MinHash + LSH near-dup pairs: originals vs copies with the last 5
     * words dropped; recovered pairs verified by exact shingle Jaccard.
@@ -36,8 +38,10 @@ object DedupQueries {
           slice($"toks", lit(1), size($"toks") - 5).as("toks")))).as("r"))
       .select($"r.doc_id", $"r.toks")
     val shingled = corpus.select($"doc_id", wordShingles($"toks", 3).as("sh"))
-    val sig = shingled.select($"doc_id", minhashes($"sh", K).as("mh"))
-    lshCandidates(sig, "doc_id", "mh")
+    // posexplode forces ONE evaluation of the 8-hash signature per doc;
+    // band keys are then rebuilt from the cheap exploded rows
+    val sigRows = shingled.select($"doc_id", posexplode(minhashes($"sh", K)))
+    lshCandidates(bandRows(sigRows, "doc_id", R), "doc_id")
       .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
       .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
       .select($"doc_a", $"doc_b", jaccard($"sh_a", $"sh_b").as("jaccard"))
@@ -57,13 +61,15 @@ object DedupQueries {
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
        |  FROM corpus),
-       |sig AS (
+       |sig0 AS (
        |  SELECT doc_id, list_transform(range(0, $K),
-       |    i -> list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS mh
+       |    i -> list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS mh0
        |  FROM shingled),
+       |sig AS (
+       |  SELECT doc_id, ${sqlBandedKeys("mh0", Bands, R)} AS mh FROM sig0),
        |bands AS (
        |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
-       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $K),
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
        |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

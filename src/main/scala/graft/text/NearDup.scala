@@ -55,18 +55,43 @@ object NearDup {
   def containment(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(a).cast("double")
 
-  /** LSH candidate pairs: explode each doc's k minhashes into (band,
-    * value) keys; docs sharing any key are candidates. One shuffle on the
-    * band key; the output is the candidate edge list (doc_a < doc_b).
+  /** DuckDB-side banded LSH keys: concatenate `r` consecutive minhashes
+    * per band (AND-amplification). With r=1 the per-band collision
+    * probability is the Jaccard itself — on corpora where random pairs
+    * share tokens that floods the candidate join quadratically; r=2
+    * squares it (J=0.9 → 0.81/band, J=0.05 → 0.0025) and keeps recall
+    * via multiple bands. The Spark side builds the same keys with
+    * [[bandRows]].
     */
-  def lshCandidates(sig: DataFrame, idCol: String, mhCol: String): DataFrame = {
-    val bands = sig.select(col(idCol), posexplode(col(mhCol)))
-      .toDF(idCol, "band", "mh")
+  def sqlBandedKeys(mh: String, bands: Int, r: Int): String = {
+    val parts = (0 until r).map(j => s"$mh[bi * $r + ${j + 1}]")
+      .mkString(" || '|' || ")
+    s"list_transform(range(0, $bands), bi -> $parts)"
+  }
+
+  /** Banded LSH key rows from an exploded (id, hashIdx, hash) signature:
+    * group `r` consecutive hashes into one band key. Building keys AFTER
+    * a posexplode guarantees the (expensive) minhash transform evaluates
+    * once per document — `element_at` over the signature array inside a
+    * lambda would let projection collapsing re-inline and re-evaluate it
+    * per band (measured 3× on the bench).
+    */
+  def bandRows(sigRows: DataFrame, idCol: String, r: Int): DataFrame =
+    sigRows.toDF(idCol, "i", "h")
+      .groupBy(col(idCol), floor(col("i") / r).cast("int").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("h")))),
+          s => s.getField("h")), "|").as("mh"))
+
+  /** LSH candidate pairs from (id, band, mh) key rows: docs sharing any
+    * key are candidates. One shuffle on the band key; the output is the
+    * candidate edge list (doc_a < doc_b).
+    */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
     bands.alias("a").join(bands.alias("b"), Seq("band", "mh"))
       .where(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-  }
 
   // ----------------------------------------------------------- simhash
 

@@ -102,10 +102,21 @@ object SimilarityQueries {
               .otherwise(x.cast("double"))).as("v")))).as("r"))
       .select($"r.vec_id", $"r.v")
       .withColumn("bucket", signBucket($"v", H))
+      // norms once per vector, not once per pair: fast double norm for
+      // the prefilter, exact decimal norm for the checked cosine
+      .withColumn("fn", sqrt(aggregate(
+        zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (acc, p) => acc + p)))
+      .withColumn("xn", normExact($"v"))
+    // double-cosine prefilter kills ~all non-dup bucket pairs cheaply; the
+    // exact decimal cosine then decides the real threshold, so the output
+    // set is identical to filtering on the exact value alone
+    val fastDot = aggregate(
+      zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
     corpus.alias("a").join(corpus.alias("b"), "bucket")
       .where($"a.vec_id" < $"b.vec_id")
+      .filter(fastDot / ($"a.fn" * $"b.fn") >= 0.9)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        cosine($"a.v", $"b.v").as("cosine"))
+        (dotExact($"a.v", $"b.v") / ($"a.xn" * $"b.xn")).as("cosine"))
       .filter($"cosine" >= 0.98)
       .withColumn("cosine", round($"cosine", 9))
       .orderBy($"vec_a", $"vec_b")
@@ -134,25 +145,31 @@ object SimilarityQueries {
   val ivfAssign: Q = (s, dir) => {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
-    val cells = emb.select($"vec_id", $"label", posexplode($"embedding"))
-      .toDF("vec_id", "label", "pos", "val")
-      .withColumn("val", $"val".cast("double"))
-    val centroids = cells.groupBy($"label".as("c_label"), $"pos")
-      .agg((sum($"val".cast("decimal(30,15)")).cast("double") / count(lit(1)))
-        .as("c"))
-    val dots = cells.select($"vec_id", $"pos", $"val")
-      .join(broadcast(centroids), Seq("pos"))
-      .groupBy($"vec_id", $"c_label")
-      .agg(
-        sum(($"val" * $"c").cast("decimal(30,15)")).cast("double").as("dot"),
-        sum(($"val" * $"val").cast("decimal(30,15)")).cast("double").as("nv"),
-        sum(($"c" * $"c").cast("decimal(30,15)")).cast("double").as("nc"))
-      .select($"vec_id", $"c_label",
-        ($"dot" / (sqrt($"nv") * sqrt($"nc"))).as("cos_c"))
+    // centroid build: one posexplode + keyed partial aggregation
+    val centroids = emb.select($"label", posexplode($"embedding"))
+      .toDF("label", "pos", "val")
+      .groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"val".cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("c"))
+    // reassemble each centroid as an array (k rows — driver-free, tiny)
+    // and broadcast; assignment is then k exact dots per vector in the
+    // scan, instead of shuffling |vectors|·|dims|·k cell rows. Decimal
+    // sums are order-independent, so the per-cell oracle computes the
+    // identical values.
+    val centroidArr = centroids
+      .groupBy($"c_label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        s => s.getField("c")).as("cv"))
+    val scored = emb
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(centroidArr))
+      .select($"vec_id", $"label", $"c_label",
+        (dotExact($"v", $"cv") / (normExact($"v") * normExact($"cv")))
+          .as("cos_c"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"c_label")
-    dots.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
-      .join(emb.select($"vec_id", $"label"), "vec_id")
       .select($"vec_id", $"label", $"c_label".as("nearest_label"),
         round($"cos_c", 9).as("cos_c"))
       .orderBy($"vec_id")
