@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Join shapes Spark has no dedicated operator for — as-of (time-travel)
+  * join and pure range join — plus the remaining grouping surface
+  * (GROUPING SETS, approximate distinct).
+  *
+  * The as-of join follows the composition route (SURVEY.md §2 "custom
+  * operators" preference (a)): tag both sides, union, and carry the most
+  * recent right-side row forward with last(ignoreNulls) over a
+  * (key, time)-ordered window. That is ONE shuffle on the key — the same
+  * cost as the sort-merge join a native as-of operator would need — and
+  * avoids the O(left × right-per-key) blowup of the naive inequality
+  * join. DuckDB's native ASOF JOIN is the oracle.
+  */
+object AdvancedJoins {
+  import Queries.Q
+
+  /** For every purchase event: the user's most recent click at or before
+    * the purchase (classic as-of). Right side is deduped to one click per
+    * (user, instant) so the as-of pick is well-defined in any engine.
+    */
+  val asofPurchaseClick: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val dd = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val clicks = ev.filter($"event_type" === "click")
+      .withColumn("rn", row_number().over(dd)).filter($"rn" === 1)
+      .select($"user_id", $"ts", $"value", lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("double").as("value"),
+        lit(1).as("tag"), $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts",
+        last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when($"tag" === 0, $"value"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"user_id", $"purchase_id", $"ts", $"click_ts", $"click_value")
+      .orderBy($"purchase_id")
+  }
+
+  val asofSql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts, value FROM c0 WHERE rn = 1),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.purchase_id, p.ts,
+      |  c.ts AS click_ts, c.value AS click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Pure range join: orders falling in the first week of each 1996
+    * month. The interval table is constant-size → broadcast nested loop;
+    * the fact side streams through once.
+    */
+  val rangePromoWeeks: Q = (s, dir) => {
+    import s.implicits._
+    val promos = s.range(1).select(explode(sequence(
+        lit("1996-01-01").cast("timestamp"),
+        lit("1996-12-01").cast("timestamp"),
+        expr("INTERVAL 1 MONTH"))).as("promo_start"))
+      .select($"promo_start".cast("timestamp_ntz").as("promo_start"))
+      .withColumn("promo_end", $"promo_start" + expr("INTERVAL 7 DAYS"))
+    Tables(s, dir, "orders")
+      .join(broadcast(promos),
+        $"o_orderdate" >= $"promo_start" && $"o_orderdate" < $"promo_end")
+      .groupBy($"promo_start")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"promo_start")
+  }
+
+  val rangePromoSql: String =
+    s"""WITH promos AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+       |    TIMESTAMP '1996-12-01', INTERVAL 1 MONTH)) AS promo_start)
+       |SELECT promo_start, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM orders JOIN promos
+       |  ON o_orderdate >= promo_start
+       | AND o_orderdate < promo_start + INTERVAL 7 DAY
+       |GROUP BY promo_start ORDER BY promo_start""".stripMargin
+
+  /** GROUPING SETS — the general form rollup/cube specialize; the SQL
+    * text is identical in both engines (issued via spark.sql on a view).
+    */
+  val groupingSets: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(groupingSetsBody("orders_gs"))
+  }
+
+  private def groupingSetsBody(table: String): String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM $table
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+       |  (o_orderstatus, o_orderpriority))
+       |ORDER BY status, priority""".stripMargin
+
+  val groupingSetsSql: String = groupingSetsBody("orders")
+
+  /** Approximate distinct (HyperLogLog++) next to the exact counts it
+    * approximates. Rows-only checked: HLL sketches are
+    * implementation-specific, so no cross-engine oracle — the exact
+    * columns in the same row document the achieved error instead.
+    */
+  val approxDistinct: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem").agg(
+      approx_count_distinct($"l_orderkey").as("approx_orders"),
+      countDistinct($"l_orderkey").as("exact_orders"),
+      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+      countDistinct($"l_partkey").as("exact_parts"))
+  }
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
+    "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
+    "agg_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
+    "agg_approx_distinct" -> (approxDistinct, None)
+  )
+}
