@@ -142,8 +142,30 @@ object TextQueries {
        |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
        |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** Content fingerprint via the native [[graft.functions.RollingHash64]]
+    * Catalyst expression (codegen'd per-row loop, no UDF) + the 64-way
+    * shard bucket a fingerprint-partitioned store would route on.
+    */
+  val rollingFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.RollingHash64.register(s)
+    Tables(s, dir, "documents")
+      .select($"doc_id", normText($"text").as("norm"))
+      .select($"doc_id", expr("rolling_hash64(norm)").as("fp64"))
+      .withColumn("shard", ($"fp64" % 64).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val rollingFingerprintSql: String = {
+    val h = graft.functions.RollingHash64.sql("norm")
+    s"""WITH n AS (SELECT doc_id, ${sqlNormText("text")} AS norm FROM documents)
+       |SELECT doc_id, $h AS fp64, CAST($h % 64 AS INT) AS shard
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
+    "text_rolling_fingerprint" -> (rollingFingerprint, Some(rollingFingerprintSql)),
     "text_quality_score" -> (qualityScore, Some(qualityScoreSql)),
     "text_lang_id" -> (langId, Some(langIdSql)),
     "text_fingerprint_dedup" -> (fingerprintDedup, Some(fingerprintDedupSql))
