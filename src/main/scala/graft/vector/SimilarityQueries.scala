@@ -198,8 +198,35 @@ object SimilarityQueries {
       |FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
       |WHERE rn = 1 ORDER BY b.vec_id""".stripMargin
 
+  /** Same result as [[knnBrute]], computed with the typed single-pass
+    * [[graft.operators.TopKByScore]] aggregator instead of a window rank:
+    * only k rows per group survive each stage (map-side partials bound
+    * the shuffle), which is the formulation that scales to groups with
+    * millions of candidates. Checked against the SAME oracle as the
+    * window version — proving the two formulations agree.
+    */
+  val knnTopkAgg: Q = (s, dir) => {
+    import s.implicits._
+    import graft.operators.{ScoredId, TopKByScore}
+    val emb = Tables(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("score"))
+      .as[ScoredId]
+    scored.groupByKey(_.q_id)
+      .agg(new TopKByScore(10).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select($"q_id", posexplode(arrays_zip($"top.ids", $"top.scores")))
+      .select($"q_id", $"col.ids".as("vec_id"),
+        round($"col.scores", 9).as("cosine"), ($"pos" + 1).as("rank"))
+      .orderBy($"q_id", $"rank")
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
+    "sim_knn_topk_agg" -> (knnTopkAgg, Some(knnBruteSql)),
     "sim_ann_lsh" -> (annLsh, Some(annLshSql)),
     "sim_cosine_neardup" -> (cosineNearDup, Some(cosineNearDupSql)),
     "sim_ivf_assign" -> (ivfAssign, Some(ivfAssignSql))

@@ -14,6 +14,8 @@ object SharedSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
     .getOrCreate()
 }
 
