@@ -65,6 +65,16 @@ object Gen {
        |FROM range(1, ${n + 1}) t(i)""".stripMargin
   }
 
+  /** Surrogate UUID primary key (O8 in SURVEY.md §2): the reference lets
+    * Postgres default it per row (`gen_random_uuid()`,
+    * `internal/db/db.go:85`); Spark-side the same surrogate is the
+    * `uuid()` expression. Nondeterministic by nature — MUST stay out of
+    * oracle-checked output (SURVEY.md §7.4); tests assert format and
+    * uniqueness instead.
+    */
+  def withSurrogateId(df: DataFrame): DataFrame =
+    df.withColumn("id", expr("uuid()"))
+
   /** CSV sink with the reference's exact header (`gen_file/main.go:38`).
     * One file per partition — scales the write instead of funneling through
     * a single writer goroutine.
