@@ -69,7 +69,7 @@ object Queries {
     "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
     "multimodal_pipeline" -> (multimodalPipeline, None)
   ) ++ RefQueries.all ++ TpchQueries.all ++ EventQueries.all ++
-    AdvancedJoins.all ++
+    AdvancedJoins.all ++ RelationalExtras.all ++
     graft.text.TextQueries.all ++ graft.text.DedupQueries.all ++
     graft.vector.SimilarityQueries.all
 

@@ -163,8 +163,31 @@ object TextQueries {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus term frequencies: explode tokens, drop stopwords/one-char
+    * tokens, top-20. The canonical explode → partial-agg shape: the
+    * shuffle carries |vocabulary| rows, not |tokens|.
+    */
+  val topTerms: Q = (s, dir) => {
+    import s.implicits._
+    val stop = langStopwords.head._2
+    Tables(s, dir, "documents")
+      .select(explode(tokens($"text")).as("term"))
+      .filter(length($"term") > 1 && !$"term".isin(stop: _*))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term").limit(20)
+  }
+
+  val topTermsSql: String = {
+    val stop = langStopwords.head._2.mkString("('", "', '", "')")
+    s"""WITH t AS (SELECT unnest(${sqlTokens("text")}) AS term FROM documents)
+       |SELECT term, COUNT(*) AS n FROM t
+       |WHERE length(term) > 1 AND term NOT IN $stop
+       |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
+    "text_top_terms" -> (topTerms, Some(topTermsSql)),
     "text_rolling_fingerprint" -> (rollingFingerprint, Some(rollingFingerprintSql)),
     "text_quality_score" -> (qualityScore, Some(qualityScoreSql)),
     "text_lang_id" -> (langId, Some(langIdSql)),
