@@ -91,7 +91,72 @@ object RelationalExtras {
       |  FROM part WHERE p_partkey <= 200)
       |ORDER BY p_partkey, metric""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`), rounded to 6 decimals because the linear
+    * interpolation's last ulp is engine-specific.
+    */
+  val percentiles: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.95D))").as("p"))
+      .select($"o_orderstatus",
+        transform($"p", x => round(x, 6)).as("price_p25_p50_p95"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.95]),
+      |    x -> round(x, 6)) AS price_p25_p50_p95
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Sample stddev and Pearson correlation from exact decimal power sums.
+    * Spark's native stddev/corr stream co-moments, so their low bits
+    * depend on partition order — the closed-form over order-independent
+    * decimal sums is deterministic on any cluster AND engine-portable.
+    */
+  val statsMoments: Q = (s, dir) => {
+    import s.implicits._
+    val n = count(lit(1)).cast("double")
+    val sx = dsum($"o_totalprice")
+    val sxx = dsum($"o_totalprice" * $"o_totalprice")
+    val sy = dsum($"o_custkey".cast("double"))
+    val syy = dsum($"o_custkey".cast("double") * $"o_custkey".cast("double"))
+    val sxy = dsum($"o_totalprice" * $"o_custkey".cast("double"))
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(n.as("n"), sx.as("sx"), sxx.as("sxx"), sy.as("sy"),
+        syy.as("syy"), sxy.as("sxy"))
+      .select($"o_orderstatus",
+        round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0)), 6)
+          .as("stddev_price"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 9)
+          .as("corr_price_cust"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val statsMomentsSql: String = {
+    val sx = sqlDsum("o_totalprice")
+    val sxx = sqlDsum("o_totalprice * o_totalprice")
+    val sy = sqlDsum("CAST(o_custkey AS DOUBLE)")
+    val syy = sqlDsum("CAST(o_custkey AS DOUBLE) * CAST(o_custkey AS DOUBLE)")
+    val sxy = sqlDsum("o_totalprice * CAST(o_custkey AS DOUBLE)")
+    s"""WITH m AS (
+       |  SELECT o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $sx AS sx, $sxx AS sxx, $sy AS sy, $syy AS syy, $sxy AS sxy
+       |  FROM orders GROUP BY o_orderstatus)
+       |SELECT o_orderstatus,
+       |  round(sqrt((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE))), 6) AS stddev_price,
+       |  round((n * sxy - sx * sy) /
+       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_price_cust
+       |FROM m ORDER BY o_orderstatus""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "agg_percentiles" -> (percentiles, Some(percentilesSql)),
+    "agg_stats_moments" -> (statsMoments, Some(statsMomentsSql)),
     "join_skew_salted" -> (skewSalted, Some(skewSaltedSql)),
     "scalar_subquery_above_avg" -> (scalarSubquery, Some(scalarSubquerySql)),
     "agg_value_histogram" -> (valueHistogram, Some(valueHistogramSql)),

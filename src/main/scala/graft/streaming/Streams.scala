@@ -90,6 +90,38 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: watermark-bounded state keyed on event_id.
+    * The watermark is what keeps the dedup state finite — without it
+    * every id ever seen stays resident; with it, ids older than the
+    * watermark are evicted, which at 100 TB/day is the difference
+    * between a working pipeline and an OOM.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding `windowSpec`. Watermarks on BOTH
+    * sides + the time-range predicate let the state store discard rows
+    * that can no longer match.
+    */
+  def purchaseClickJoin(events: DataFrame,
+                        windowSpec: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", windowSpec)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", windowSpec)
+    purchases.join(clicks, expr(
+      s"""p_user = user_id AND
+         |click_ts >= purchase_ts - INTERVAL $windowSpec AND
+         |click_ts <= purchase_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_ts"), col("click_value"))
+  }
+
   /** The reference's flagship path as a stream: watch a directory for CSV
     * files, dedup each micro-batch per key (last-wins), and append to a
     * parquet "table" — `foreachBatch` is where a JDBC upsert sink

@@ -66,6 +66,43 @@ class StreamsSpec extends SparkSpec {
     assert(closed == Seq(Streams.Session(10, ts(1), ts(5), 2)))
   }
 
+  test("dedupStream drops repeated event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(
+      Streams.Event(1, ts(1), 10, "click", 1.0),
+      Streams.Event(1, ts(1), 10, "click", 1.0), // dup id
+      Streams.Event(2, ts(2), 10, "click", 2.0))
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val ids = s.table("dd").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("stream-stream interval join pairs purchases with preceding clicks only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    mem.addData(
+      Streams.Event(1, ts(1), 10, "click", 1.5),   // within window of purchase@05
+      Streams.Event(2, ts(5), 10, "purchase", 9.0),
+      Streams.Event(3, ts(20), 10, "click", 2.5),  // AFTER the purchase: no match
+      Streams.Event(4, ts(3), 11, "click", 3.5))   // other user
+    val q = Streams.purchaseClickJoin(mem.toDF())
+      .writeStream.format("memory").queryName("pcj")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = s.table("pcj")
+      .select($"user_id", $"purchase_id", $"click_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 2L, 1.5)))
+  }
+
   test("csvIngestStream dedups per key within each micro-batch") {
     val s = spark
     import s.implicits._
