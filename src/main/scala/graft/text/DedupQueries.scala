@@ -39,9 +39,13 @@ object DedupQueries {
       .select($"r.doc_id", $"r.toks")
     val shingled = corpus.select($"doc_id", wordShingles($"toks", 3).as("sh"))
     // posexplode forces ONE evaluation of the 8-hash signature per doc;
-    // band keys are then rebuilt from the cheap exploded rows
-    val sigRows = shingled.select($"doc_id", posexplode(minhashes($"sh", K)))
-    lshCandidates(bandRows(sigRows, "doc_id", R), "doc_id")
+    // band keys are then rebuilt from the cheap exploded rows. The band
+    // table is persisted because the candidate self-join reads it twice —
+    // without it each side of the join re-hashes the whole corpus.
+    val bands = bandRows(
+      shingled.select($"doc_id", posexplode(minhashes($"sh", K))),
+      "doc_id", R).persist()
+    lshCandidates(bands, "doc_id")
       .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
       .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
       .select($"doc_a", $"doc_b", jaccard($"sh_a", $"sh_b").as("jaccard"))
