@@ -101,6 +101,29 @@ object RefQueries {
       |  o_orderpriority := o_orderpriority)))), '[]') AS page_json
       |FROM orders WHERE o_orderkey < 10""".stripMargin
 
+  /** The reference's headline workload at its actual scale: generate
+    * 1 000 000 locations (`cmd/gen_file/main.go:14`), write CSV, read it
+    * back through the header-bound ingest, and report structural
+    * invariants. The oracle recomputes them from the generator formula.
+    */
+  val gen1mRoundtrip: Q = (s, _) => {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gen_1m"
+    Gen.writeCsv(Gen.locations(s, 1000000L), tmp)
+    CsvIngest.readLocations(s, tmp).toDF().agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"locid").as("n_keys"),
+      min($"locid").as("first_key"),
+      max($"locid").as("last_key"),
+      countDistinct($"country").as("n_countries"))
+  }
+
+  val gen1mRoundtripSql: String =
+    s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT locid) AS n_keys,
+       |  MIN(locid) AS first_key, MAX(locid) AS last_key,
+       |  COUNT(DISTINCT country) AS n_countries
+       |FROM (${Gen.locationsSql(1000000L)})""".stripMargin
+
   /** O12 — row counters (`internal/writer/writer.go:52,63-64`). */
   val counts: Q = (s, dir) => {
     import s.implicits._
@@ -115,6 +138,7 @@ object RefQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "ref_gen_locations" -> (genLocations, Some(Gen.locationsSql(1000) + " ORDER BY locid")),
     "ref_csv_roundtrip" -> (csvRoundtrip, Some(Gen.locationsSql(500) + " ORDER BY locid")),
+    "ref_gen_1m_roundtrip" -> (gen1mRoundtrip, Some(gen1mRoundtripSql)),
     "ref_ingest_dedup" -> (ingestDedup, Some(ingestDedupSql)),
     "ref_upsert_merge" -> (upsertMerge, Some(upsertMergeSql)),
     "ref_pagination" -> (pagination, Some(paginationSql)),

@@ -107,6 +107,9 @@ object SimilarityQueries {
       .withColumn("fn", sqrt(aggregate(
         zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (acc, p) => acc + p)))
       .withColumn("xn", normExact($"v"))
+      // the self-join reads the corpus twice; persisting avoids paying
+      // the decimal bucket/norm projections once per side
+      .persist()
     // double-cosine prefilter kills ~all non-dup bucket pairs cheaply; the
     // exact decimal cosine then decides the real threshold, so the output
     // set is identical to filtering on the exact value alone
