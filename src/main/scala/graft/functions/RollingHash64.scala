@@ -95,5 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("rolling_hash64"),
         new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
-        (args: Seq[Expression]) => RollingHash64(args.head)))
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "rolling_hash64 takes exactly one argument")
+          RollingHash64(args.head)
+        }))
 }

@@ -41,6 +41,7 @@ object Multimodal {
       */
     def decodeImage(data: Array[Byte], width: Int, height: Int): Array[Int] = {
       val px = new Array[Int](width * height)
+      if (data.isEmpty) return px // empty payload -> black raster, not a crash
       var i = 0
       while (i < px.length) { px(i) = data(i % data.length) & 0xff; i += 1 }
       px

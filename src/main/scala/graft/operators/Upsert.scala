@@ -26,17 +26,23 @@ object Upsert {
   /** Keep exactly one row per key: the one with the highest `seq`
     * (ties broken by `tiebreak` desc to stay total, hence deterministic).
     *
-    * If the caller supplies no tiebreak, every non-key column is appended
-    * as an implicit tiebreak so the window order is total: equal `seq`
-    * values would otherwise let `row_number` pick a partition-order-
-    * dependent (nondeterministic) winner.
+    * If the caller supplies no tiebreak, every ORDERABLE non-key column
+    * is appended as an implicit tiebreak so the window order is total:
+    * equal `seq` values would otherwise let `row_number` pick a
+    * partition-order-dependent (nondeterministic) winner. Unorderable
+    * columns (maps) are skipped — rows identical on seq and every
+    * orderable column remain tied, and which wins is undefined.
     */
   def lastWins(df: DataFrame, keys: Seq[String], seq: Column,
                tiebreak: Seq[Column] = Nil): DataFrame = {
     val keySet = keys.toSet
     val totalOrder =
       if (tiebreak.nonEmpty) tiebreak
-      else df.columns.filterNot(keySet).map(col).toSeq
+      else df.schema.fields
+        .filterNot(f => keySet(f.name))
+        .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+        .map(f => col(f.name)).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((seq.desc +: totalOrder.map(_.desc)): _*)
     df.withColumn("__graft_rn", row_number().over(w))

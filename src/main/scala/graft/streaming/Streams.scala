@@ -94,10 +94,13 @@ object Streams {
     * The watermark is what keeps the dedup state finite — without it
     * every id ever seen stays resident; with it, ids older than the
     * watermark are evicted, which at 100 TB/day is the difference
-    * between a working pipeline and an OOM.
+    * between a working pipeline and an OOM. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates(id)`) is what ties the state to the
+    * watermark — a keys-only dedup would ignore it and grow forever.
     */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks in the preceding `windowSpec`. Watermarks on BOTH
@@ -123,9 +126,16 @@ object Streams {
   }
 
   /** The reference's flagship path as a stream: watch a directory for CSV
-    * files, dedup each micro-batch per key (last-wins), and append to a
-    * parquet "table" — `foreachBatch` is where a JDBC upsert sink
+    * files, dedup each micro-batch per key, and append to a parquet
+    * "table" — `foreachBatch` is where a JDBC upsert sink
     * ([[graft.sinks.JdbcUpsertSink]]) would slot in against a real DB.
+    *
+    * Winner semantics: a CSV batch carries no row-order column, so the
+    * per-key winner is lastWins' deterministic column tiebreak — stable
+    * across retries and partitionings, but NOT "last row in the file"
+    * (the reference's cross-chunk order is nondeterministic anyway,
+    * SURVEY.md §1.4). Feeds with a real sequence column should pass it
+    * instead of the batch id.
     */
   def csvIngestStream(spark: SparkSession, inDir: String, outDir: String,
                       checkpoint: String): StreamingQuery =

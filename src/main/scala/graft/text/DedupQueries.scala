@@ -41,7 +41,9 @@ object DedupQueries {
     // posexplode forces ONE evaluation of the 8-hash signature per doc;
     // band keys are then rebuilt from the cheap exploded rows. The band
     // table is persisted because the candidate self-join reads it twice —
-    // without it each side of the join re-hashes the whole corpus.
+    // without it each side of the join re-hashes the whole corpus. The
+    // cache is O(docs × bands) short strings and lives until session end
+    // (LRU-evictable); callers looping many corpora should unpersist.
     val bands = bandRows(
       shingled.select($"doc_id", posexplode(minhashes($"sh", K))),
       "doc_id", R).persist()

@@ -40,11 +40,20 @@ object TextAnalysis {
   def sqlNBpeTokens(e: String): String =
     s"CAST(len(regexp_extract_all($e, '$bpePattern')) AS INT)"
 
-  /** Occurrences of any of `words` as whole words (case-insensitive). */
-  def wordHits(c: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(c), lit(words.mkString("\\b(?:", "|", ")\\b")), lit(0)))
-  def sqlWordHits(e: String, words: Seq[String]): String =
-    s"CAST(len(regexp_extract_all(lower($e), '${words.mkString("\\b(?:", "|", ")\\b")}')) AS INT)"
+  /** Occurrences of any of `words` as whole tokens (case-insensitive via
+    * normalization). Token membership, not regex `\b`: Java regex and
+    * DuckDB's RE2 disagree on word boundaries around non-ASCII (CJK)
+    * characters, while token equality is engine-exact for any script the
+    * whitespace tokenizer can split.
+    */
+  def wordHits(c: Column, words: Seq[String]): Column = {
+    val set = words.map(_.toLowerCase)
+    size(filter(tokens(c), t => t.isin(set: _*)))
+  }
+  def sqlWordHits(e: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'${w.toLowerCase}'").mkString("(", ", ", ")")
+    s"CAST(len(list_filter(${sqlTokens(e)}, t -> t IN $set)) AS INT)"
+  }
 
   /** Tiny per-language stopword inventories for the n-gram-free heuristic
     * language ID. Ordered map: argmax ties resolve in this fixed order.

@@ -51,5 +51,7 @@ class MultimodalSpec extends SparkSpec {
     assert(px.length == 16 && px.forall(p => p >= 0 && p <= 255))
     val r = Codecs.resize(px, 4, 4, 2, 2)
     assert(r(0) == px(0)) // nearest-neighbour keeps origin
+    val empty = Codecs.decodeImage(Array.empty[Byte], 4, 4)
+    assert(empty.length == 16 && empty.forall(_ == 0)) // no mod-by-zero
   }
 }
