@@ -154,7 +154,72 @@ object RelationalExtras {
        |FROM m ORDER BY o_orderstatus""".stripMargin
   }
 
+  /** CUBE — all 2^n grouping combinations (rollup's superset). */
+  val aggCube: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  val aggCubeSql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** Bag-semantics set ops (intersectAll / exceptAll keep multiplicity —
+    * needed when the inputs are multisets, e.g. per-order status rows).
+    */
+  val setOpsAll: Q = (s, dir) => {
+    import s.implicits._
+    val byStatus = Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 200).select($"o_custkey", $"o_orderstatus")
+    val f = byStatus.filter($"o_orderstatus" =!= "O")
+    val p = byStatus.filter($"o_orderstatus" =!= "F")
+    f.intersectAll(p).withColumn("tag", lit("both"))
+      .unionByName(f.exceptAll(p).withColumn("tag", lit("f_only")))
+      .groupBy($"tag", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"tag", $"o_orderstatus")
+  }
+
+  val setOpsAllSql: String =
+    """WITH s AS (SELECT o_custkey, o_orderstatus FROM orders WHERE o_custkey <= 200),
+      |f AS (SELECT * FROM s WHERE o_orderstatus <> 'O'),
+      |p AS (SELECT * FROM s WHERE o_orderstatus <> 'F'),
+      |u AS (
+      |  SELECT *, 'both' AS tag FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM p)
+      |  UNION ALL
+      |  SELECT *, 'f_only' FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM p))
+      |SELECT tag, o_orderstatus, COUNT(*) AS n FROM u
+      |GROUP BY tag, o_orderstatus ORDER BY tag, o_orderstatus""".stripMargin
+
+  /** Sorted collect_set — deterministic set aggregation to an array. */
+  val collectSet: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"),
+        countDistinct($"o_orderpriority").as("n_priorities"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val collectSetSql: String =
+    """SELECT o_orderstatus,
+      |  list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "agg_cube_status_priority" -> (aggCube, Some(aggCubeSql)),
+    "set_ops_all_multiset" -> (setOpsAll, Some(setOpsAllSql)),
+    "agg_collect_set_sorted" -> (collectSet, Some(collectSetSql)),
     "agg_percentiles" -> (percentiles, Some(percentilesSql)),
     "agg_stats_moments" -> (statsMoments, Some(statsMomentsSql)),
     "join_skew_salted" -> (skewSalted, Some(skewSaltedSql)),
