@@ -90,6 +90,52 @@ object Streams {
       }
   }
 
+  /** Event-time sessionization: like [[sessionize]], but sessions close
+    * when the WATERMARK passes their gap deadline rather than on a
+    * wall-clock timer — late data within the watermark still extends the
+    * right session, and replaying history yields identical sessions
+    * (processing-time timeouts would differ run to run).
+    */
+  def sessionizeEventTime(events: Dataset[Event],
+                          gapMs: Long = 30L * 60 * 1000,
+                          watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event time (the watermark) passes the gap
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: watermark-bounded state keyed on event_id.
     * The watermark is what keeps the dedup state finite — without it
     * every id ever seen stays resident; with it, ids older than the

@@ -66,6 +66,33 @@ class StreamsSpec extends SparkSpec {
     assert(closed == Seq(Streams.Session(10, ts(1), ts(5), 2)))
   }
 
+  test("event-time sessionization closes sessions when the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeEventTime(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_et")
+      .outputMode("append").start()
+    try {
+      // batch 1: one open session for user 10 (events at 00:01, 00:05)
+      mem.addData(
+        Streams.Event(1, ts(1), 10, "click", 1.0),
+        Streams.Event(2, ts(5), 10, "click", 1.0))
+      q.processAllAvailable()
+      assert(s.table("sess_et").count() == 0) // still open
+      // batch 2: an event 2h later advances the watermark (1:50) far past
+      // the session's deadline (00:05 + 30min) -> session times out
+      mem.addData(Streams.Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      // timeouts fire as of the NEXT batch's watermark evaluation
+      mem.addData(Streams.Event(4, Timestamp.valueOf("2024-01-01 02:01:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      val closed = s.table("sess_et").as[Streams.Session].collect().toSeq
+      assert(closed.contains(Streams.Session(10, ts(1), ts(5), 2)), closed.toString)
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated event ids within the watermark") {
     val s = spark
     import s.implicits._
