@@ -116,6 +116,71 @@ object DedupQueries {
        |FROM sig ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup PAIR recovery (NOT registered as a gated query):
+    * on this synthetic corpus the shared ~30-word vocabulary makes
+    * unrelated documents' majority-vote signatures nearly collide — at
+    * sf0.1 the 16-bit band buckets go quadratic (measured 3.8M pairs /
+    * 350 s), which is SimHash's documented failure mode on low-diversity
+    * corpora, not an implementation bug. MinHash+LSH (r=2 banding,
+    * `dedup_minhash_lsh`) is the banded pair join that stays selective
+    * here; SimHash signatures/bands (`dedup_simhash_sig`) remain gated.
+    * Kept as API + unit-tested building blocks for corpora with real
+    * signature spread.
+    */
+  val simhashPairs: Q = (s, dir) => {
+    import s.implicits._
+    val corpus = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select(explode(array(
+        struct($"doc_id", array_join($"toks", " ").as("norm")),
+        struct(($"doc_id" + 10000).as("doc_id"),
+          concat(array_join(slice($"toks", lit(1), size($"toks") - 1), " "),
+            lit(" zzz")).as("norm")))).as("r"))
+      .select($"r.doc_id", $"r.norm")
+    val sigs = corpus
+      .select($"doc_id", expr(tokenHashesExpr(sparkDialect, "norm")).as("hs"))
+      .select($"doc_id", expr(simhashExpr(sparkDialect, "hs", "size(hs)")).as("simhash"))
+      .persist()
+    val bands = sigs.select($"doc_id", $"simhash",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => $"simhash".substr(b * 16 + 1, lit(16)))))
+      .toDF("doc_id", "simhash", "band", "mh")
+    val hamming = size(filter(sequence(lit(1), lit(64)),
+      i => $"a.simhash".substr(i, lit(1)) =!= $"b.simhash".substr(i, lit(1))))
+    bands.alias("a").join(bands.alias("b"), Seq("band", "mh"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 10)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 2),
+       |corpus AS (
+       |  SELECT doc_id, array_to_string(toks, ' ') AS norm FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000,
+       |    array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') || ' zzz'
+       |  FROM base),
+       |h AS (SELECT doc_id, ${tokenHashesExpr(duckDialect, "norm")} AS hs FROM corpus),
+       |sigs AS (SELECT doc_id, ${simhashExpr(duckDialect, "hs", "len(hs)")} AS simhash FROM h),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band, substr(simhash, b * 16 + 1, 16) AS mh
+       |  FROM sigs CROSS JOIN range(0, 4) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(range(1, 65),
+       |      i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS INT) AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Character-5-gram Jaccard + containment between each document and a
     * suffix-extended copy: containment of the original in the copy is
     * exactly 1.0, Jaccard strictly below — the asymmetric/symmetric
