@@ -114,7 +114,46 @@ object EventQueries {
       |  CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Z-score anomaly flagging: events whose value deviates > 3σ from
+    * their type's mean, with mean/σ from exact decimal power sums (the
+    * only partition-order-stable formulation — see
+    * RelationalExtras.statsMoments) broadcast back over the stream.
+    */
+  val zscoreAnomalies: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val stats = ev.groupBy($"event_type".as("t"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum($"value").as("sx"),
+        dsum($"value" * $"value").as("sxx"))
+      .select($"t", ($"sx" / $"n").as("mean"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0)).as("sd"))
+    ev.join(broadcast(stats), $"event_type" === $"t")
+      .withColumn("z", ($"value" - $"mean") / $"sd")
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"value", round($"z", 9).as("z"))
+      .orderBy($"event_id")
+  }
+
+  val zscoreSql: String = {
+    val sx = sqlDsum("value")
+    val sxx = sqlDsum("value * value")
+    s"""WITH stats AS (
+       |  SELECT event_type AS t, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $sx AS sx, $sxx AS sxx
+       |  FROM events GROUP BY event_type),
+       |st AS (SELECT t, sx / n AS mean,
+       |         sqrt((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE))) AS sd
+       |       FROM stats)
+       |SELECT event_id, event_type, value,
+       |  round((value - mean) / sd, 9) AS z
+       |FROM events JOIN st ON event_type = t
+       |WHERE abs((value - mean) / sd) > 3.0
+       |ORDER BY event_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_zscore_anomalies" -> (zscoreAnomalies, Some(zscoreSql)),
     "events_tumbling_10m" -> (tumbling, Some(tumblingSql)),
     "events_sliding_10m5m" -> (sliding, Some(slidingSql)),
     "events_sessions_30m" -> (sessions, Some(sessionsSql)),

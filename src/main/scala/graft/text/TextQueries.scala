@@ -185,8 +185,58 @@ object TextQueries {
        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
   }
 
+  /** TF-IDF: term frequency × smoothed inverse document frequency, top-3
+    * terms per document (doc_id < 50). Integer counts feed one ln() and a
+    * few double ops in fixed order; output rounds to 9 to absorb libm
+    * last-ulp differences. Ranking uses the unrounded score with a term
+    * tiebreak.
+    */
+  val tfidfTop: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val terms = docs.select($"doc_id", explode(array_distinct(tokens($"text"))).as("term"))
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(df, "term").crossJoin(broadcast(total))
+      .filter($"doc_id" < 50)
+      .withColumn("score",
+        $"tf".cast("double") *
+          log(($"n_docs".cast("double") + 1.0) / ($"df".cast("double") + 1.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", round($"score", 9).as("tfidf"), $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val tfidfTopSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       |  GROUP BY doc_id, term),
+       |df AS (
+       |  SELECT term, COUNT(*) AS df
+       |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+       |  GROUP BY term),
+       |total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf AS DOUBLE) * ln((n_docs + CAST(1.0 AS DOUBLE)) /
+       |      (CAST(df AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN total
+       |  WHERE doc_id < 50),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
+       |SELECT doc_id, term, tf, df, round(score, 9) AS tfidf, rk
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
+    "text_tfidf_top" -> (tfidfTop, Some(tfidfTopSql)),
     "text_top_terms" -> (topTerms, Some(topTermsSql)),
     "text_rolling_fingerprint" -> (rollingFingerprint, Some(rollingFingerprintSql)),
     "text_quality_score" -> (qualityScore, Some(qualityScoreSql)),
