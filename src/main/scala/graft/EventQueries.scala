@@ -128,7 +128,10 @@ object EventQueries {
         dsum($"value" * $"value").as("sxx"))
       .select($"t", ($"sx" / $"n").as("mean"),
         sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0)).as("sd"))
-    ev.join(broadcast(stats), $"event_type" === $"t")
+    // sd > 0 guard mirrored in the oracle: Spark's non-ANSI x/0 yields
+    // NULL while DuckDB yields IEEE nan/inf — excluding degenerate groups
+    // identically keeps the engines agreeing
+    ev.join(broadcast(stats.filter($"sd" > 0.0)), $"event_type" === $"t")
       .withColumn("z", ($"value" - $"mean") / $"sd")
       .filter(abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"value", round($"z", 9).as("z"))
@@ -142,9 +145,10 @@ object EventQueries {
        |  SELECT event_type AS t, CAST(COUNT(*) AS DOUBLE) AS n,
        |    $sx AS sx, $sxx AS sxx
        |  FROM events GROUP BY event_type),
-       |st AS (SELECT t, sx / n AS mean,
-       |         sqrt((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE))) AS sd
-       |       FROM stats)
+       |st AS (SELECT * FROM (
+       |         SELECT t, sx / n AS mean,
+       |           sqrt((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE))) AS sd
+       |         FROM stats) WHERE sd > 0.0)
        |SELECT event_id, event_type, value,
        |  round((value - mean) / sd, 9) AS z
        |FROM events JOIN st ON event_type = t

@@ -106,9 +106,12 @@ object RefQueries {
     * back through the header-bound ingest, and report structural
     * invariants. The oracle recomputes them from the generator formula.
     */
-  val gen1mRoundtrip: Q = (s, _) => {
+  val gen1mRoundtrip: Q = (s, dir) => {
     import s.implicits._
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gen_1m"
+    // path suffixed per sf dir: concurrent Verify/Bench runs (different
+    // SFs) must not overwrite each other's CSV mid-read
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gen_1m_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     Gen.writeCsv(Gen.locations(s, 1000000L), tmp)
     CsvIngest.readLocations(s, tmp).toDF().agg(
       count(lit(1)).as("n_rows"),

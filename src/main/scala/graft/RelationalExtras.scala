@@ -131,8 +131,12 @@ object RelationalExtras {
       .select($"o_orderstatus",
         round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1.0)), 6)
           .as("stddev_price"),
-        round(($"n" * $"sxy" - $"sx" * $"sy") /
-          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 9)
+        // denominator guard mirrored in the oracle: on a constant or
+        // single-row group Spark's x/0 is NULL but DuckDB's is IEEE nan
+        round(when(($"n" * $"sxx" - $"sx" * $"sx") > 0.0 &&
+            ($"n" * $"syy" - $"sy" * $"sy") > 0.0,
+          ($"n" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))), 9)
           .as("corr_price_cust"))
       .orderBy($"o_orderstatus")
   }
@@ -149,8 +153,10 @@ object RelationalExtras {
        |  FROM orders GROUP BY o_orderstatus)
        |SELECT o_orderstatus,
        |  round(sqrt((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE))), 6) AS stddev_price,
-       |  round((n * sxy - sx * sy) /
-       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_price_cust
+       |  round(CASE WHEN (n * sxx - sx * sx) > 0.0 AND (n * syy - sy * sy) > 0.0
+       |    THEN (n * sxy - sx * sy) /
+       |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       |    ELSE NULL END, 9) AS corr_price_cust
        |FROM m ORDER BY o_orderstatus""".stripMargin
   }
 

@@ -28,6 +28,8 @@ object Salt {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFrom: Column, salts: Int): DataFrame = {
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin: inputs must not already carry a __salt column")
     val salted = big.withColumn("__salt", pmod(hash(saltFrom), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

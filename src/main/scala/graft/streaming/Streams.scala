@@ -71,7 +71,11 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // min/max on both bounds: a late within-watermark event
+                  // may precede the stored start, and replay must yield
+                  // the same session whether it arrived early or late
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -118,7 +122,11 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // min/max on both bounds: a late within-watermark event
+                  // may precede the stored start, and replay must yield
+                  // the same session whether it arrived early or late
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))

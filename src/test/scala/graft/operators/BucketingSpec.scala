@@ -36,16 +36,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
-  test("join of co-bucketed tables plans without any exchange") {
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+  private def lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    .select("l_orderkey", "l_quantity")
+    .withColumnRenamed("l_orderkey", "o_orderkey")
+
+  /** Each test provisions its own tables so they run in isolation. */
+  private def writeTables(): Unit = {
     resetTable("b_orders"); resetTable("b_lineitem")
-    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
-      .select("l_orderkey", "l_quantity")
-      .withColumnRenamed("l_orderkey", "o_orderkey")
     Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4)
     Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 4)
+  }
 
+  test("join of co-bucketed tables plans without any exchange") {
+    writeTables()
     withBucketedScan {
       val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
@@ -57,6 +62,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucket pruning: an equality filter on the bucket key reads one bucket") {
+    if (!spark.catalog.tableExists("b_orders")) writeTables()
     withBucketedScan {
       val joined = spark.table("b_orders").filter($"o_orderkey" === 7)
       // selected bucket count appears in the scan description

@@ -93,6 +93,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a late event earlier than the open session's start extends it backward") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeEventTime(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.Event(1, ts(10), 10, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(2, ts(5), 10, "click", 1.0)) // late, earlier
+      q.processAllAvailable()
+      // advance the watermark far past the session deadline, then one
+      // more batch so the event-time timeout fires
+      mem.addData(Streams.Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(4, Timestamp.valueOf("2024-01-01 02:01:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      val closed = s.table("sess_late").as[Streams.Session].collect().toSeq
+      assert(closed.contains(Streams.Session(10, ts(5), ts(10), 2)), closed.toString)
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated event ids within the watermark") {
     val s = spark
     import s.implicits._
