@@ -222,7 +222,54 @@ object RelationalExtras {
       |  COUNT(DISTINCT o_orderpriority) AS n_priorities
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** ntile + first/last_value over an explicit frame — the remaining
+    * ranking/navigation window functions.
+    */
+  val windowNtile: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 100)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        first($"o_orderkey").over(wf).as("cheapest_key"),
+        last($"o_orderkey").over(wf).as("priciest_key"))
+      .orderBy($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+  }
+
+  val windowNtileSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  first_value(o_orderkey) OVER wf AS cheapest_key,
+      |  last_value(o_orderkey) OVER wf AS priciest_key
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
+
+  /** Edit distance (identical integer DP in both engines). */
+  val editDistance: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .select($"p_partkey", $"p_brand",
+        levenshtein($"p_brand", lit("Brand#10")).as("dist_to_b10"),
+        levenshtein($"p_name", $"p_brand").as("name_brand_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  val editDistanceSql: String =
+    """SELECT p_partkey, p_brand,
+      |  CAST(levenshtein(p_brand, 'Brand#10') AS INT) AS dist_to_b10,
+      |  CAST(levenshtein(p_name, p_brand) AS INT) AS name_brand_dist
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "window_ntile_frames" -> (windowNtile, Some(windowNtileSql)),
+    "str_edit_distance" -> (editDistance, Some(editDistanceSql)),
     "agg_cube_status_priority" -> (aggCube, Some(aggCubeSql)),
     "set_ops_all_multiset" -> (setOpsAll, Some(setOpsAllSql)),
     "agg_collect_set_sorted" -> (collectSet, Some(collectSetSql)),
