@@ -227,7 +227,40 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Array higher-order-function surface over the embedding column:
+    * filter / exists / forall / element extremes — the per-row array
+    * algebra a feature-store pipeline leans on, all codegen-planned with
+    * no explode.
+    */
+  val arrayStats: Q = (s, dir) => {
+    import s.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        size(filter(v, x => x > 0.1)).as("n_above"),
+        exists(v, x => x > 0.5).cast("int").as("has_large"),
+        forall(v, x => abs(x) < 1.0).cast("int").as("all_bounded"),
+        round(array_max(v), 9).as("max_val"),
+        round(array_min(v), 9).as("min_val"),
+        round(element_at(v, 1), 9).as("first_dim"))
+      .orderBy($"vec_id")
+  }
+
+  val arrayStatsSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(list_filter(v, x -> x > 0.1)) AS INT) AS n_above,
+      |  CAST(len(list_filter(v, x -> x > 0.5)) > 0 AS INT) AS has_large,
+      |  CAST(len(list_filter(v, x -> abs(x) >= 1.0)) = 0 AS INT) AS all_bounded,
+      |  round(list_max(v), 9) AS max_val,
+      |  round(list_min(v), 9) AS min_val,
+      |  round(v[1], 9) AS first_dim
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
     "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
     "sim_knn_topk_agg" -> (knnTopkAgg, Some(knnBruteSql)),
     "sim_ann_lsh" -> (annLsh, Some(annLshSql)),

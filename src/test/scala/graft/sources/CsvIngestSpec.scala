@@ -53,4 +53,41 @@ class CsvIngestSpec extends SparkSpec {
     val path = writeCsv("LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS")
     assert(CsvIngest.readLocations(spark, path).count() === 0)
   }
+
+  test("ragged row aborts the import (FAILFAST, like the reference's csv.Reader)") {
+    val path = writeCsv(
+      "LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS",
+      "LOC1,UTC,USA,Springfield_1,TechCorp_1",
+      "LOC2,UTC,USA") // wrong field count
+    intercept[org.apache.spark.SparkException] {
+      CsvIngest.readLocations(spark, path).collect()
+    }
+  }
+
+  test("duplicate keys across files: re-import is idempotent and updates win") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // file 1 then file 2 share LOC1; seq models file order
+    val f1 = writeCsv(
+      "LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS",
+      "LOC1,UTC,USA,Old_1,OldCorp",
+      "LOC2,UTC,UK,Keep_2,KeepCorp")
+    val f2 = writeCsv(
+      "LOCID,LOCTIMEZONE,COUNTRY,LOCNAME,BUSINESS",
+      "LOC1,CET,DE,New_1,NewCorp")
+    val b1 = CsvIngest.readLocations(spark, f1).toDF().withColumn("seq", lit(1L))
+    val b2 = CsvIngest.readLocations(spark, f2).toDF().withColumn("seq", lit(2L))
+    val merged = graft.operators.Upsert
+      .lastWins(b1.unionByName(b2), Seq("locid"), col("seq"))
+      .drop("seq").as[Location].collect().sortBy(_.locid).toSeq
+    assert(merged === Seq(
+      Location("LOC1", "CET", "DE", "New_1", "NewCorp"), // file-2 update won
+      Location("LOC2", "UTC", "UK", "Keep_2", "KeepCorp")))
+    // idempotent: merging file 2 again changes nothing
+    val again = graft.operators.Upsert
+      .lastWins(merged.toDF().withColumn("seq", lit(2L)).unionByName(b2.withColumn("seq", lit(3L))),
+        Seq("locid"), col("seq"))
+      .drop("seq").as[Location].collect().sortBy(_.locid).toSeq
+    assert(again === merged)
+  }
 }
