@@ -112,23 +112,40 @@ object AdvancedJoins {
   val groupingSetsSql: String = groupingSetsBody("orders")
 
   /** Approximate distinct (HyperLogLog++) next to the exact counts it
-    * approximates. Rows-only checked: HLL sketches are
-    * implementation-specific, so no cross-engine oracle — the exact
-    * columns in the same row document the achieved error instead.
+    * approximates. HLL sketches are implementation-specific, so the
+    * approx values themselves can't cross-engine match — instead the
+    * hash-checked output is the exact counts plus a 5%-error-bound flag
+    * computed against each engine's own sketch. Both engines' HLL
+    * implementations hold well under 5% at these cardinalities, so the
+    * flags are deterministically 1 and the row hash-matches.
     */
   val approxDistinct: Q = (s, dir) => {
     import s.implicits._
     Tables(s, dir, "lineitem").agg(
-      approx_count_distinct($"l_orderkey").as("approx_orders"),
       countDistinct($"l_orderkey").as("exact_orders"),
-      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-      countDistinct($"l_partkey").as("exact_parts"))
+      countDistinct($"l_partkey").as("exact_parts"),
+      (abs(approx_count_distinct($"l_orderkey") - countDistinct($"l_orderkey"))
+        .cast("double") / countDistinct($"l_orderkey") <= 0.05).cast("int")
+        .as("orders_within_5pct"),
+      (abs(approx_count_distinct($"l_partkey", 0.01) - countDistinct($"l_partkey"))
+        .cast("double") / countDistinct($"l_partkey") <= 0.05).cast("int")
+        .as("parts_within_5pct"))
   }
+
+  val approxDistinctSql: String =
+    """SELECT
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(CAST(abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey)) AS DOUBLE)
+      |    / COUNT(DISTINCT l_orderkey) <= 0.05 AS INT) AS orders_within_5pct,
+      |  CAST(CAST(abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey)) AS DOUBLE)
+      |    / COUNT(DISTINCT l_partkey) <= 0.05 AS INT) AS parts_within_5pct
+      |FROM lineitem""".stripMargin
 
   val all: Map[String, (Q, Option[String])] = Map(
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
     "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
     "agg_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
-    "agg_approx_distinct" -> (approxDistinct, None)
+    "agg_approx_distinct" -> (approxDistinct, Some(approxDistinctSql))
   )
 }

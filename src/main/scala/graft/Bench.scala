@@ -24,7 +24,7 @@ object Bench {
         case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      } finally CacheTracker.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -65,13 +65,25 @@ object Queries {
   val multimodalPipeline: Q =
     (s, _) => graft.multimodal.Multimodal.pipelineSummary(s, 200)
 
-  val all: Map[String, (Q, Option[String])] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
-    "multimodal_pipeline" -> (multimodalPipeline, None)
-  ) ++ RefQueries.all ++ TpchQueries.all ++ EventQueries.all ++
-    AdvancedJoins.all ++ RelationalExtras.all ++
-    graft.text.TextQueries.all ++ graft.text.DedupQueries.all ++
-    graft.vector.SimilarityQueries.all
+  val all: Map[String, (Q, Option[String])] = {
+    val modules: Seq[Map[String, (Q, Option[String])]] = Seq(
+      Map(
+        "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
+        "multimodal_pipeline" -> (multimodalPipeline, None)),
+      RefQueries.all, TpchQueries.all, EventQueries.all,
+      AdvancedJoins.all, RelationalExtras.all,
+      graft.text.TextQueries.all, graft.text.DedupQueries.all,
+      graft.vector.SimilarityQueries.all,
+      graft.streaming.StreamQueries.all)
+    // a duplicate name would silently shadow an earlier query AND its
+    // oracle, dropping a gated operator from the correctness surface —
+    // fail loudly instead
+    val dupes = modules.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dupes.isEmpty,
+      s"duplicate query names across modules: ${dupes.mkString(", ")}")
+    modules.reduce(_ ++ _)
+  }
 
   def queries: Map[String, Q] = all.map { case (k, (q, _)) => k -> q }
   def oracleSql: Map[String, String] =

@@ -12,6 +12,12 @@ import graft.sources.{CsvIngest, Gen}
 object RefQueries {
   import Queries.Q
 
+  /** Per-JVM token for temp-file paths: two harness processes hitting the
+    * same sf dir concurrently must not share scratch CSVs.
+    */
+  private[graft] val runToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** O14 — deterministic synthetic locations (reference: parallel CSV
     * generator, `cmd/gen_file/main.go`).
     */
@@ -22,7 +28,8 @@ object RefQueries {
     * preserves the generated values exactly.
     */
   val csvRoundtrip: Q = (s, _) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      RefQueries.runToken
     Gen.writeCsv(Gen.locations(s, 500), tmp)
     CsvIngest.readLocations(s, tmp).toDF().orderBy("locid")
   }
@@ -108,10 +115,11 @@ object RefQueries {
     */
   val gen1mRoundtrip: Q = (s, dir) => {
     import s.implicits._
-    // path suffixed per sf dir: concurrent Verify/Bench runs (different
-    // SFs) must not overwrite each other's CSV mid-read
+    // path suffixed per sf dir AND per JVM: concurrent runs — different
+    // SFs, or two harness invocations on the SAME sf dir — must not
+    // overwrite each other's CSV mid-read
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gen_1m_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
     Gen.writeCsv(Gen.locations(s, 1000000L), tmp)
     CsvIngest.readLocations(s, tmp).toDF().agg(
       count(lit(1)).as("n_rows"),

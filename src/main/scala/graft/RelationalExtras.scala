@@ -93,7 +93,8 @@ object RelationalExtras {
 
   /** Exact interpolated percentiles per group (Spark `percentile` ≡
     * DuckDB `quantile_cont`), rounded to 6 decimals because the linear
-    * interpolation's last ulp is engine-specific.
+    * interpolation's last ulp is engine-specific. One scalar column per
+    * quantile — the driver's comparator can't sort array cells.
     */
   val percentiles: Q = (s, dir) => {
     import s.implicits._
@@ -101,14 +102,17 @@ object RelationalExtras {
       .groupBy($"o_orderstatus")
       .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.95D))").as("p"))
       .select($"o_orderstatus",
-        transform($"p", x => round(x, 6)).as("price_p25_p50_p95"))
+        round(element_at($"p", 1), 6).as("price_p25"),
+        round(element_at($"p", 2), 6).as("price_p50"),
+        round(element_at($"p", 3), 6).as("price_p95"))
       .orderBy($"o_orderstatus")
   }
 
   val percentilesSql: String =
     """SELECT o_orderstatus,
-      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.95]),
-      |    x -> round(x, 6)) AS price_p25_p50_p95
+      |  round(quantile_cont(o_totalprice, 0.25), 6) AS price_p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS price_p50,
+      |  round(quantile_cont(o_totalprice, 0.95), 6) AS price_p95
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Sample stddev and Pearson correlation from exact decimal power sums.
@@ -206,19 +210,23 @@ object RelationalExtras {
       |SELECT tag, o_orderstatus, COUNT(*) AS n FROM u
       |GROUP BY tag, o_orderstatus ORDER BY tag, o_orderstatus""".stripMargin
 
-  /** Sorted collect_set — deterministic set aggregation to an array. */
+  /** Sorted collect_set — deterministic set aggregation, joined to one
+    * scalar string so the driver's comparator can hash it (array cells
+    * are unsortable in pandas).
+    */
   val collectSet: Q = (s, dir) => {
     import s.implicits._
     Tables(s, dir, "orders")
       .groupBy($"o_orderstatus")
-      .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"),
+      .agg(array_join(sort_array(collect_set($"o_orderpriority")), "|")
+          .as("priorities"),
         countDistinct($"o_orderpriority").as("n_priorities"))
       .orderBy($"o_orderstatus")
   }
 
   val collectSetSql: String =
     """SELECT o_orderstatus,
-      |  list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+      |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
       |  COUNT(DISTINCT o_orderpriority) AS n_priorities
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

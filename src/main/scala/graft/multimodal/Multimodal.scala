@@ -151,10 +151,14 @@ object Multimodal {
     */
   def pipelineSummary(spark: SparkSession, n: Long): Dataset[org.apache.spark.sql.Row] = {
     import spark.implicits._
+    // Arrays are projected to scalar digests: the driver's comparator
+    // sorts cell values and cannot hash array cells.
     featurize(syntheticCorpus(spark, n))
       .select($"media_id", $"kind", $"n_bytes",
         round($"mean_intensity", 6).as("mean_intensity"),
-        $"histogram", $"embedding")
+        aggregate($"histogram", lit(0L), (a, x) => a + x).as("hist_sum"),
+        md5(concat_ws(",", $"histogram")).as("hist_digest"),
+        round($"embedding".getItem(0).cast("double"), 6).as("emb_0"))
       .orderBy($"media_id")
   }
 }

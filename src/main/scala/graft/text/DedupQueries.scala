@@ -44,9 +44,9 @@ object DedupQueries {
     // without it each side of the join re-hashes the whole corpus. The
     // cache is O(docs × bands) short strings and lives until session end
     // (LRU-evictable); callers looping many corpora should unpersist.
-    val bands = bandRows(
+    val bands = graft.CacheTracker.persistTracked(bandRows(
       shingled.select($"doc_id", posexplode(minhashes($"sh", K))),
-      "doc_id", R).persist()
+      "doc_id", R))
     lshCandidates(bands, "doc_id")
       .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
       .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
@@ -138,10 +138,9 @@ object DedupQueries {
           concat(array_join(slice($"toks", lit(1), size($"toks") - 1), " "),
             lit(" zzz")).as("norm")))).as("r"))
       .select($"r.doc_id", $"r.norm")
-    val sigs = corpus
+    val sigs = graft.CacheTracker.persistTracked(corpus
       .select($"doc_id", expr(tokenHashesExpr(sparkDialect, "norm")).as("hs"))
-      .select($"doc_id", expr(simhashExpr(sparkDialect, "hs", "size(hs)")).as("simhash"))
-      .persist()
+      .select($"doc_id", expr(simhashExpr(sparkDialect, "hs", "size(hs)")).as("simhash")))
     val bands = sigs.select($"doc_id", $"simhash",
         posexplode(transform(sequence(lit(0), lit(3)),
           b => $"simhash".substr(b * 16 + 1, lit(16)))))

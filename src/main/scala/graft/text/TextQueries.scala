@@ -149,8 +149,13 @@ object TextQueries {
   val rollingFingerprint: Q = (s, dir) => {
     import s.implicits._
     graft.functions.RollingHash64.register(s)
+    // ASCII projection before hashing: the native expression folds UTF-8
+    // BYTES while the SQL mirror folds code points — they agree only on
+    // ASCII, so anything outside printable ASCII is stripped identically
+    // on both sides instead of silently diverging on non-ASCII input.
     Tables(s, dir, "documents")
-      .select($"doc_id", normText($"text").as("norm"))
+      .select($"doc_id",
+        regexp_replace(normText($"text"), "[^ -~]", "").as("norm"))
       .select($"doc_id", expr("rolling_hash64(norm)").as("fp64"))
       .withColumn("shard", ($"fp64" % 64).cast("int"))
       .orderBy($"doc_id")
@@ -158,7 +163,9 @@ object TextQueries {
 
   val rollingFingerprintSql: String = {
     val h = graft.functions.RollingHash64.sql("norm")
-    s"""WITH n AS (SELECT doc_id, ${sqlNormText("text")} AS norm FROM documents)
+    s"""WITH n AS (SELECT doc_id,
+       |  regexp_replace(${sqlNormText("text")}, '[^ -~]', '', 'g') AS norm
+       |  FROM documents)
        |SELECT doc_id, $h AS fp64, CAST($h % 64 AS INT) AS shard
        |FROM n ORDER BY doc_id""".stripMargin
   }

@@ -108,8 +108,9 @@ object SimilarityQueries {
         zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (acc, p) => acc + p)))
       .withColumn("xn", normExact($"v"))
       // the self-join reads the corpus twice; persisting avoids paying
-      // the decimal bucket/norm projections once per side
-      .persist()
+      // the decimal bucket/norm projections once per side (tracked so
+      // the harness releases it after the query's action)
+      .transform(graft.CacheTracker.persistTracked)
     // double-cosine prefilter kills ~all non-dup bucket pairs cheaply; the
     // exact decimal cosine then decides the real threshold, so the output
     // set is identical to filtering on the exact value alone
@@ -159,17 +160,23 @@ object SimilarityQueries {
     // scan, instead of shuffling |vectors|·|dims|·k cell rows. Decimal
     // sums are order-independent, so the per-cell oracle computes the
     // identical values.
+    // norms are hoisted BELOW the join: cn once per centroid (k rows,
+    // before the broadcast), xn once per vector (in the scan-side
+    // projection) — not once per (vector × centroid) pair. The decimal
+    // norm kernel is interpreted, so paying it k× per vector was most of
+    // this query's cost.
     val centroidArr = centroids
       .groupBy($"c_label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         s => s.getField("c")).as("cv"))
+      .withColumn("cn", normExact($"cv"))
     val scored = emb
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("xn", normExact($"v"))
       .crossJoin(broadcast(centroidArr))
       .select($"vec_id", $"label", $"c_label",
-        (dotExact($"v", $"cv") / (normExact($"v") * normExact($"cv")))
-          .as("cos_c"))
+        (dotExact($"v", $"cv") / ($"xn" * $"cn")).as("cos_c"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"c_label")
     scored.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
