@@ -91,7 +91,7 @@ object RollingHash64 {
   * alternative to imperative registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("rolling_hash64"),
         new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
@@ -99,4 +99,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == 1, "rolling_hash64 takes exactly one argument")
           RollingHash64(args.head)
         }))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_md5"),
+        new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2 && args(1).foldable,
+            "minhash_md5 takes (array<string>, literal int k)")
+          MinHashMd5(args.head, args(1).eval().asInstanceOf[Number].intValue())
+        }))
+  }
 }

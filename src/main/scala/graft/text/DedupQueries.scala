@@ -27,6 +27,7 @@ object DedupQueries {
     */
   val minhashLsh: Q = (s, dir) => {
     import s.implicits._
+    graft.functions.MinHashMd5.register(s)
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
@@ -44,8 +45,11 @@ object DedupQueries {
     // without it each side of the join re-hashes the whole corpus. The
     // cache is O(docs × bands) short strings and lives until session end
     // (LRU-evictable); callers looping many corpora should unpersist.
+    // native minhash expression (one JVM loop/row) — value-identical to
+    // NearDup.minhashes, an order of magnitude cheaper than the
+    // interpreted k×|shingles| HOF lambdas it replaces
     val bands = graft.CacheTracker.persistTracked(bandRows(
-      shingled.select($"doc_id", posexplode(minhashes($"sh", K))),
+      shingled.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $K)"))),
       "doc_id", R))
     lshCandidates(bands, "doc_id")
       .join(shingled.toDF("doc_a", "sh_a"), "doc_a")

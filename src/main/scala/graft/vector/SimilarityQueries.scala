@@ -24,7 +24,41 @@ import VectorOps._
 object SimilarityQueries {
   import Queries.Q
 
-  private val H = 6 // LSH hyperplanes → 64 buckets
+  /** Banded sign-LSH parameters. With `r` bits per band the expected
+    * bucket load is n/2^r and the within-bucket self-join does
+    * Σ_bands b·n²/2^r work — so `r` must grow ~log2(n / targetLoad) as
+    * the corpus grows (a FIXED bucket count is quadratic at scale: at
+    * 100× the data, 64 buckets means 10 000× the pair work). Recall is
+    * recovered by OR-ing `b` bands (a pair is a candidate if ANY band's
+    * r bits all agree — the same AND/OR amplification as the MinHash
+    * banding in [[graft.text.NearDup]]). The [[graft.functions.SignBits]]
+    * expression takes `h = b·r` as a parameter, so deployments size the
+    * signature per corpus; the constants here are pinned for the
+    * 10³–10⁷-row range the gate and bench run at.
+    *
+    * Band length is set by the CORPUS's similarity floor, not just the
+    * target: this corpus's random pairs sit near cosine 0.5 (bit
+    * agreement p₀ ≈ 0.67), so candidates ≈ b·(n²/2)·p₀^r. Measured at
+    * sf0.1 (n=4000): r=12 → ~200k background pairs (p₀¹² ≈ 8e-3 — the
+    * prefilter, not the banding, was doing the work); r=24 → ~2k
+    * (p₀²⁴ ≈ 7e-5). The planted twins agree per bit with p ≈ 0.984
+    * (measured via the old H=6 single bucket: 453/500 survivors), so
+    * per-band survival is 0.984²⁴ ≈ 0.68 and 4 bands put twin recall at
+    * 1-(1-0.68)⁴ ≈ 0.99.
+    */
+  private val NdB = 4  // near-dup bands
+  private val NdR = 24 // bits per near-dup band
+  private val NdH = NdB * NdR
+
+  /** ANN probes lower-similarity neighbors (bit agreement ~0.67), so it
+    * trades selectivity for recall: r=6 → per-band match ~0.09, three
+    * bands ≈ 24% recall of true top-k — 3× the old single-bucket H=6
+    * layout at the same join cost (the query side is 5 rows; candidate
+    * work is b·q·n/2^r, linear in n).
+    */
+  private val AnnB = 3
+  private val AnnR = 6
+  private val AnnH = AnnB * AnnR
 
   /** Brute-force exact cosine top-10 for query vectors 0-4. */
   val knnBrute: Q = (s, dir) => {
@@ -53,19 +87,32 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
-  /** ANN via sign-LSH buckets: score only vectors sharing the query's
-    * bucket — top-5 within bucket per query.
+  /** ANN via banded sign-LSH: a corpus vector is a candidate for a query
+    * when ANY of the [[AnnB]] bands of [[AnnR]] signature bits match
+    * (multi-probe OR-amplification); top-5 candidates per query by exact
+    * cosine. Band rows carry only (id, band, key) — the embeddings join
+    * back by id after the (tiny) candidate set is known.
     */
   val annLsh: Q = (s, dir) => {
     import s.implicits._
-    val bucketed = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", signBucket($"embedding", H).as("bucket"))
-    val queries = bucketed.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+    graft.functions.SignBits.register(s)
+    val emb = Tables(s, dir, "embeddings")
+    val sigs = emb.select($"vec_id", expr(s"sign_bits(embedding, $AnnH)").as("sig"))
+    val bandz = sigs.select($"vec_id",
+        posexplode(transform(sequence(lit(0), lit(AnnB - 1)),
+          b => $"sig".substr(b * AnnR + 1, lit(AnnR)))))
+      .toDF("vec_id", "band", "bkey")
+    val qBands = bandz.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"band", $"bkey")
+    val cand = bandz.join(broadcast(qBands), Seq("band", "bkey"))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    bucketed.join(broadcast(queries), Seq("bucket"))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"bucket", $"vec_id", cosine($"embedding", $"q_emb").as("cosine"))
+    cand.join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .withColumn("cosine", round($"cosine", 9))
@@ -73,54 +120,99 @@ object SimilarityQueries {
   }
 
   val annLshSql: String =
-    s"""WITH b AS (SELECT vec_id, embedding,
-       |    ${sqlSignBucket("embedding", H)} AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
-       |      FROM b WHERE vec_id < 5),
+    s"""WITH sigs AS (SELECT vec_id,
+       |    ${sqlSignBits("embedding", AnnH)} AS sig FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, bi AS band, substr(sig, CAST(bi * $AnnR AS INT) + 1, $AnnR) AS bkey
+       |  FROM sigs CROSS JOIN range(0, $AnnB) t(bi)),
+       |qb AS (SELECT vec_id AS q_id, band, bkey FROM bands WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, b.vec_id
+       |  FROM bands b JOIN qb q ON b.band = q.band AND b.bkey = q.bkey
+       |  WHERE b.vec_id <> q.q_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 5),
        |scored AS (
-       |  SELECT q_id, b.bucket AS bucket, vec_id,
-       |    ${sqlCosine("embedding", "q_emb")} AS cosine
-       |  FROM b JOIN q ON b.bucket = q.bucket WHERE vec_id <> q_id),
+       |  SELECT c.q_id, c.vec_id, ${sqlCosine("e.embedding", "q_emb")} AS cosine
+       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+       |              JOIN q ON c.q_id = q.q_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-       |SELECT q_id, bucket, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** Embedding near-dup recovery: corpus ∪ one-dimension-perturbed copies,
-    * LSH-bucketed, exact cosine >= 0.98 within buckets. Random pairs top
-    * out near 0.51 on this corpus, so survivors are exactly the planted
-    * twins that kept their bucket.
+  /** Embedding near-dup recovery: corpus ∪ one-dimension-perturbed
+    * copies, banded sign-LSH candidates ([[NdB]] bands × [[NdR]] bits —
+    * see the occupancy math on the constants), exact cosine >= 0.98 on
+    * candidates. Random pairs top out near 0.51 on this corpus, so
+    * survivors are exactly the planted twins the banding recalls.
     */
   val cosineNearDup: Q = (s, dir) => {
     import s.implicits._
+    graft.functions.SignBits.register(s)
     val emb = Tables(s, dir, "embeddings")
-    val corpus = emb.select(explode(array(
+    val raw = emb.select(explode(array(
         struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
         struct(($"vec_id" + 10000).as("vec_id"),
           transform($"embedding", (x, d) =>
             when(d === 0, x.cast("double") + lit(0.05))
               .otherwise(x.cast("double"))).as("v")))).as("r"))
       .select($"r.vec_id", $"r.v")
-      .withColumn("bucket", signBucket($"v", H))
+    // mean-center before hashing: this corpus's dims have a common
+    // positive offset, so uncentered hyperplane projections share one
+    // sign across most vectors — the bits carry almost no entropy and
+    // band buckets go near-quadratic (measured: 292k candidate pairs at
+    // r=24 vs ~2k planted twins). Subtracting the per-dim mean restores
+    // ~p=0.5 background bit agreement, which makes 24-bit bands kill the
+    // background (0.5²⁴ ≈ 6e-8) while twins keep p ≈ 0.98 per bit.
+    // The mean is an exact decimal sum cast to double — both engines
+    // compute bit-identical centered values in any row order.
+    val mu = raw.select(posexplode($"v")).toDF("pos", "val")
+      .groupBy($"pos")
+      .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        s => s.getField("m")).as("mu"))
+    val corpus = raw.crossJoin(broadcast(mu))
+      .withColumn("sig", expr(s"sign_bits(zip_with(v, mu, (x, m) -> x - m), $NdH)"))
+      .drop("mu")
       // norms once per vector, not once per pair: fast double norm for
       // the prefilter, exact decimal norm for the checked cosine
       .withColumn("fn", sqrt(aggregate(
         zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (acc, p) => acc + p)))
       .withColumn("xn", normExact($"v"))
-      // the self-join reads the corpus twice; persisting avoids paying
-      // the decimal bucket/norm projections once per side (tracked so
-      // the harness releases it after the query's action)
+      // read 2× by the band self-join and 2× by the candidate join-back;
+      // persisting avoids re-paying the norm projections per side
+      // (tracked so the harness releases it after the query's action)
       .transform(graft.CacheTracker.persistTracked)
-    // double-cosine prefilter kills ~all non-dup bucket pairs cheaply; the
-    // exact decimal cosine then decides the real threshold, so the output
-    // set is identical to filtering on the exact value alone
+    val bandz = corpus.select($"vec_id",
+        posexplode(transform(sequence(lit(0), lit(NdB - 1)),
+          b => $"sig".substr(b * NdR + 1, lit(NdR)))))
+      .toDF("vec_id", "band", "bkey")
+    // ONE shuffle on (band, key); a pair seen in several bands collapses
+    // in the distinct before any vector arithmetic happens
+    val cand = bandz.alias("a").join(bandz.alias("b"), Seq("band", "bkey"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
+    // double-cosine prefilter kills surviving non-dup candidates cheaply;
+    // the exact decimal cosine then decides the real threshold, so the
+    // output set is identical to filtering on the exact value alone.
+    // The persist boundary below is load-bearing for cost, not just
+    // reuse: without it Catalyst pushes the final >= 0.98 filter (the
+    // EXACT kernel, substituted through the projection) down next to
+    // this prefilter and re-evaluates the decimal cosine per candidate
+    // twice (measured 9.6 s vs 0.5 s on 2k candidates).
     val fastDot = aggregate(
       zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
-    corpus.alias("a").join(corpus.alias("b"), "bucket")
-      .where($"a.vec_id" < $"b.vec_id")
+    val pre = cand.join(corpus.alias("a"), $"va" === $"a.vec_id")
+      .join(corpus.alias("b"), $"vb" === $"b.vec_id")
       .filter(fastDot / ($"a.fn" * $"b.fn") >= 0.9)
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        (dotExact($"a.v", $"b.v") / ($"a.xn" * $"b.xn")).as("cosine"))
+      .select($"va", $"vb", $"a.v".as("av"), $"b.v".as("bv"),
+        $"a.xn".as("axn"), $"b.xn".as("bxn"))
+      .transform(graft.CacheTracker.persistTracked)
+    pre.select($"va".as("vec_a"), $"vb".as("vec_b"),
+        (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("cosine"))
       .filter($"cosine" >= 0.98)
       .withColumn("cosine", round($"cosine", 9))
       .orderBy($"vec_a", $"vec_b")
@@ -135,11 +227,29 @@ object SimilarityQueries {
        |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
        |              ELSE CAST(embedding[d] AS DOUBLE) END)
        |  FROM embeddings),
-       |b AS (SELECT vec_id, v, ${sqlSignBucket("v", H)} AS bucket FROM corpus)
-       |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       |  round(${sqlCosine("a.v", "b2.v")}, 9) AS cosine
-       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       |WHERE ${sqlCosine("a.v", "b2.v")} >= 0.98
+       |cells AS (
+       |  SELECT vec_id, d AS pos, v[d] AS val
+       |  FROM corpus CROSS JOIN range(1, 65) t(d)),
+       |mu0 AS (
+       |  SELECT pos, CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM cells GROUP BY pos),
+       |muarr AS (SELECT list(m ORDER BY pos) AS mu FROM mu0),
+       |b AS (
+       |  SELECT vec_id, v, ${sqlSignBits("vc", NdH)} AS sig
+       |  FROM (SELECT vec_id, v,
+       |          list_transform(range(1, 65), d -> v[d] - mu[d]) AS vc
+       |        FROM corpus CROSS JOIN muarr)),
+       |bands AS (
+       |  SELECT vec_id, bi AS band, substr(sig, CAST(bi * $NdR AS INT) + 1, $NdR) AS bkey
+       |  FROM b CROSS JOIN range(0, $NdB) t(bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+       |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bkey = b2.bkey
+       |  WHERE a.vec_id < b2.vec_id)
+       |SELECT va AS vec_a, vb AS vec_b,
+       |  round(${sqlCosine("ca.v", "cb.v")}, 9) AS cosine
+       |FROM cand JOIN b ca ON va = ca.vec_id JOIN b cb ON vb = cb.vec_id
+       |WHERE ${sqlCosine("ca.v", "cb.v")} >= 0.98
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** IVF-style coarse quantizer: per-label centroids (posexplode +
@@ -170,15 +280,38 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         s => s.getField("c")).as("cv"))
       .withColumn("cn", normExact($"cv"))
-    val scored = emb
+      .withColumn("cnf", sqrt(aggregate(
+        zip_with($"cv", $"cv", (x, y) => x * y), lit(0.0), (a, p) => a + p)))
+    val vectors = emb
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("xn", normExact($"v"))
-      .crossJoin(broadcast(centroidArr))
+      .withColumn("fnv", sqrt(aggregate(
+        zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, p) => a + p)))
+      .transform(graft.CacheTracker.persistTracked)
+    // two-phase assignment: rank all k centroids with the ~20×-cheaper
+    // double cosine, keep the top TWO, and run the exact decimal kernel
+    // only on those finalists. The double/decimal paths diverge by
+    // < 1e-12, while a vector's best-vs-second-best centroid margin is
+    // orders of magnitude larger (clustered labels), so the exact argmax
+    // always survives the fast top-2 cut — the final ranking below is
+    // decided by the SAME exact values the oracle computes.
+    val fastDotVC = aggregate(
+      zip_with($"v", $"cv", (x, y) => x * y), lit(0.0), (a, p) => a + p)
+    val wf = Window.partitionBy($"vec_id").orderBy($"cos_fast".desc, $"c_label")
+    val top2 = vectors.crossJoin(broadcast(centroidArr))
+      .select($"vec_id", $"label", $"c_label",
+        (fastDotVC / ($"fnv" * $"cnf")).as("cos_fast"))
+      .withColumn("rn", row_number().over(wf))
+      .filter($"rn" <= 2)
+      .select($"vec_id", $"label", $"c_label")
+    val rescored = top2
+      .join(vectors.select($"vec_id", $"v", $"xn"), "vec_id")
+      .join(broadcast(centroidArr.select($"c_label", $"cv", $"cn")), "c_label")
       .select($"vec_id", $"label", $"c_label",
         (dotExact($"v", $"cv") / ($"xn" * $"cn")).as("cos_c"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"c_label")
-    scored.withColumn("rn", row_number().over(w))
+    rescored.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"vec_id", $"label", $"c_label".as("nearest_label"),
         round($"cos_c", 9).as("cos_c"))

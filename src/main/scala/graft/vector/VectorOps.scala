@@ -88,4 +88,17 @@ object VectorOps {
     s"array_to_string(list_transform(range(0, $h), " +
       s"j -> CASE WHEN $proj >= 0 THEN '1' ELSE '0' END), '')"
   }
+
+  /** DuckDB mirror of the native [[graft.functions.SignBits]] expression
+    * (64-dim, 1-based dims): pure BIGINT arithmetic — fixed-point inputs
+    * `floor(x * 2^20)` times the integer hyperplane weights — so any
+    * summation order in any engine produces the identical signature.
+    */
+  def sqlSignBits(v: String, h: Int): String = {
+    val w = "(((j * 1009 + d * 9176) % 97) - 48)"
+    val proj = s"list_sum(list_transform(range(1, 65), " +
+      s"d -> $w * CAST(floor(CAST($v[d] AS DOUBLE) * 1048576) AS BIGINT)))"
+    s"array_to_string(list_transform(range(0, $h), " +
+      s"j -> CASE WHEN $proj >= 0 THEN '1' ELSE '0' END), '')"
+  }
 }
