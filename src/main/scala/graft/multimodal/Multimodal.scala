@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real thing — schema, encoders, lazy
   * iterator-to-iterator mapPartitions (no per-partition materialization,
   * so executor memory is bounded by one element, not one partition), and
-  * partition-count-independent results. Only [[Codecs.decodeImage]] is a
-  * STUB: real image/audio codecs are not in this environment, so it
-  * produces a deterministic fake raster from the bytes. In a PySpark
-  * deployment the same stage is `mapInPandas` batches hitting a codec
-  * library; swapping the stub does not change any plumbing here.
+  * partition-count-independent results. [[Codecs.decodeImage]] decodes
+  * real PNG/JPEG/GIF/BMP payloads through the JDK's `javax.imageio`;
+  * formats this container has no codec for (and the synthetic corpus's
+  * opaque bytes) fall back to a deterministic fake raster, keeping the
+  * stage total on any input. In a PySpark deployment the same stage is
+  * `mapInPandas` batches hitting a richer codec library; swapping the
+  * decoder does not change any plumbing here.
   */
 object Multimodal {
 
@@ -35,17 +37,59 @@ object Multimodal {
 
   object Codecs {
 
-    /** STUB decode — deterministic fake raster: pixel(i) = payload byte
-      * i mod len. A real deployment replaces this body with an actual
-      * image codec; signature and callers stay unchanged.
+    /** Decode a payload to a `width × height` grayscale raster.
+      *
+      * Real path first: if the bytes parse as an image format the JDK's
+      * `javax.imageio` ships codecs for (PNG/JPEG/GIF/BMP), decode it,
+      * convert to integer luma, and nearest-neighbour-resize to the
+      * metadata dimensions. Payloads that are NOT a known image (the
+      * synthetic corpus, truncated uploads, exotic formats this
+      * container lacks codecs for) fall back to the deterministic fake
+      * raster pixel(i) = byte(i mod len) — total on any input, so a
+      * poison payload degrades to noise features instead of failing the
+      * pipeline.
       */
     def decodeImage(data: Array[Byte], width: Int, height: Int): Array[Int] = {
-      val px = new Array[Int](width * height)
-      if (data.isEmpty) return px // empty payload -> black raster, not a crash
-      var i = 0
-      while (i < px.length) { px(i) = data(i % data.length) & 0xff; i += 1 }
-      px
+      decodeReal(data) match {
+        case Some((px, w, h)) =>
+          if (w == width && h == height) px
+          else resize(px, w, h, width, height)
+        case None =>
+          val px = new Array[Int](width * height)
+          if (data.isEmpty) return px // empty payload -> black raster, not a crash
+          var i = 0
+          while (i < px.length) { px(i) = data(i % data.length) & 0xff; i += 1 }
+          px
+      }
     }
+
+    /** `javax.imageio` decode to (luma raster, width, height); None when
+      * the bytes are not a decodable image. Luma = (299r+587g+114b)/1000
+      * in integer arithmetic — deterministic across JVMs.
+      */
+    private[multimodal] def decodeReal(data: Array[Byte]): Option[(Array[Int], Int, Int)] =
+      if (data.length < 8) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          Some((out, w, h))
+        }
+      } catch { case _: Throwable => None }
 
     /** Nearest-neighbour resize of a row-major grayscale raster. */
     def resize(px: Array[Int], w: Int, h: Int, outW: Int, outH: Int): Array[Int] = {

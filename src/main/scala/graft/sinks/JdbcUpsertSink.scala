@@ -31,7 +31,10 @@ import graft.operators.Upsert
   *     the upsert is idempotent.
   *
   * Not on the correctness-gate path (no Postgres in the harness); the
-  * pure-Spark merge semantics are oracle-tested via graft.operators.Upsert.
+  * pure-Spark merge semantics are oracle-tested via graft.operators.Upsert,
+  * and `write()` itself executes end-to-end against embedded Apache Derby
+  * (on Spark's classpath) in JdbcUpsertSinkDerbySpec via the
+  * [[UpsertDialect]] seam.
   */
 object JdbcUpsertSink {
 
@@ -72,27 +75,97 @@ object JdbcUpsertSink {
   private def upsertSqlJdbc(n: Int): String =
     upsertSql(n).replaceAll("\\$\\d+", "?")
 
-  def ensureTable(url: String): Unit = {
+  /** Upsert-chunk dialect seam. The reference's target (and the faithful
+    * default) is Postgres' atomic multi-row `ON CONFLICT`; [[DerbyUpsert]]
+    * renders the same last-write-wins contract for engines without an
+    * upsert statement (Derby rejects both ON CONFLICT and VALUES-sourced
+    * MERGE) as batched UPDATE-then-INSERT — safe here because the sink
+    * hash-partitions BY KEY, so no two connections ever race on one key.
+    * Its purpose is to let the round-trip test drive `write()` through
+    * the embedded Derby on Spark's classpath — a real database instead
+    * of string-asserted SQL.
+    */
+  sealed trait UpsertDialect extends Serializable {
+    def ddl: Seq[String]
+    def upsertChunk(conn: Connection, chunk: Seq[Location]): Unit
+  }
+
+  case object PostgresUpsert extends UpsertDialect {
+    def ddl: Seq[String] = JdbcUpsertSink.ddl
+
+    def upsertChunk(conn: Connection, chunk: Seq[Location]): Unit = {
+      val ps = conn.prepareStatement(upsertSqlJdbc(chunk.size))
+      try {
+        chunk.iterator.zipWithIndex.foreach { case (l, i) =>
+          ps.setString(i * 5 + 1, l.locid)
+          ps.setString(i * 5 + 2, l.loctimezone)
+          ps.setString(i * 5 + 3, l.country)
+          ps.setString(i * 5 + 4, l.locname)
+          ps.setString(i * 5 + 5, l.business)
+        }
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+  }
+
+  case object DerbyUpsert extends UpsertDialect {
+    // Derby has no TEXT / IF NOT EXISTS / gen_random_uuid; the contract
+    // under test is the keyed upsert, not the Postgres DDL niceties
+    def ddl: Seq[String] = Seq(
+      """CREATE TABLE locations (
+        |  locid VARCHAR(255) PRIMARY KEY,
+        |  loctimezone VARCHAR(255),
+        |  country VARCHAR(255),
+        |  locname VARCHAR(255),
+        |  business VARCHAR(255)
+        |)""".stripMargin)
+
+    def upsertChunk(conn: Connection, chunk: Seq[Location]): Unit = {
+      val upd = conn.prepareStatement(
+        """UPDATE locations SET loctimezone = ?, country = ?, locname = ?,
+          |  business = ? WHERE locid = ?""".stripMargin)
+      val counts =
+        try {
+          chunk.foreach { l =>
+            upd.setString(1, l.loctimezone); upd.setString(2, l.country)
+            upd.setString(3, l.locname); upd.setString(4, l.business)
+            upd.setString(5, l.locid); upd.addBatch()
+          }
+          upd.executeBatch()
+        } finally upd.close()
+      val misses = chunk.iterator.zip(counts.iterator)
+        .collect { case (l, 0) => l }.toSeq
+      if (misses.nonEmpty) {
+        val ins = conn.prepareStatement(
+          """INSERT INTO locations (locid, loctimezone, country, locname,
+            |  business) VALUES (?, ?, ?, ?, ?)""".stripMargin)
+        try {
+          misses.foreach { l =>
+            ins.setString(1, l.locid); ins.setString(2, l.loctimezone)
+            ins.setString(3, l.country); ins.setString(4, l.locname)
+            ins.setString(5, l.business); ins.addBatch()
+          }
+          ins.executeBatch()
+        } finally ins.close()
+      }
+    }
+  }
+
+  def ensureTable(url: String, dialect: UpsertDialect = PostgresUpsert): Unit = {
     val conn = DriverManager.getConnection(url)
-    try ddl.foreach { stmt =>
-      val st = conn.createStatement(); try st.execute(stmt) finally st.close()
+    try dialect.ddl.foreach { stmt =>
+      val st = conn.createStatement()
+      try st.execute(stmt)
+      catch {
+        // Derby lacks IF NOT EXISTS: swallow "already exists" (X0Y32)
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
     } finally conn.close()
   }
 
-  private def writeChunk(conn: Connection, chunk: Seq[Location]): Unit = {
-    if (chunk.isEmpty) return
-    val ps = conn.prepareStatement(upsertSqlJdbc(chunk.size))
-    try {
-      chunk.iterator.zipWithIndex.foreach { case (l, i) =>
-        ps.setString(i * 5 + 1, l.locid)
-        ps.setString(i * 5 + 2, l.loctimezone)
-        ps.setString(i * 5 + 3, l.country)
-        ps.setString(i * 5 + 4, l.locname)
-        ps.setString(i * 5 + 5, l.business)
-      }
-      ps.executeUpdate()
-    } finally ps.close()
-  }
+  private def writeChunk(conn: Connection, chunk: Seq[Location],
+                         dialect: UpsertDialect): Unit =
+    if (chunk.nonEmpty) dialect.upsertChunk(conn, chunk)
 
   /** Distributed upsert write. `parallelism` mirrors the reference's 10
     * workers but should be sized to the target DB's connection budget.
@@ -110,7 +183,8 @@ object JdbcUpsertSink {
       parallelism: Int = 10,
       chunkSize: Int = 12000,
       rowsWritten: Option[LongAccumulator] = None,
-      seq: Column = lit(0L)): Unit = {
+      seq: Column = lit(0L),
+      dialect: UpsertDialect = PostgresUpsert): Unit = {
     import ds.sparkSession.implicits._
     val deduped = Upsert.lastWins(ds.toDF(), Seq("locid"), seq)
       .repartition(parallelism, col("locid"))
@@ -121,7 +195,7 @@ object JdbcUpsertSink {
         try {
           conn.setAutoCommit(true)
           it.grouped(chunkSize).foreach { chunk =>
-            writeChunk(conn, chunk)
+            writeChunk(conn, chunk, dialect)
             rowsWritten.foreach(_.add(chunk.size.toLong))
           }
         } finally conn.close()

@@ -46,6 +46,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage decodes a real PNG via javax.imageio, exact luma values") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val g = 32 * (y * 4 + x) // pure gray gradient -> luma == g exactly
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // native dimensions: decoded as-is
+    val px = Codecs.decodeImage(png, 4, 2)
+    assert(px.toSeq == (0 until 8).map(_ * 32))
+    // metadata dims differ: decoded then nearest-neighbour resized
+    val rs = Codecs.decodeImage(png, 2, 1)
+    assert(rs.toSeq == Seq(0, 64))
+    // and through the full featurize pipeline on a real-PNG corpus
+    val s = spark
+    import s.implicits._
+    val corpus = s.createDataset(Seq(MediaFile(1L, "image", png, 4, 2, 1)))
+    val f = featurize(corpus).collect().head
+    assert(f.histogram.sum == 256 && f.n_bytes == png.length)
+  }
+
   test("resize preserves corner pixels; decode stub is total on any payload") {
     val px = Codecs.decodeImage(Array[Byte](1, 2, 3), 4, 4)
     assert(px.length == 16 && px.forall(p => p >= 0 && p <= 255))

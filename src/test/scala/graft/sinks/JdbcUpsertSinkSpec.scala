@@ -1,6 +1,12 @@
 package graft.sinks
 
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.Location
 
 /** The sink's SQL generation (the DB-free part; the merge semantics are
   * oracle-tested via graft.operators.Upsert and ref_upsert_merge).
@@ -26,5 +32,69 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     Seq("locid", "loctimezone", "country", "locname", "business").foreach { c =>
       assert(JdbcUpsertSink.ddl.exists(_.contains(s"idx_locations_$c")))
     }
+  }
+}
+
+/** write() executed against a REAL database: Spark's classpath ships
+  * embedded Apache Derby, whose ANSI MERGE renders the same keyed
+  * last-write-wins contract as the Postgres ON CONFLICT statement. The
+  * in-memory Derby instance is shared by every task in local mode, so
+  * the distributed foreachPartition path, the chunking, and the real
+  * PreparedStatement round-trip all execute — insert, cross-batch
+  * update, and intra-batch duplicate resolution included.
+  */
+class JdbcUpsertSinkDerbySpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def loc(id: Int, business: String) = Location(
+    f"LOC$id%012d", "Europe/London", "UK", s"name_$id", business)
+
+  private def readAll(): Map[String, String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT locid, business FROM locations")
+      val b = Map.newBuilder[String, String]
+      while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+      b.result()
+    } finally conn.close()
+  }
+
+  test("insert -> update -> intra-batch dup through write() on embedded Derby") {
+    import spark.implicits._
+    JdbcUpsertSink.ensureTable(url, JdbcUpsertSink.DerbyUpsert)
+    // ensureTable is idempotent even without IF NOT EXISTS support
+    JdbcUpsertSink.ensureTable(url, JdbcUpsertSink.DerbyUpsert)
+
+    // 1: insert 100 fresh keys, chunked small enough to exercise many
+    // round-trips and partitions
+    val acc = spark.sparkContext.longAccumulator("rows")
+    JdbcUpsertSink.write((1 to 100).map(loc(_, "base")).toDS(),
+      url, parallelism = 4, chunkSize = 7, rowsWritten = Some(acc),
+      dialect = JdbcUpsertSink.DerbyUpsert)
+    assert(readAll().size == 100)
+    assert(acc.value == 100)
+    assert(readAll()(f"LOC${50}%012d") == "base")
+
+    // 2: cross-batch update of 30 existing keys + 10 new inserts
+    JdbcUpsertSink.write(
+      ((21 to 50).map(loc(_, "updated")) ++ (101 to 110).map(loc(_, "fresh"))).toDS(),
+      url, parallelism = 3, chunkSize = 12000,
+      dialect = JdbcUpsertSink.DerbyUpsert)
+    val after = readAll()
+    assert(after.size == 110)
+    assert(after(f"LOC${30}%012d") == "updated")
+    assert(after(f"LOC${51}%012d") == "base")
+    assert(after(f"LOC${105}%012d") == "fresh")
+
+    // 3: intra-batch duplicates — a single Postgres statement would fail
+    // on these ("cannot affect row a second time"); the sink's lastWins
+    // dedup resolves ONE winner before any SQL executes. With the
+    // default constant seq the winner is the deterministic column
+    // tiebreak (max business desc).
+    JdbcUpsertSink.write(Seq(loc(1, "v1"), loc(1, "v3"), loc(1, "v2")).toDS(),
+      url, dialect = JdbcUpsertSink.DerbyUpsert)
+    assert(readAll()(f"LOC${1}%012d") == "v3")
   }
 }
