@@ -135,6 +135,37 @@ object RefQueries {
        |  COUNT(DISTINCT country) AS n_countries
        |FROM (${Gen.locationsSql(1000000L)})""".stripMargin
 
+  /** JSON-lines source roundtrip: the documents table written as JSON
+    * and read back through an explicit schema, then aggregated to
+    * structural invariants the oracle recomputes from the parquet
+    * original — proves the JSON source preserves every row and byte
+    * (octet_length, not character length: byte counts are
+    * engine-identical on any input; codepoint-vs-UTF-16 counting is
+    * not). Same pattern as the CSV roundtrip, one format over.
+    */
+  val jsonRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_docs_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
+    Tables(s, dir, "documents").select($"doc_id", $"lang", $"text")
+      .write.mode("overwrite").json(tmp)
+    s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"doc_id").as("n_docs"),
+        sum(octet_length($"text")).as("total_bytes"),
+        countDistinct($"lang").as("n_langs"),
+        min($"doc_id").as("first_id"),
+        max($"doc_id").as("last_id"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+      |FROM documents""".stripMargin
+
   /** O12 — row counters (`internal/writer/writer.go:52,63-64`). */
   val counts: Q = (s, dir) => {
     import s.implicits._
@@ -154,6 +185,7 @@ object RefQueries {
     "ref_upsert_merge" -> (upsertMerge, Some(upsertMergeSql)),
     "ref_pagination" -> (pagination, Some(paginationSql)),
     "ref_json_page" -> (jsonPage, Some(jsonPageSql)),
+    "ref_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
     "ref_counts" -> (counts, Some(countsSql))
   )
 }

@@ -259,6 +259,32 @@ object RelationalExtras {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
 
+  /** Rank-distribution window functions (dense_rank / percent_rank /
+    * cume_dist) — integer-ratio doubles, exact in both engines.
+    */
+  val windowRankDist: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 100)
+      .select($"o_orderstatus", $"o_orderkey",
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  val windowRankDistSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  round(percent_rank() OVER w, 9) AS pct_rank,
+      |  round(cume_dist() OVER w, 9) AS cume
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   /** Edit distance (identical integer DP in both engines). */
   val editDistance: Q = (s, dir) => {
     import s.implicits._
@@ -277,6 +303,7 @@ object RelationalExtras {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "window_ntile_frames" -> (windowNtile, Some(windowNtileSql)),
+    "window_rank_distribution" -> (windowRankDist, Some(windowRankDistSql)),
     "str_edit_distance" -> (editDistance, Some(editDistanceSql)),
     "agg_cube_status_priority" -> (aggCube, Some(aggCubeSql)),
     "set_ops_all_multiset" -> (setOpsAll, Some(setOpsAllSql)),

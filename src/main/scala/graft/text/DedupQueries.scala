@@ -184,6 +184,57 @@ object DedupQueries {
        |SELECT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= 10 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash as an ESTIMATOR, not just a bucketing key: for each
+    * (original, truncated-copy) pair, the fraction of agreeing minhash
+    * components — the unbiased Jaccard estimate a sketch-only pipeline
+    * would use when shingle sets are too big to keep — alongside the
+    * exact shingle Jaccard it approximates. Estimate and truth are both
+    * deterministic (md5 signatures, integer-ratio doubles), so the gate
+    * hash-checks the estimator's exact output, and the row-level
+    * est-vs-exact gap documents sketch accuracy at K=16.
+    */
+  val minhashEstimate: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.MinHashMd5.register(s)
+    val K2 = 16
+    Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+      .select($"doc_id",
+        wordShingles($"toks", 3).as("sh_a"),
+        wordShingles(slice($"toks", lit(1), size($"toks") - 5), 3).as("sh_b"))
+      .select($"doc_id",
+        (size(filter(
+          zip_with(expr(s"minhash_md5(sh_a, $K2)"),
+            expr(s"minhash_md5(sh_b, $K2)"), (x, y) => x === y),
+          b => b)).cast("double") / K2).as("jaccard_est"),
+        jaccard($"sh_a", $"sh_b").as("jaccard_exact"))
+      .orderBy($"doc_id")
+  }
+
+  val minhashEstimateSql: String = {
+    def shingles(toks: String) =
+      s"list_distinct(list_transform(range(1, len($toks) - 1), " +
+        s"i -> array_to_string(list_slice($toks, i, i + 2), ' ')))"
+    def mh(sh: String) =
+      s"list_transform(range(0, 16), i -> list_min(list_transform($sh, " +
+        "x -> md5(CAST(i AS VARCHAR) || '|' || x))))"
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |p AS (
+       |  SELECT doc_id, ${shingles("toks")} AS sh_a,
+       |    ${shingles("list_slice(toks, 1, len(toks) - 5)")} AS sh_b
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(list_zip(${mh("sh_a")}, ${mh("sh_b")}),
+       |    z -> struct_extract(z, 1) = struct_extract(z, 2))) AS DOUBLE) / 16
+       |    AS jaccard_est,
+       |  CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_cat(sh_a, sh_b))) AS DOUBLE) AS jaccard_exact
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   /** Character-5-gram Jaccard + containment between each document and a
     * suffix-extended copy: containment of the original in the copy is
     * exactly 1.0, Jaccard strictly below — the asymmetric/symmetric
@@ -221,6 +272,7 @@ object DedupQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
+    "dedup_minhash_estimate" -> (minhashEstimate, Some(minhashEstimateSql)),
     "dedup_simhash_sig" -> (simhashSig, Some(simhashSigSql)),
     "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql))
   )

@@ -367,6 +367,49 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Int8-style quantized scoring: embeddings quantized to small
+    * integers (floor(x·64) — the compressed representation a 100 TB
+    * vector store actually scans), ranked by pure integer dot product.
+    * Integer arithmetic is exact in any engine and any order, so the
+    * gate hash-checks the quantized scores with no decimal detour —
+    * and at scale the int8 scan moves 8× less data than float32 with
+    * no per-row FP cost.
+    */
+  val quantizedKnn: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val q8 = transform($"embedding",
+      x => floor(x.cast("double") * 64).cast("long"))
+    val corpus = emb.select($"vec_id", q8.as("qv"))
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qv".as("qq"))
+    val dot = aggregate(zip_with($"qv", $"qq", (a, b) => a * b),
+      lit(0L), (acc, p) => acc + p)
+    val w = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"vec_id")
+    corpus.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", dot.as("qdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val quantizedKnnSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, qv AS qq FROM c WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    CAST(list_sum(list_transform(list_zip(qv, qq),
+      |      z -> struct_extract(z, 1) * struct_extract(z, 2))) AS BIGINT) AS qdot
+      |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rank FROM scored)
+      |SELECT q_id, vec_id, qdot, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Array higher-order-function surface over the embedding column:
     * filter / exists / forall / element extremes — the per-row array
     * algebra a feature-store pipeline leans on, all codegen-planned with
@@ -405,6 +448,7 @@ object SimilarityQueries {
     "sim_knn_topk_agg" -> (knnTopkAgg, Some(knnBruteSql)),
     "sim_ann_lsh" -> (annLsh, Some(annLshSql)),
     "sim_cosine_neardup" -> (cosineNearDup, Some(cosineNearDupSql)),
-    "sim_ivf_assign" -> (ivfAssign, Some(ivfAssignSql))
+    "sim_ivf_assign" -> (ivfAssign, Some(ivfAssignSql)),
+    "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql))
   )
 }
