@@ -38,7 +38,10 @@ object DedupQueries {
         struct(($"doc_id" + 10000).as("doc_id"),
           slice($"toks", lit(1), size($"toks") - 5).as("toks")))).as("r"))
       .select($"r.doc_id", $"r.toks")
-    val shingled = corpus.select($"doc_id", wordShingles($"toks", 3).as("sh"))
+    // read three times (signature build + both sides of the exact-Jaccard
+    // verify): persist so tokenization+shingling run once per doc
+    val shingled = graft.CacheTracker.persistTracked(
+      corpus.select($"doc_id", wordShingles($"toks", 3).as("sh")))
     // posexplode forces ONE evaluation of the 8-hash signature per doc;
     // band keys are then rebuilt from the cheap exploded rows. The band
     // table is persisted because the candidate self-join reads it twice —

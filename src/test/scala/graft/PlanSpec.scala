@@ -41,4 +41,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("ref_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("minhash LSH computes signatures with the native expression, never a cross join") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("minhash_md5"), p)
+    assert(!p.contains("CartesianProduct"), "candidates must come from the band join")
+    assert(p.contains("InMemoryTableScan"), "band table must be cached for the self-join")
+  }
+
+  test("cosine near-dup: native sign_bits signatures, banded join, cached rescore boundary") {
+    val p = plan("sim_cosine_neardup")
+    assert(p.contains("sign_bits"), p)
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the (band, key) join, not a cross product")
+    // two InMemoryTableScans: the corpus projection and the prefiltered
+    // candidate set (the boundary that stops exact-kernel re-evaluation)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("brute-force and quantized kNN broadcast the 5-row query side") {
+    Seq("sim_knn_brute", "sim_quantized_knn").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q must broadcast the query vectors:\n$p")
+    }
+  }
+
+  test("IVF assignment broadcasts the centroid set on both phases") {
+    val p = plan("sim_ivf_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
