@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: this host's disk stalls under iowait and
+      // was adding 10x noise to shuffle-heavy query timings
+      .config("spark.local.dir", s"${Scratch.dir}/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup so the first measured query doesn't pay one-time

@@ -28,7 +28,7 @@ object RefQueries {
     * preserves the generated values exactly.
     */
   val csvRoundtrip: Q = (s, _) => {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+    val tmp = s"${graft.Scratch.dir}/graft_csv_roundtrip_" +
       RefQueries.runToken
     Gen.writeCsv(Gen.locations(s, 500), tmp)
     CsvIngest.readLocations(s, tmp).toDF().orderBy("locid")
@@ -118,7 +118,7 @@ object RefQueries {
     // path suffixed per sf dir AND per JVM: concurrent runs — different
     // SFs, or two harness invocations on the SAME sf dir — must not
     // overwrite each other's CSV mid-read
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gen_1m_" +
+    val tmp = s"${graft.Scratch.dir}/graft_gen_1m_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
     Gen.writeCsv(Gen.locations(s, 1000000L), tmp)
     CsvIngest.readLocations(s, tmp).toDF().agg(
@@ -145,7 +145,7 @@ object RefQueries {
     */
   val jsonRoundtrip: Q = (s, dir) => {
     import s.implicits._
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_docs_" +
+    val tmp = s"${graft.Scratch.dir}/graft_json_docs_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
     Tables(s, dir, "documents").select($"doc_id", $"lang", $"text")
       .write.mode("overwrite").json(tmp)
@@ -165,6 +165,37 @@ object RefQueries {
       |  COUNT(DISTINCT lang) AS n_langs,
       |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
       |FROM documents""".stripMargin
+
+  /** ORC source/sink roundtrip (the third columnar-adjacent format next
+    * to parquet and JSON): orders written as ORC and read back, checked
+    * by value invariants — including an exact-decimal double sum, so a
+    * single corrupted price cell would flip the hash.
+    */
+  val orcRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact._
+    val tmp = s"${graft.Scratch.dir}/graft_orc_orders_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"o_orderkey").as("n_orders"),
+      countDistinct($"o_orderstatus").as("n_statuses"),
+      dsum($"o_totalprice").as("total_price"),
+      min($"o_orderkey").as("first_key"),
+      max($"o_orderkey").as("last_key"))
+  }
+
+  val orcRoundtripSql: String = {
+    import graft.functions.Exact._
+    s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       |  ${sqlDsum("o_totalprice")} AS total_price,
+       |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+       |FROM orders""".stripMargin
+  }
 
   /** O12 — row counters (`internal/writer/writer.go:52,63-64`). */
   val counts: Q = (s, dir) => {
@@ -186,6 +217,7 @@ object RefQueries {
     "ref_pagination" -> (pagination, Some(paginationSql)),
     "ref_json_page" -> (jsonPage, Some(jsonPageSql)),
     "ref_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
+    "ref_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "ref_counts" -> (counts, Some(countsSql))
   )
 }

@@ -285,6 +285,65 @@ object RelationalExtras {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  /** FULL OUTER join — the one join type the surface still lacked:
+    * high-volume customers vs urgent-order customers, null-filled on
+    * either side and coalesced to a total key.
+    */
+  val joinFullOuter: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val big = orders.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders")).filter($"n_orders" >= 10)
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey".as("u_custkey")).agg(count(lit(1)).as("n_urgent"))
+    big.join(urgent, $"o_custkey" === $"u_custkey", "full_outer")
+      .select(coalesce($"o_custkey", $"u_custkey").as("custkey"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_urgent", lit(0L)).as("n_urgent"))
+      .orderBy($"custkey")
+  }
+
+  val joinFullOuterSql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 10),
+      |urg AS (
+      |  SELECT o_custkey AS u_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |SELECT coalesce(o_custkey, u_custkey) AS custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(n_urgent, 0) AS n_urgent
+      |FROM big FULL OUTER JOIN urg ON o_custkey = u_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** RANGE window frame (value-based, vs the ROWS frames elsewhere):
+    * for each order, total and count of orders of the same status
+    * within the preceding 100 order keys. Decimal window sum → the
+    * frame's fold order can't leak into the double.
+    */
+  val windowRangeFrame: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+      .rangeBetween(-100L, Window.currentRow)
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 200)
+      .select($"o_orderstatus", $"o_orderkey",
+        sum($"o_totalprice".cast("decimal(22,6)")).over(w)
+          .cast("double").as("nearby_total"),
+        count(lit(1)).over(w).as("n_nearby"))
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER w AS DOUBLE) AS nearby_total,
+      |  COUNT(*) OVER w AS n_nearby
+      |FROM orders WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   /** Edit distance (identical integer DP in both engines). */
   val editDistance: Q = (s, dir) => {
     import s.implicits._
@@ -304,6 +363,8 @@ object RelationalExtras {
   val all: Map[String, (Q, Option[String])] = Map(
     "window_ntile_frames" -> (windowNtile, Some(windowNtileSql)),
     "window_rank_distribution" -> (windowRankDist, Some(windowRankDistSql)),
+    "window_range_frame" -> (windowRangeFrame, Some(windowRangeFrameSql)),
+    "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),
     "str_edit_distance" -> (editDistance, Some(editDistanceSql)),
     "agg_cube_status_priority" -> (aggCube, Some(aggCubeSql)),
     "set_ops_all_multiset" -> (setOpsAll, Some(setOpsAllSql)),

@@ -53,7 +53,7 @@ object StreamQueries {
     * ten — the property that makes the plan replay-safe at scale.
     */
   val streamIngestDedup: Q = (s, _) => {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+    val root = s"${graft.Scratch.dir}/graft_stream_" +
       s"${RefQueries.runToken}_${invocation.incrementAndGet()}"
     val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
     Files.createDirectories(Paths.get(in))
