@@ -1,0 +1,39 @@
+package graft.vector
+
+import graft.SparkSpec
+
+/** Measured quality of the approximate paths against exact ground truth
+  * on the fixed sf0.001 corpus (deterministic data + deterministic
+  * hashing ⇒ these are constants, not flaky statistics).
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    graft.Queries.queries(name)(spark, sf0001)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("banded ANN only returns vectors the exact top-10 ranks highly, with nonzero recall") {
+    val exact = pairs("sim_knn_brute")   // top-10 per query, ground truth
+    val approx = pairs("sim_ann_lsh")    // top-5 within banded candidates
+    graft.CacheTracker.releaseAll()
+    assert(approx.nonEmpty, "banding must produce candidates on this corpus")
+    val hits = approx.intersect(exact).size.toDouble
+    // 3 bands × 6 bits at background bit-agreement ~0.8 ⇒ expect a
+    // meaningful minority of true neighbors to share a band
+    assert(hits / exact.size > 0.05,
+      s"recall vs exact top-10 collapsed: $hits/${exact.size}")
+  }
+
+  test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
+    val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
+      .collect()
+    graft.CacheTracker.releaseAll()
+    assert(rows.nonEmpty)
+    val errs = rows.map(r => math.abs(r.getDouble(1) - r.getDouble(2)))
+    // K=16 sketch: per-pair std-error ~ sqrt(J(1-J)/16) <= 0.125; the
+    // MEAN abs error across docs must sit well inside it
+    assert(errs.sum / errs.length < 0.15,
+      f"mean |est-exact| = ${errs.sum / errs.length}%.3f")
+  }
+}
