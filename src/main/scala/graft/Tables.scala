@@ -15,9 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query loads its tables through here, so this is the one
+    // choke point where the custom function surface is guaranteed
+    // registered before any plan that references it is analyzed
+    graft.functions.Registry.registerAll(spark)
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's timestamp type
     * (µs) cannot represent directly ([PARQUET_TYPE_ILLEGAL]). Read the

@@ -107,5 +107,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "minhash_md5 takes (array<string>, literal int k)")
           MinHashMd5(args.head, args(1).eval().asInstanceOf[Number].intValue())
         }))
+    ext.injectFunction(
+      (FunctionIdentifier("sign_bits"),
+        new ExpressionInfo(classOf[SignBits].getName, "sign_bits"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2 && args(1).foldable,
+            "sign_bits takes (array<float|double>, literal int h)")
+          SignBits(args.head, args(1).eval().asInstanceOf[Number].intValue())
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("dot_exact_dec"),
+        new ExpressionInfo(classOf[DotExactDec].getName, "dot_exact_dec"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "dot_exact_dec takes exactly two arguments")
+          DotExactDec(args(0), args(1))
+        }))
   }
 }

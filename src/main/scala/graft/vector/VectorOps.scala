@@ -18,8 +18,18 @@ object VectorOps {
 
   private val Dec = "decimal(30,15)"
 
-  /** Exact (order-independent) dot product of two float arrays, as double. */
+  /** Exact (order-independent) dot product of two float arrays, as
+    * double — the native [[graft.functions.DotExactDec]] expression
+    * (registered session-wide by [[graft.Tables]]); value-identical to
+    * [[dotExactHof]], ~an order of magnitude cheaper per pair.
+    */
   def dotExact(a: Column, b: Column): Column =
+    call_function("dot_exact_dec", a, b)
+
+  /** The HOF formulation of the same kernel — kept as the executable
+    * specification the native expression is tested against.
+    */
+  def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
       lit(0).cast(Dec),
