@@ -92,9 +92,10 @@ object DotExactDec {
     java.lang.Double.valueOf(acc.doubleValue())
   }
 
-  private val ident = FunctionIdentifier("dot_exact_dec")
-  private val info = new ExpressionInfo(classOf[DotExactDec].getName, "dot_exact_dec")
-  private val builder = (args: Seq[Expression]) => {
+  private[functions] val ident = FunctionIdentifier("dot_exact_dec")
+  private[functions] val info =
+    new ExpressionInfo(classOf[DotExactDec].getName, "dot_exact_dec")
+  private[functions] val builder = (args: Seq[Expression]) => {
     require(args.length == 2, "dot_exact_dec takes exactly two arguments")
     DotExactDec(args(0), args(1))
   }

@@ -110,13 +110,13 @@ object MinHashMd5 {
     new GenericArrayData(mins.map(m => if (m == null) null else toHex(m)))
   }
 
-  private val ident = FunctionIdentifier("minhash_md5")
-  private val info = new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5")
-  private val builder = (args: Seq[Expression]) => {
+  private[functions] val ident = FunctionIdentifier("minhash_md5")
+  private[functions] val info =
+    new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5")
+  private[functions] val builder = (args: Seq[Expression]) => {
     require(args.length == 2 && args(1).foldable,
       "minhash_md5 takes (array<string>, literal int k)")
-    MinHashMd5(args.head,
-      args(1).eval().asInstanceOf[Number].intValue())
+    MinHashMd5(args.head, Registry.literalInt(args(1), "minhash_md5", "k"))
   }
 
   def register(spark: SparkSession): Unit =

@@ -8,10 +8,27 @@ import org.apache.spark.sql.SparkSession
   * Registration is idempotent — re-registering replaces the same entry.
   */
 object Registry {
-  def registerAll(spark: SparkSession): Unit = {
-    RollingHash64.register(spark)
-    MinHashMd5.register(spark)
-    SignBits.register(spark)
-    DotExactDec.register(spark)
-  }
+
+  /** Typed extraction of a foldable int argument — a null or non-integer
+    * literal gets a contract error at analysis, not a bare NPE/CCE.
+    */
+  private[functions] def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                                    fn: String, role: String): Int =
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn requires a non-null integer literal for $role, got: $other")
+    }
+
+  /** Registration is once-per-session: guarded on the last function so
+    * the per-table-load call site costs one registry lookup, not four
+    * synchronized writes per Tables() call.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(DotExactDec.ident)) {
+      RollingHash64.register(spark)
+      MinHashMd5.register(spark)
+      SignBits.register(spark)
+      DotExactDec.register(spark)
+    }
 }

@@ -66,9 +66,10 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 
 object RollingHash64 {
 
-  private val ident = FunctionIdentifier("rolling_hash64")
-  private val info = new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64")
-  private val builder = (args: Seq[Expression]) => {
+  private[functions] val ident = FunctionIdentifier("rolling_hash64")
+  private[functions] val info =
+    new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64")
+  private[functions] val builder = (args: Seq[Expression]) => {
     require(args.length == 1, "rolling_hash64 takes exactly one argument")
     RollingHash64(args.head)
   }
@@ -92,35 +93,10 @@ object RollingHash64 {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (FunctionIdentifier("rolling_hash64"),
-        new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
-        (args: Seq[Expression]) => {
-          require(args.length == 1, "rolling_hash64 takes exactly one argument")
-          RollingHash64(args.head)
-        }))
-    ext.injectFunction(
-      (FunctionIdentifier("minhash_md5"),
-        new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2 && args(1).foldable,
-            "minhash_md5 takes (array<string>, literal int k)")
-          MinHashMd5(args.head, args(1).eval().asInstanceOf[Number].intValue())
-        }))
-    ext.injectFunction(
-      (FunctionIdentifier("sign_bits"),
-        new ExpressionInfo(classOf[SignBits].getName, "sign_bits"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2 && args(1).foldable,
-            "sign_bits takes (array<float|double>, literal int h)")
-          SignBits(args.head, args(1).eval().asInstanceOf[Number].intValue())
-        }))
-    ext.injectFunction(
-      (FunctionIdentifier("dot_exact_dec"),
-        new ExpressionInfo(classOf[DotExactDec].getName, "dot_exact_dec"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, "dot_exact_dec takes exactly two arguments")
-          DotExactDec(args(0), args(1))
-        }))
+    // same (ident, info, builder) triples the imperative Registry uses
+    ext.injectFunction((RollingHash64.ident, RollingHash64.info, RollingHash64.builder))
+    ext.injectFunction((MinHashMd5.ident, MinHashMd5.info, MinHashMd5.builder))
+    ext.injectFunction((SignBits.ident, SignBits.info, SignBits.builder))
+    ext.injectFunction((DotExactDec.ident, DotExactDec.info, DotExactDec.builder))
   }
 }

@@ -90,12 +90,13 @@ object SignBits {
     UTF8String.fromBytes(out)
   }
 
-  private val ident = FunctionIdentifier("sign_bits")
-  private val info = new ExpressionInfo(classOf[SignBits].getName, "sign_bits")
-  private val builder = (args: Seq[Expression]) => {
+  private[functions] val ident = FunctionIdentifier("sign_bits")
+  private[functions] val info =
+    new ExpressionInfo(classOf[SignBits].getName, "sign_bits")
+  private[functions] val builder = (args: Seq[Expression]) => {
     require(args.length == 2 && args(1).foldable,
       "sign_bits takes (array<float|double>, literal int h)")
-    SignBits(args.head, args(1).eval().asInstanceOf[Number].intValue())
+    SignBits(args.head, Registry.literalInt(args(1), "sign_bits", "h"))
   }
 
   def register(spark: SparkSession): Unit =

@@ -38,8 +38,10 @@ object StreamQueries {
                        name: String): Unit = {
     val staging = s"$inDir/_staging_$name"
     Gen.writeCsv(df.coalesce(1), staging)
-    val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".csv")).head
+    val listing = Files.list(Paths.get(staging))
+    val part =
+      try listing.toArray.map(_.toString).filter(p => p.endsWith(".csv")).head
+      finally listing.close()
     Files.move(Paths.get(part), Paths.get(s"$inDir/$name.csv"))
   }
 

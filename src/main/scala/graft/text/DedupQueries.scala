@@ -27,7 +27,6 @@ object DedupQueries {
     */
   val minhashLsh: Q = (s, dir) => {
     import s.implicits._
-    graft.functions.MinHashMd5.register(s)
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
@@ -42,12 +41,12 @@ object DedupQueries {
     // verify): persist so tokenization+shingling run once per doc
     val shingled = graft.CacheTracker.persistTracked(
       corpus.select($"doc_id", wordShingles($"toks", 3).as("sh")))
-    // posexplode forces ONE evaluation of the 8-hash signature per doc;
-    // band keys are then rebuilt from the cheap exploded rows. The band
-    // table is persisted because the candidate self-join reads it twice —
+    // posexplode forces ONE evaluation of the signature per doc; band
+    // keys are then rebuilt from the cheap exploded rows. The band table
+    // is persisted because the candidate self-join reads it twice —
     // without it each side of the join re-hashes the whole corpus. The
-    // cache is O(docs × bands) short strings and lives until session end
-    // (LRU-evictable); callers looping many corpora should unpersist.
+    // cache is O(docs × bands) short strings, tracked by CacheTracker
+    // and released by the harness after this query's action completes.
     // native minhash expression (one JVM loop/row) — value-identical to
     // NearDup.minhashes, an order of magnitude cheaper than the
     // interpreted k×|shingles| HOF lambdas it replaces
@@ -198,14 +197,17 @@ object DedupQueries {
     */
   val minhashEstimate: Q = (s, dir) => {
     import s.implicits._
-    graft.functions.MinHashMd5.register(s)
     val K2 = 16
-    Tables(s, dir, "documents")
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 15)
-      .select($"doc_id",
-        wordShingles($"toks", 3).as("sh_a"),
-        wordShingles(slice($"toks", lit(1), size($"toks") - 5), 3).as("sh_b"))
+    // persisted: sh_a/sh_b are each referenced by the signature AND both
+    // halves of the exact Jaccard — CollapseProject would otherwise
+    // inline the shingle build into every reference (~6 evaluations/doc)
+    graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 15)
+        .select($"doc_id",
+          wordShingles($"toks", 3).as("sh_a"),
+          wordShingles(slice($"toks", lit(1), size($"toks") - 5), 3).as("sh_b")))
       .select($"doc_id",
         (size(filter(
           zip_with(expr(s"minhash_md5(sh_a, $K2)"),

@@ -148,7 +148,6 @@ object TextQueries {
     */
   val rollingFingerprint: Q = (s, dir) => {
     import s.implicits._
-    graft.functions.RollingHash64.register(s)
     // ASCII projection before hashing: the native expression folds UTF-8
     // BYTES while the SQL mirror folds code points — they agree only on
     // ASCII, so anything outside printable ASCII is stripped identically

@@ -95,7 +95,6 @@ object SimilarityQueries {
     */
   val annLsh: Q = (s, dir) => {
     import s.implicits._
-    graft.functions.SignBits.register(s)
     val emb = Tables(s, dir, "embeddings")
     val sigs = emb.select($"vec_id", expr(s"sign_bits(embedding, $AnnH)").as("sig"))
     val bandz = sigs.select($"vec_id",
@@ -149,7 +148,6 @@ object SimilarityQueries {
     */
   val cosineNearDup: Q = (s, dir) => {
     import s.implicits._
-    graft.functions.SignBits.register(s)
     val emb = Tables(s, dir, "embeddings")
     val raw = emb.select(explode(array(
         struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
@@ -275,13 +273,16 @@ object SimilarityQueries {
     // projection) — not once per (vector × centroid) pair. The decimal
     // norm kernel is interpreted, so paying it k× per vector was most of
     // this query's cost.
-    val centroidArr = centroids
+    // persisted: broadcast twice (fast phase + exact rescore) with
+    // different projections, which ReuseExchange can't dedup — without
+    // the cache each broadcast re-runs the whole centroid aggregation
+    val centroidArr = graft.CacheTracker.persistTracked(centroids
       .groupBy($"c_label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         s => s.getField("c")).as("cv"))
       .withColumn("cn", normExact($"cv"))
       .withColumn("cnf", sqrt(aggregate(
-        zip_with($"cv", $"cv", (x, y) => x * y), lit(0.0), (a, p) => a + p)))
+        zip_with($"cv", $"cv", (x, y) => x * y), lit(0.0), (a, p) => a + p))))
     val vectors = emb
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))

@@ -36,12 +36,14 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
 }
 
 /** write() executed against a REAL database: Spark's classpath ships
-  * embedded Apache Derby, whose ANSI MERGE renders the same keyed
-  * last-write-wins contract as the Postgres ON CONFLICT statement. The
-  * in-memory Derby instance is shared by every task in local mode, so
-  * the distributed foreachPartition path, the chunking, and the real
-  * PreparedStatement round-trip all execute — insert, cross-batch
-  * update, and intra-batch duplicate resolution included.
+  * embedded Apache Derby. Derby supports neither ON CONFLICT nor a
+  * VALUES-sourced MERGE, so the DerbyUpsert dialect renders the same
+  * keyed last-write-wins contract as batched UPDATE-then-INSERT (safe
+  * under the sink's by-key partitioning). The in-memory Derby instance
+  * is shared by every task in local mode, so the distributed
+  * foreachPartition path, the chunking, and the real PreparedStatement
+  * round-trip all execute — insert, cross-batch update, and
+  * intra-batch duplicate resolution included.
   */
 class JdbcUpsertSinkDerbySpec extends SparkSpec {
 
