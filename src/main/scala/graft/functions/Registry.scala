@@ -25,10 +25,11 @@ object Registry {
     * synchronized writes per Tables() call.
     */
   def registerAll(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(DotExactDec.ident)) {
+    if (!spark.sessionState.functionRegistry.functionExists(WordShingles.ident)) {
       RollingHash64.register(spark)
       MinHashMd5.register(spark)
       SignBits.register(spark)
       DotExactDec.register(spark)
+      WordShingles.register(spark)
     }
 }

@@ -20,10 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Distinct n-word shingles of a token array (empty when too short —
-    * Spark's `sequence(0, negative)` would otherwise count DOWN).
+  /** Distinct n-word shingles of a token array — the native
+    * [[graft.functions.WordShingles]] expression (registered
+    * session-wide by [[graft.Tables]]); value-identical to
+    * [[wordShinglesHof]], one hash-set pass per row instead of an
+    * interpreted transform/slice/join/distinct chain per shingle.
     */
   def wordShingles(toks: Column, n: Int): Column =
+    call_function("word_shingles", toks, lit(n))
+
+  /** HOF formulation of the same shingling (empty when too short —
+    * Spark's `sequence(0, negative)` would otherwise count DOWN); kept
+    * as the executable spec the native expression is tested against.
+    */
+  def wordShinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
