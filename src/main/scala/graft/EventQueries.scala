@@ -156,7 +156,40 @@ object EventQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Daily cohort retention: DAU plus how many of a day's users are
+    * active again the next day — the canonical activity self-join of a
+    * product-analytics engine. The (user, day) activity table is built
+    * once (distinct = one shuffle), persisted for its self-join, and
+    * the join key is the pure equi-pair (user_id, d = d+1), so it plans
+    * as a hash join — no range scan, no cross product.
+    */
+  val retentionDaily: Q = (s, dir) => {
+    import s.implicits._
+    val daily = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("d")).distinct())
+    val dau = daily.groupBy($"d").agg(count(lit(1)).as("dau"))
+    val ret = daily.alias("a").join(daily.alias("b"),
+        $"a.user_id" === $"b.user_id" && $"b.d" === date_add($"a.d", 1))
+      .groupBy($"a.d".as("d")).agg(count(lit(1)).as("retained_next_day"))
+    dau.join(ret, Seq("d"), "left")
+      .select($"d", $"dau",
+        coalesce($"retained_next_day", lit(0L)).as("retained_next_day"))
+      .orderBy($"d")
+  }
+
+  val retentionDailySql: String =
+    """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY d),
+      |ret AS (SELECT a.d AS d, CAST(COUNT(*) AS BIGINT) AS retained_next_day
+      |        FROM daily a JOIN daily b
+      |          ON a.user_id = b.user_id AND b.d = a.d + 1
+      |        GROUP BY a.d)
+      |SELECT d, dau, coalesce(retained_next_day, 0) AS retained_next_day
+      |FROM dau LEFT JOIN ret USING (d) ORDER BY d""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_retention_daily" -> (retentionDaily, Some(retentionDailySql)),
     "events_zscore_anomalies" -> (zscoreAnomalies, Some(zscoreSql)),
     "events_tumbling_10m" -> (tumbling, Some(tumblingSql)),
     "events_sliding_10m5m" -> (sliding, Some(slidingSql)),
