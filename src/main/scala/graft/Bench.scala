@@ -11,7 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // shuffle/spill on tmpfs: this host's disk stalls under iowait and
       // was adding 10x noise to shuffle-heavy query timings
-      .config("spark.local.dir", s"${Scratch.dir}/spark-local")
+      .config("spark.local.dir", Scratch.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup so the first measured query doesn't pay one-time

@@ -15,8 +15,7 @@ object RefQueries {
   /** Per-JVM token for temp-file paths: two harness processes hitting the
     * same sf dir concurrently must not share scratch CSVs.
     */
-  private[graft] val runToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  private[graft] def runToken: String = Scratch.runToken
 
   /** O14 — deterministic synthetic locations (reference: parallel CSV
     * generator, `cmd/gen_file/main.go`).

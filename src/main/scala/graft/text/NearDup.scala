@@ -25,9 +25,13 @@ object NearDup {
     * session-wide by [[graft.Tables]]); value-identical to
     * [[wordShinglesHof]], one hash-set pass per row instead of an
     * interpreted transform/slice/join/distinct chain per shingle.
+    * The coalesce mirrors the HOF's null contract (null tokens array →
+    * EMPTY shingle set, not null — the expression itself is null-safe
+    * like any UnaryExpression).
     */
   def wordShingles(toks: Column, n: Int): Column =
-    call_function("word_shingles", toks, lit(n))
+    coalesce(call_function("word_shingles", toks, lit(n)),
+      array().cast("array<string>"))
 
   /** HOF formulation of the same shingling (empty when too short —
     * Spark's `sequence(0, negative)` would otherwise count DOWN); kept

@@ -23,6 +23,15 @@ class WordShinglesSpec extends SparkSpec {
     }
   }
 
+  test("null input array yields an empty shingle set on both formulations") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      NearDup.wordShingles(lit(null).cast("array<string>"), 3).as("n"),
+      NearDup.wordShinglesHof(lit(null).cast("array<string>"), 3).as("h"))
+    val r = df.head()
+    assert(r.getSeq[String](0) == Seq.empty && r.getSeq[String](1) == Seq.empty)
+  }
+
   test("null tokens are skipped inside a shingle like array_join skips them") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(
