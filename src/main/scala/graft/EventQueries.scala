@@ -188,7 +188,42 @@ object EventQueries {
       |SELECT d, dau, coalesce(retained_next_day, 0) AS retained_next_day
       |FROM dau LEFT JOIN ret USING (d) ORDER BY d""".stripMargin
 
+  /** MapType surface: per-user feature map event_type → count built
+    * with map_from_entries, then queried with map_keys / element_at —
+    * the per-entity feature-bag shape a training pipeline materializes.
+    * Output is scalarized (sorted key join + extracted entries) for the
+    * comparator; the oracle mirrors the SEMANTICS with plain grouping,
+    * which is the point — the map is a layout choice, not a result.
+    */
+  val eventTypeMap: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .filter($"user_id" <= 200)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"event_type", $"n")))).as("m"))
+      .select($"user_id",
+        size($"m").as("n_types"),
+        array_join(sort_array(map_keys($"m")), "|").as("types"),
+        coalesce(element_at($"m", "click"), lit(0L)).as("n_clicks"),
+        coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchases"))
+      .orderBy($"user_id")
+  }
+
+  val eventTypeMapSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE user_id <= 200 GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS INT) AS n_types,
+      |  array_to_string(list_sort(list(event_type)), '|') AS types,
+      |  CAST(coalesce(SUM(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS n_clicks,
+      |  CAST(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchases
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_type_count_map" -> (eventTypeMap, Some(eventTypeMapSql)),
     "events_retention_daily" -> (retentionDaily, Some(retentionDailySql)),
     "events_zscore_anomalies" -> (zscoreAnomalies, Some(zscoreSql)),
     "events_tumbling_10m" -> (tumbling, Some(tumblingSql)),
