@@ -69,8 +69,91 @@ object StreamQueries {
       Seq("locid"), col("seq")).orderBy("locid")
   }
 
+  /** Event-TIME streaming under the gate: the events feed replayed as
+    * CSV files through `readStream` → watermark → 10-minute tumbling
+    * windows → append-mode parquet, run to completion with
+    * `Trigger.AvailableNow`, and hash-checked against the batch SQL.
+    *
+    * Append mode only emits a window once the watermark passes it, so a
+    * finite replay would otherwise hold its tail windows in state
+    * forever. Two sentinel events (one and two days past the corpus)
+    * advance the watermark beyond every real window, and the follow-up
+    * micro-batches emit the held state before AvailableNow terminates;
+    * the sentinels' own rows are dropped in the final batch read (NOT
+    * in the stream — see the in-line note on filter pushdown). The
+    * oracle knows nothing about any of this — it is the plain batch
+    * GROUP BY — which is exactly the claim being gated: event-time
+    * streaming and batch agree row-for-row.
+    */
+  val streamTumblingCounts: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val root = s"${graft.Scratch.dir}/graft_stream_" +
+      s"${RefQueries.runToken}_${invocation.incrementAndGet()}"
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", $"value")
+    stageCsv(ev, in, "b1")
+    val maxUs = ev.agg(max($"us")).head().getLong(0)
+    // TWO sentinel batches: the first advances the watermark past every
+    // real window, the second forces one more micro-batch in which that
+    // advanced watermark actually EMITS the held state — AvailableNow
+    // terminates after the last file, without a trailing no-data batch
+    stageCsv(Seq((-1L, maxUs + 86400L * 1000000, "__sentinel__", 0.0))
+      .toDF("event_id", "us", "event_type", "value"), in, "b2")
+    stageCsv(Seq((-2L, maxUs + 2 * 86400L * 1000000, "__sentinel__", 0.0))
+      .toDF("event_id", "us", "event_type", "value"), in, "b3")
+    // batches must be DISCOVERED in order: the file source sorts by
+    // modification time
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000)
+    new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000)
+    val q = s.readStream
+      .schema("event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      // watermarks require TimestampType; the session is UTC, so the
+      // final cast to NTZ restores the corpus's naive wall-clock for
+      // the dump (comparator reads both engines' output tz-naive).
+      // NOTE: no sentinel filter here — a stream-side filter gets
+      // PUSHED BELOW the EventTimeWatermark node by the optimizer, so
+      // the sentinels would never advance the watermark (measured: the
+      // two tail windows stayed unemitted). Sentinel rows flow through
+      // the aggregation and are dropped in the batch read below.
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"),
+        $"event_type", $"n", $"total_value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .filter($"event_type" =!= "__sentinel__")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val streamTumblingSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+       |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events WHERE user_id <= 300
+       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     // the batch twin's oracle IS the contract: stream result == batch result
-    "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql))
+    "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql)),
+    "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql))
   )
 }
