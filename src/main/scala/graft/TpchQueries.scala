@@ -64,6 +64,67 @@ object TpchQueries {
        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q6-shaped forecasting revenue: the pure scan query — range +
+    * band + threshold predicates, ALL pushed into the parquet scan, one
+    * partial-then-final aggregate of a single decimal sum. At 100 TB
+    * this is the query whose cost IS the scan; anything beyond pushdown
+    * + pruning would be overhead.
+    */
+  val q6ForecastRevenue: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") &&
+        $"l_shipdate" < ts("1998-01-01") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10-shaped returned-item reporting: customers ranked by
+    * revenue lost to returns in a quarter. lineitem/orders/customer
+    * shuffle on their keys; constant-size nation broadcasts; top-20 via
+    * orderBy+limit plans as TakeOrderedAndProject.
+    */
+  val q10ReturnedItems: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-01-01") &&
+        $"o_orderdate" < ts("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** TPC-H Q5-shaped local-supplier revenue: 6-table join. region and
     * nation are constant-size → broadcast; supplier/customer/orders/
     * lineitem shuffle on join keys (they all grow with SF).
@@ -407,6 +468,8 @@ object TpchQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority, Some(q3Sql)),
+    "q6_forecast_revenue" -> (q6ForecastRevenue, Some(q6Sql)),
+    "q10_returned_items" -> (q10ReturnedItems, Some(q10Sql)),
     "q5_region_revenue" -> (q5RegionRevenue, Some(q5Sql)),
     "q17_small_qty_revenue" -> (q17SmallQty, Some(q17Sql)),
     "join_left_big_orders" -> (joinLeftBigOrders, Some(joinLeftSql)),

@@ -24,6 +24,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p)
   }
 
+  test("q6 pushes every predicate into the scan and reads only needed columns") {
+    val p = plan("q6_forecast_revenue")
+    // the PushedFilters list is elided in toString past ~100 chars — the
+    // leading entries plus the exact 4-column ReadSchema pin the rest
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
   test("q3 pushes all three dimension filters into their scans") {
     val p = plan("q3_shipping_priority")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
