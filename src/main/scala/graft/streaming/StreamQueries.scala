@@ -54,11 +54,19 @@ object StreamQueries {
     * `seq`, the result is identical whether the source saw one batch or
     * ten — the property that makes the plan replay-safe at scale.
     */
-  val streamIngestDedup: Q = (s, _) => {
+  /** Fresh (input, output, checkpoint) dirs for one streaming-gate
+    * invocation, under the tracked scratch root.
+    */
+  private def streamDirs(): (String, String, String) = {
     val root = s"${graft.Scratch.dir}/graft_stream_" +
       s"${RefQueries.runToken}_${invocation.incrementAndGet()}"
-    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    val in = s"$root/in"
     Files.createDirectories(Paths.get(in))
+    (in, s"$root/out", s"$root/ck")
+  }
+
+  val streamIngestDedup: Q = (s, _) => {
+    val (in, out, ck) = streamDirs()
     stageCsv(Gen.locations(s, 1000).withColumn("seq", lit(1L)), in, "b1")
     stageCsv(Gen.locations(s, 200)
       .withColumn("business", concat(lit("DUP_"), col("business")))
@@ -88,16 +96,18 @@ object StreamQueries {
   val streamTumblingCounts: Q = (s, dir) => {
     import s.implicits._
     import graft.functions.Exact.dsum
-    val root = s"${graft.Scratch.dir}/graft_stream_" +
-      s"${RefQueries.runToken}_${invocation.incrementAndGet()}"
-    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
-    Files.createDirectories(Paths.get(in))
+    val (in, out, ck) = streamDirs()
     val ev = graft.Tables(s, dir, "events")
       .filter($"user_id" <= 300)
       .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
         $"event_type", $"value")
     stageCsv(ev, in, "b1")
-    val maxUs = ev.agg(max($"us")).head().getLong(0)
+    // read the max back from the staged CSV instead of re-scanning the
+    // (SF-scaling) events parquet a second time
+    val maxUs = s.read
+      .schema("event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(s"$in/b1.csv")
+      .agg(max($"us")).head().getLong(0)
     // TWO sentinel batches: the first advances the watermark past every
     // real window, the second forces one more micro-batch in which that
     // advanced watermark actually EMITS the held state — AvailableNow
@@ -107,10 +117,13 @@ object StreamQueries {
     stageCsv(Seq((-2L, maxUs + 2 * 86400L * 1000000, "__sentinel__", 0.0))
       .toDF("event_id", "us", "event_type", "value"), in, "b3")
     // batches must be DISCOVERED in order: the file source sorts by
-    // modification time
+    // modification time, and setLastModified reports failure via a
+    // boolean — fail loudly rather than let the gate flake on a
+    // filesystem that ignores it
     val t0 = new java.io.File(s"$in/b1.csv").lastModified()
-    new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000)
-    new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000)
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
     val q = s.readStream
       .schema("event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
       .option("header", "true")
