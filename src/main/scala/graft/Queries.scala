@@ -60,16 +60,81 @@ object Queries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** name -> (query, Some(oracle sql) | None for rows-only-checked ops) */
-  /** Rows-only checked (decode stub is JVM code, not SQL-expressible). */
+  /** Media featurization summary. The JVM decode path (`javax.imageio`) is
+    * exercised in MultimodalSpec against real PNG bytes; on the synthetic
+    * corpus every payload falls through to the deterministic fallback
+    * raster `pixel(i) = byte(i mod len)` over per-id LCG bytes — pure
+    * integer arithmetic, and therefore fully DuckDB-expressible (the
+    * oracle below reproduces the LCG, the nearest-neighbour 16×16 resize,
+    * the 16-bin histogram, and the float32 embedding head bit-for-bit).
+    */
   val multimodalPipeline: Q =
     (s, _) => graft.multimodal.Multimodal.pipelineSummary(s, 200)
+
+  /** DuckDB mirror of [[multimodalPipeline]] on the synthetic corpus.
+    *
+    * 64-bit LCG state is carried as a non-negative HUGEINT mod 2^64
+    * (DuckDB BIGINT traps on overflow; Scala Long wraps). The worst-case
+    * intermediate `s * A` is < 2^64 * 2^63 < 2^127, inside HUGEINT range.
+    * `s >>> 56` becomes integer division by 2^56. Resize indexing matches
+    * `Multimodal.Codecs.resize` exactly: small(y,x) = px((y*h/16)*w + x*w/16)
+    * with integer division, and px(p) = byte(p mod len).
+    */
+  val multimodalPipelineSql: String =
+    """WITH RECURSIVE ids AS (
+      |  SELECT range::BIGINT AS id FROM range(200)
+      |),
+      |lcg AS (
+      |  SELECT id, 0 AS i,
+      |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+      |         (256 + id % 512) AS len
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT id, i + 1,
+      |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+      |         len
+      |  FROM lcg WHERE i < len - 1
+      |),
+      |small AS (
+      |  SELECT i.id,
+      |         ((p.range // 16) * (32 + i.id % 16) // 16) * (32 + i.id % 32)
+      |           + (p.range % 16) * (32 + i.id % 32) // 16 AS big_idx,
+      |         (256 + i.id % 512) AS len
+      |  FROM ids i, range(256) p
+      |),
+      |vals AS (
+      |  SELECT sm.id, (l.s // 72057594037927936)::INT AS b
+      |  FROM small sm JOIN lcg l ON l.id = sm.id AND l.i = sm.big_idx % sm.len
+      |),
+      |agg AS (
+      |  SELECT id, CAST(SUM(b) AS BIGINT) AS ssum,
+      |         md5(array_to_string(list_value(
+      |           COUNT(*) FILTER (WHERE b // 16 = 0),  COUNT(*) FILTER (WHERE b // 16 = 1),
+      |           COUNT(*) FILTER (WHERE b // 16 = 2),  COUNT(*) FILTER (WHERE b // 16 = 3),
+      |           COUNT(*) FILTER (WHERE b // 16 = 4),  COUNT(*) FILTER (WHERE b // 16 = 5),
+      |           COUNT(*) FILTER (WHERE b // 16 = 6),  COUNT(*) FILTER (WHERE b // 16 = 7),
+      |           COUNT(*) FILTER (WHERE b // 16 = 8),  COUNT(*) FILTER (WHERE b // 16 = 9),
+      |           COUNT(*) FILTER (WHERE b // 16 = 10), COUNT(*) FILTER (WHERE b // 16 = 11),
+      |           COUNT(*) FILTER (WHERE b // 16 = 12), COUNT(*) FILTER (WHERE b // 16 = 13),
+      |           COUNT(*) FILTER (WHERE b // 16 = 14), COUNT(*) FILTER (WHERE b // 16 = 15)
+      |         ), ',')) AS hist_digest
+      |  FROM vals GROUP BY id
+      |)
+      |SELECT id AS media_id,
+      |       CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |       (256 + id % 512)::INT AS n_bytes,
+      |       round(ssum / 256.0, 6) AS mean_intensity,
+      |       256::BIGINT AS hist_sum,
+      |       hist_digest,
+      |       round(CAST(CAST(ssum / 256.0 / 255.0 AS REAL) AS DOUBLE), 6) AS emb_0
+      |FROM agg ORDER BY media_id""".stripMargin
 
   val all: Map[String, (Q, Option[String])] = {
     val modules: Seq[Map[String, (Q, Option[String])]] = Seq(
       Map(
         "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
-        "multimodal_pipeline" -> (multimodalPipeline, None)),
+        "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.DedupQueries.all,

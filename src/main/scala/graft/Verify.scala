@@ -16,6 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Drop stale dumps from prior runs: a leftover directory for a since-
+    // renamed query would otherwise be picked up by the comparator as a
+    // rows-only entry and pollute the gate.
+    val live = SparkEntry.queries.keySet
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !live.contains(f.getName))
+      .foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+        }
+        rm(f)
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
