@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at the SF dir given
+  * by SPARK_GRAFT_SF_DIR and prints ONE compact JSON line.
+  *
+  * Noise control (the round-3 bench was taken on a host whose disk stalls
+  * under iowait and single-run timings showed phantom 3-4x regressions):
+  *   - shuffle/spill lives on tmpfs ([[Scratch.sparkLocalDir]]);
+  *   - each query runs REPS times and the MEDIAN is reported, so one
+  *     stalled run cannot masquerade as a plan regression;
+  *   - timings are rounded to milliseconds to keep the JSON line short
+  *     enough that a tail-capture of the run log cannot truncate it.
+  */
 object Bench {
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,21 +34,32 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).schema catch { case _: Throwable => }
     }
-    val errors = scala.collection.mutable.ListBuffer[String]()
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      } finally CacheTracker.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              errors += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          } finally CacheTracker.releaseAll()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      // median of the successful reps; a failed query reports its wall
+      // time as 0 and lands in `errors`
+      val med =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply(times.size / 2)
+      name -> med
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
