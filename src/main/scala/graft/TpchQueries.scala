@@ -466,8 +466,103 @@ object TpchQueries {
       |  p_brand || '|' || p_type AS brand_type
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------- correlated-subquery shapes
+
+  /** TPC-H Q4-shaped order-priority checking: correlated EXISTS whose
+    * predicate references the outer row BEYOND the join key
+    * (`l_shipdate > o_orderdate`), written as SQL so Catalyst's
+    * subquery decorrelation (RewritePredicateSubquery → left semi join)
+    * actually runs — the DataFrame twin would hand-build the semi join
+    * and skip the rewrite. One shuffle on orderkey for the semi join;
+    * the date filter pushes into the orders scan.
+    *
+    * (The canonical Q4 correlates on l_commitdate < l_receiptdate; this
+    * corpus has no commit/receipt dates — FIXTURES.md — so "shipped after
+    * order date" stands in, preserving the non-equi correlated shape.)
+    */
+  private def q4Body(orders: String, lineitem: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM $orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01'
+       |  AND EXISTS (SELECT 1 FROM $lineitem
+       |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val q4OrderPriority: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q4")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    s.sql(q4Body("orders_q4", "lineitem_q4"))
+  }
+
+  val q4Sql: String = q4Body("orders", "lineitem")
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT OUTER join
+    * with a predicate on the RIGHT side inside the join condition (so
+    * customers whose only orders are urgent still count as 0), then a
+    * second aggregate over the first's result. Two shuffles — custkey,
+    * then c_count — both unavoidable; the first may broadcast at small SF.
+    */
+  val q13CustomerDistribution: Q = (s, dir) => {
+    import s.implicits._
+    val perCust = Tables(s, dir, "customer").select("c_custkey")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume customers: group-HAVING feeding an IN
+    * subquery (SQL form so Catalyst decorrelates the IN into a semi join
+    * against the aggregated lineitem), then re-join and re-aggregate for
+    * the report. The HAVING threshold (sum qty > 250 ≈ p99 here) keeps
+    * the semi-join build side tiny — the property that makes this a
+    * broadcast at any SF.
+    */
+  private def q18Body(customer: String, orders: String, lineitem: String): String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |  ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM $customer
+       |  JOIN $orders ON c_custkey = o_custkey
+       |  JOIN $lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM $lineitem
+       |  GROUP BY l_orderkey
+       |  HAVING ${sqlDsum("l_quantity")} > 250)
+       |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  val q18LargeVolume: Q = (s, dir) => {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q18")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q18")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+    s.sql(q18Body("customer_q18", "orders_q18", "lineitem_q18"))
+  }
+
+  val q18Sql: String = q18Body("customer", "orders", "lineitem")
+
   val all: Map[String, (Q, Option[String])] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority, Some(q3Sql)),
+    "q4_order_priority" -> (q4OrderPriority, Some(q4Sql)),
+    "q13_customer_distribution" -> (q13CustomerDistribution, Some(q13Sql)),
+    "q18_large_volume" -> (q18LargeVolume, Some(q18Sql)),
     "q6_forecast_revenue" -> (q6ForecastRevenue, Some(q6Sql)),
     "q10_returned_items" -> (q10ReturnedItems, Some(q10Sql)),
     "q5_region_revenue" -> (q5RegionRevenue, Some(q5Sql)),

@@ -47,6 +47,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(r_name,ASIA)"), p)
   }
 
+  test("q4 decorrelates the EXISTS to a semi join with the date filter pushed down") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), "correlated EXISTS must become a semi join:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13 keeps the priority predicate inside the left join, not a post-filter") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("LeftOuter"), p)
+    // the <> predicate belongs to the orders side scan/join, so the
+    // customer side retains its null-extended rows
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+  }
+
+  test("q18 decorrelates the IN to a semi join and pushes only needed columns") {
+    val p = plan("q18_large_volume")
+    assert(p.contains("LeftSemi"), "IN (group-having subquery) must become a semi join:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not be a global sort:\n" + p)
+  }
+
   test("pagination plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("ref_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
