@@ -25,6 +25,21 @@ class AnnRecallSpec extends SparkSpec {
       s"recall vs exact top-10 collapsed: $hits/${exact.size}")
   }
 
+  test("IVF probe search recalls most of the exact top-5 from 2 of 10 cells") {
+    val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
+      .select("q_id", "vec_id", "rank").collect()
+      .filter(_.getInt(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = pairs("sim_ivf_search") // top-5 within the probed cells
+    graft.CacheTracker.releaseAll()
+    assert(ivf.nonEmpty, "probing must produce candidates on this corpus")
+    val hits = ivf.intersect(exact).size.toDouble
+    // labels are clustered, so a query's true neighbors live in its own
+    // and nearest cells: probing 2/10 cells must keep most of top-5
+    assert(hits / exact.size >= 0.6,
+      s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
