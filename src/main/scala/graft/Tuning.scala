@@ -1,0 +1,41 @@
+package graft
+
+/** Deployment-facing sizing knobs for the sketch/LSH operators,
+  * env-overridable like SPARK_GRAFT_CPUS. The defaults are the values
+  * derived for the gate corpus; the derivations live with the use sites
+  * (occupancy math in [[graft.vector.SimilarityQueries]], banding math
+  * in [[graft.text.DedupQueries]]).
+  *
+  * Sizing rule of thumb for banded LSH at a different corpus size n:
+  * with background per-bit agreement p₀, candidate pairs ≈
+  * b·(n²/2)·p₀^r — pick r ≈ log_{1/p₀}(b·n²/(2·target_candidates))
+  * (r grows with log n), then pick b so twin recall 1-(1-p₁^r)^b hits
+  * the target for the similarity floor p₁ you must not miss. The
+  * signature width the native expressions take is b·r, so these knobs
+  * fully determine the plan — same shape at 10⁴ or 10¹⁰ rows, only the
+  * constants move.
+  *
+  * Both the Spark query AND its DuckDB oracle SQL are built from the
+  * same vals at object init, so an override keeps the gate coherent.
+  */
+object Tuning {
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).map(_.trim.toInt).getOrElse(default)
+
+  /** MinHash sketch width (permutations). */
+  val minhashK: Int = envInt("SPARK_GRAFT_MINHASH_K", 8)
+  /** MinHash LSH: bands of r hashes (AND within a band, OR across). */
+  val minhashBands: Int = envInt("SPARK_GRAFT_MINHASH_BANDS", 4)
+  val minhashR: Int = envInt("SPARK_GRAFT_MINHASH_R", 2)
+
+  /** Sign-LSH near-dup banding (embedding twins). */
+  val ndBands: Int = envInt("SPARK_GRAFT_ND_BANDS", 4)
+  val ndR: Int = envInt("SPARK_GRAFT_ND_R", 24)
+
+  /** Sign-LSH ANN banding (lower-similarity neighbors → shorter bands). */
+  val annBands: Int = envInt("SPARK_GRAFT_ANN_BANDS", 3)
+  val annR: Int = envInt("SPARK_GRAFT_ANN_R", 6)
+
+  /** IVF cells probed per query (reads ~probes/k of the corpus). */
+  val ivfProbes: Int = envInt("SPARK_GRAFT_IVF_PROBES", 4)
+}

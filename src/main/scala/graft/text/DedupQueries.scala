@@ -18,9 +18,9 @@ import NearDup._
 object DedupQueries {
   import Queries.Q
 
-  private val K = 8     // minhash permutations
-  private val Bands = 4 // LSH bands of r = 2 hashes each (AND-amplified)
-  private val R = 2
+  private val K = graft.Tuning.minhashK         // minhash permutations
+  private val Bands = graft.Tuning.minhashBands // LSH bands (AND-amplified)
+  private val R = graft.Tuning.minhashR         // hashes per band
 
   /** MinHash + LSH near-dup pairs: originals vs copies with the last 5
     * words dropped; recovered pairs verified by exact shingle Jaccard.

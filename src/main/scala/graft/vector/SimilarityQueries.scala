@@ -46,8 +46,8 @@ object SimilarityQueries {
     * per-band survival is 0.984²⁴ ≈ 0.68 and 4 bands put twin recall at
     * 1-(1-0.68)⁴ ≈ 0.99.
     */
-  private val NdB = 4  // near-dup bands
-  private val NdR = 24 // bits per near-dup band
+  private val NdB = graft.Tuning.ndBands // near-dup bands
+  private val NdR = graft.Tuning.ndR     // bits per near-dup band
   private val NdH = NdB * NdR
 
   /** ANN probes lower-similarity neighbors (bit agreement ~0.67), so it
@@ -56,20 +56,29 @@ object SimilarityQueries {
     * layout at the same join cost (the query side is 5 rows; candidate
     * work is b·q·n/2^r, linear in n).
     */
-  private val AnnB = 3
-  private val AnnR = 6
-  private val AnnH = AnnB * AnnR
+  private val AnnB = graft.Tuning.annBands
+  private val AnnR = graft.Tuning.annR
 
-  /** Brute-force exact cosine top-10 for query vectors 0-4. */
+  /** Brute-force exact cosine top-10 for query vectors 0-4.
+    *
+    * Norms are hoisted out of the pair loop: the corpus norm is computed
+    * once per VECTOR in the scan-side projection (which stays below the
+    * join — Catalyst cannot collapse a Project through it) and the query
+    * norms ride the broadcast, so each (corpus × query) pair runs ONE
+    * dot_exact_dec kernel, not three. Division association dot/(na·nb)
+    * is unchanged, so the values are bit-identical to the inline form.
+    */
   val knnBrute: Q = (s, dir) => {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
     val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cosine"))
+      .select($"q_id", $"vec_id",
+        (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .withColumn("cosine", round($"cosine", 9))
@@ -93,37 +102,51 @@ object SimilarityQueries {
     * cosine. Band rows carry only (id, band, key) — the embeddings join
     * back by id after the (tiny) candidate set is known.
     */
-  val annLsh: Q = (s, dir) => {
+  val annLsh: Q = annLshWith(AnnB, AnnR)
+
+  /** [[annLsh]] at explicit (bands, bits-per-band) — the deployment knob
+    * ([[graft.Tuning]]); the gate runs the defaults, BandingSpec runs a
+    * non-default shape to prove the parameterization is live.
+    */
+  def annLshWith(annB: Int, annR: Int): Q = (s, dir) => {
     import s.implicits._
+    val annH = annB * annR
     val emb = Tables(s, dir, "embeddings")
-    val sigs = emb.select($"vec_id", expr(s"sign_bits(embedding, $AnnH)").as("sig"))
+    val sigs = emb.select($"vec_id", expr(s"sign_bits(embedding, $annH)").as("sig"))
     val bandz = sigs.select($"vec_id",
-        posexplode(transform(sequence(lit(0), lit(AnnB - 1)),
-          b => $"sig".substr(b * AnnR + 1, lit(AnnR)))))
+        posexplode(transform(sequence(lit(0), lit(annB - 1)),
+          b => $"sig".substr(b * annR + 1, lit(annR)))))
       .toDF("vec_id", "band", "bkey")
     val qBands = bandz.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"band", $"bkey")
     val cand = bandz.join(broadcast(qBands), Seq("band", "bkey"))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id").distinct()
-    val q = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // norms hoisted as in [[knnBrute]]: once per corpus row in the scan
+    // projection, once per query through the broadcast — one decimal
+    // kernel per candidate pair in the rescore
+    val embN = emb.select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+    val q = embN.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    cand.join(emb.select($"vec_id", $"embedding"), "vec_id")
+    cand.join(embN, "vec_id")
       .join(broadcast(q), "q_id")
-      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cosine"))
+      .select($"q_id", $"vec_id",
+        (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .withColumn("cosine", round($"cosine", 9))
       .orderBy($"q_id", $"rank")
   }
 
-  val annLshSql: String =
+  val annLshSql: String = annLshSqlWith(AnnB, AnnR)
+
+  def annLshSqlWith(annB: Int, annR: Int): String =
     s"""WITH sigs AS (SELECT vec_id,
-       |    ${sqlSignBits("embedding", AnnH)} AS sig FROM embeddings),
+       |    ${sqlSignBits("embedding", annB * annR)} AS sig FROM embeddings),
        |bands AS (
-       |  SELECT vec_id, bi AS band, substr(sig, CAST(bi * $AnnR AS INT) + 1, $AnnR) AS bkey
-       |  FROM sigs CROSS JOIN range(0, $AnnB) t(bi)),
+       |  SELECT vec_id, bi AS band, substr(sig, CAST(bi * $annR AS INT) + 1, $annR) AS bkey
+       |  FROM sigs CROSS JOIN range(0, $annB) t(bi)),
        |qb AS (SELECT vec_id AS q_id, band, bkey FROM bands WHERE vec_id < 5),
        |cand AS (
        |  SELECT DISTINCT q.q_id, b.vec_id
@@ -386,7 +409,7 @@ object SimilarityQueries {
     * quantizer would concentrate them at depth 1–2. p=4/k=10 still cuts
     * the scored set 2.5× vs brute force.
     */
-  private val IvfProbes = 4
+  private val IvfProbes = graft.Tuning.ivfProbes
 
   val ivfSearch: Q = (s, dir) => {
     import s.implicits._
@@ -470,12 +493,15 @@ object SimilarityQueries {
   val knnTopkAgg: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.{ScoredId, TopKByScore}
+    // norms hoisted as in [[knnBrute]] — one decimal kernel per pair
     val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
     val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("score"))
+      .select($"q_id", $"vec_id",
+        (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("score"))
       .as[ScoredId]
     scored.groupByKey(_.q_id)
       .agg(new TopKByScore(10).toColumn.name("top"))
