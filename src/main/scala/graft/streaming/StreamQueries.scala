@@ -164,9 +164,156 @@ object StreamQueries {
        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
   }
 
+  /** SLIDING windows under the gate (same sentinel-watermark technique as
+    * [[streamTumblingCounts]]): 10-minute windows sliding every 5, so
+    * every event lands in two windows and append mode must hold BOTH
+    * until the watermark clears them. Sentinel rows land a day past the
+    * corpus in their own windows; the final batch read drops every
+    * window starting after the last real event (sentinel windows are the
+    * only ones there).
+    */
+  val streamSlidingCounts: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"), $"value")
+    stageCsv(ev, in, "b1")
+    val csvSchema = "event_id BIGINT, us BIGINT, value DOUBLE"
+    val maxUs = s.read.schema(csvSchema).option("header", "true")
+      .csv(s"$in/b1.csv").agg(max($"us")).head().getLong(0)
+    stageCsv(Seq((-1L, maxUs + 86400L * 1000000, 0.0))
+      .toDF("event_id", "us", "value"), in, "b2")
+    stageCsv(Seq((-2L, maxUs + 2 * 86400L * 1000000, 0.0))
+      .toDF("event_id", "us", "value"), in, "b3")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
+    val q = s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"),
+        $"n", $"total_value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .filter($"w_start" <= timestamp_micros(lit(maxUs)).cast("timestamp_ntz"))
+      .orderBy($"w_start")
+  }
+
+  val streamSlidingSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH e AS (SELECT value,
+       |    time_bucket(INTERVAL '5 minutes', ts) AS tb
+       |  FROM events WHERE user_id <= 300),
+       |w AS (SELECT value,
+       |    unnest([tb, tb - INTERVAL '5 minutes']) AS w_start FROM e)
+       |SELECT w_start, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin
+  }
+
+  /** SESSION windows under the gate: Structured Streaming's native
+    * `session_window` (30-minute inactivity gap) with merging state,
+    * checked against the SAME batch formulation the lag/running-sum
+    * oracle uses — the strongest equivalence claim in the streaming
+    * surface, since sessions are the one window shape whose state
+    * MERGES as events arrive. Sentinels run under user_id -1 so they
+    * sessionize separately; the per-user session ordinal the batch
+    * oracle numbers is re-derived from the emitted session starts.
+    */
+  val streamSessions: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"value")
+    stageCsv(ev, in, "b1")
+    val csvSchema = "event_id BIGINT, user_id BIGINT, us BIGINT, value DOUBLE"
+    val maxUs = s.read.schema(csvSchema).option("header", "true")
+      .csv(s"$in/b1.csv").agg(max($"us")).head().getLong(0)
+    stageCsv(Seq((-1L, -1L, maxUs + 86400L * 1000000, 0.0))
+      .toDF("event_id", "user_id", "us", "value"), in, "b2")
+    stageCsv(Seq((-2L, -1L, maxUs + 2 * 86400L * 1000000, 0.0))
+      .toDF("event_id", "user_id", "us", "value"), in, "b3")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
+    val q = s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(min($"ts").as("ss"), max($"ts").as("se"),
+        count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .select($"user_id",
+        $"ss".cast("timestamp_ntz").as("sess_start"),
+        $"se".cast("timestamp_ntz").as("sess_end"),
+        $"n_events", $"total_value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sess_start")
+    s.read.parquet(out)
+      .filter($"user_id" >= 0)
+      .withColumn("session_n", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_n", $"sess_start", $"sess_end",
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_n")
+  }
+
+  val streamSessionsSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+       |  FROM events WHERE user_id <= 300),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > ${30L * 60 * 1000000}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM (SELECT *, lag(us, 1) OVER (PARTITION BY user_id
+       |          ORDER BY us, event_id) AS prev_us FROM e)),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+       |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM sess GROUP BY user_id, session_n
+       |ORDER BY user_id, session_n""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     // the batch twin's oracle IS the contract: stream result == batch result
     "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql)),
-    "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql))
+    "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql)),
+    "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
+    "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql))
   )
 }
