@@ -558,11 +558,182 @@ object TpchQueries {
 
   val q18Sql: String = q18Body("customer", "orders", "lineitem")
 
+  /** TPC-H Q14-shaped type-share revenue: conditional aggregate over a
+    * month of lineitem joined to part — the numerator is a CASE inside
+    * the same exact-decimal sum as the denominator, so the share is one
+    * deterministic division of two order-independent sums.
+    */
+  val q14TypeShare: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-03-01") && $"l_shipdate" < ts("1997-04-01"))
+      .select($"l_partkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    li.join(Tables(s, dir, "part").select("p_partkey", "p_type"),
+        $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) * dsum(when($"p_type" === "ECONOMY", $"rev").otherwise(0.0)) /
+        dsum($"rev")).as("economy_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT 100.0 * ${sqlDsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |  / ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS economy_revenue_pct,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+       |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
+  /** TPC-H Q15-shaped top supplier: a derived revenue view read twice —
+    * once as the join input, once under a scalar MAX subquery — selecting
+    * the supplier(s) whose quarterly revenue equals the global max.
+    * Equality on doubles is safe here because both sides of it are the
+    * SAME exact-decimal sums. SQL form so Catalyst plans the scalar
+    * subquery (one extra aggregation of the k-row view, broadcast as a
+    * literal).
+    */
+  private def q15Body(supplier: String, lineitem: String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM $lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM $supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  val q15TopSupplier: Q = (s, dir) => {
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+    s.sql(q15Body("supplier_q15", "lineitem_q15"))
+  }
+
+  val q15Sql: String = q15Body("supplier", "lineitem")
+
+  /** TPC-H Q19-shaped disjunctive-predicate join: an OR of three
+    * brand/size/quantity AND-clauses as the join condition. Catalyst
+    * extracts the common `l_partkey = p_partkey` equi-key (hash join,
+    * not a cartesian) and pushes the per-side conjuncts
+    * (`p_size >= 1`, quantity bands) into the scans.
+    */
+  val q19Disjunctive: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    li.join(part, $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) && $"l_quantity".between(20, 30))))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q20-shaped heavy shippers: IN over a grouped-HAVING subquery
+    * keyed by a DIFFERENT grouping (supp × part) than the IN key — the
+    * decorrelated plan aggregates lineitem once and semi-joins the
+    * distinct supplier keys. (The canonical Q20 nests through partsupp,
+    * which this corpus does not have — FIXTURES.md.)
+    */
+  private def q20Body(supplier: String, lineitem: String): String =
+    s"""SELECT s_suppkey, s_name
+       |FROM $supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM $lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING ${sqlDsum("l_quantity")} > 55)
+       |ORDER BY s_suppkey""".stripMargin
+
+  val q20HeavyShippers: Q = (s, dir) => {
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+    s.sql(q20Body("supplier_q20", "lineitem_q20"))
+  }
+
+  val q20Sql: String = q20Body("supplier", "lineitem")
+
+  /** TPC-H Q21-shaped sole-late-supplier count: EXISTS and NOT EXISTS in
+    * the same query, both correlated on the order key — the plan is a
+    * semi join AND an anti join against lineitem self-references.
+    * "Late" is shipped >60 days after the order date (this corpus has no
+    * commit/receipt dates). The NOT EXISTS carries its own orders join
+    * so the correlation stays a pure equi-key — the shape Catalyst
+    * decorrelates without a nested-loop fallback.
+    */
+  private def q21Body(supplier: String, orders: String, lineitem: String): String =
+    s"""SELECT s_suppkey, s_name, COUNT(*) AS numwait
+       |FROM $supplier
+       |  JOIN $lineitem l1 ON s_suppkey = l1.l_suppkey
+       |  JOIN $orders o ON o.o_orderkey = l1.l_orderkey
+       |WHERE o.o_orderstatus = 'F'
+       |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       |  AND EXISTS (SELECT 1 FROM $lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM $lineitem l3
+       |      JOIN $orders o3 ON l3.l_orderkey = o3.o_orderkey
+       |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY s_suppkey, s_name
+       |ORDER BY numwait DESC, s_suppkey
+       |LIMIT 20""".stripMargin
+
+  val q21SoleLate: Q = (s, dir) => {
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q21")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    s.sql(q21Body("supplier_q21", "orders_q21", "lineitem_q21"))
+  }
+
+  val q21Sql: String = q21Body("supplier", "orders", "lineitem")
+
+  /** TPC-H Q22-shaped idle-rich-customer report: a scalar AVG subquery
+    * and a correlated NOT EXISTS (anti join) in one query — customers
+    * above the positive-balance average with no high-value orders,
+    * grouped by segment. (Canonical Q22 filters on phone country codes,
+    * which this corpus lacks; the subquery shapes are identical.)
+    */
+  private def q22Body(customer: String, orders: String): String =
+    s"""SELECT c_mktsegment, COUNT(*) AS numcust, ${sqlDsum("c_acctbal")} AS totacctbal
+       |FROM $customer
+       |WHERE c_acctbal > (SELECT ${sqlDavg("c_acctbal")}
+       |  FROM $customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM $orders
+       |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  val q22IdleRich: Q = (s, dir) => {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q22")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q22")
+    s.sql(q22Body("customer_q22", "orders_q22"))
+  }
+
+  val q22Sql: String = q22Body("customer", "orders")
+
   val all: Map[String, (Q, Option[String])] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority, Some(q3Sql)),
     "q4_order_priority" -> (q4OrderPriority, Some(q4Sql)),
     "q13_customer_distribution" -> (q13CustomerDistribution, Some(q13Sql)),
+    "q14_type_share" -> (q14TypeShare, Some(q14Sql)),
+    "q15_top_supplier" -> (q15TopSupplier, Some(q15Sql)),
     "q18_large_volume" -> (q18LargeVolume, Some(q18Sql)),
+    "q19_disjunctive_join" -> (q19Disjunctive, Some(q19Sql)),
+    "q20_heavy_shippers" -> (q20HeavyShippers, Some(q20Sql)),
+    "q21_sole_late_supplier" -> (q21SoleLate, Some(q21Sql)),
+    "q22_idle_rich_customers" -> (q22IdleRich, Some(q22Sql)),
     "q6_forecast_revenue" -> (q6ForecastRevenue, Some(q6Sql)),
     "q10_returned_items" -> (q10ReturnedItems, Some(q10Sql)),
     "q5_region_revenue" -> (q5RegionRevenue, Some(q5Sql)),

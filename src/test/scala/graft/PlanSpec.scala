@@ -68,6 +68,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-100 must not be a global sort:\n" + p)
   }
 
+  test("q19's disjunctive join extracts the equi-key — hash join, no cartesian") {
+    val p = plan("q19_disjunctive_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the common l_partkey = p_partkey key must be extracted:\n" + p)
+  }
+
+  test("q20 decorrelates the grouped-HAVING IN to a semi join") {
+    val p = plan("q20_heavy_shippers")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q21 plans both the EXISTS (semi) and NOT EXISTS (anti) against lineitem") {
+    val p = plan("q21_sole_late_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q22 plans the anti join with the totalprice filter pushed to orders") {
+    val p = plan("q22_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThan(o_totalprice"), p)
+  }
+
   test("pagination plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("ref_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
