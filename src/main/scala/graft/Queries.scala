@@ -139,6 +139,7 @@ object Queries {
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,
+      graft.pipeline.CurationQueries.all,
       graft.streaming.StreamQueries.all)
     // a duplicate name would silently shadow an earlier query AND its
     // oracle, dropping a gated operator from the correctness surface —

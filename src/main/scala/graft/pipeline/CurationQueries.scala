@@ -1,0 +1,262 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{Queries, Tables}
+import graft.functions.Exact._
+
+/** Corpus-curation queries — the selection/splitting layer of a
+  * training-data pipeline (deterministic splits, per-source quotas,
+  * stratified downsampling, class balancing, profiling, PII redaction).
+  *
+  * Every selection decision here is a pure function of the row's key —
+  * `md5(salt || key)` bucketing — never `rand()`: the same row lands in
+  * the same split on any cluster, any partitioning, any engine, and the
+  * assignment is stable under corpus growth (adding documents never
+  * reassigns existing ones). That idempotence is what makes incremental
+  * re-curation of a 100 TB corpus possible: re-running the pipeline on
+  * a grown corpus only ever ADDS rows to a split.
+  *
+  * Scale shapes: split/stratify/redact/profile are single-pass
+  * scan-bound maps (+ one partial agg); quota and balance are one
+  * window shuffle on the group key — the same shape as any top-k —
+  * and their outputs are bounded by quota × groups, not corpus size.
+  */
+object CurationQueries {
+  import Queries.Q
+
+  /** Hash bucket in [0,100): first 4 hex chars of md5(salt || key).
+    * Both engines take md5 over the UTF-8 bytes of the same string and
+    * parse the same 16-bit prefix, so buckets agree bit-for-bit.
+    */
+  private def bucket100(salt: String, key: org.apache.spark.sql.Column) =
+    (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100)
+
+  private def sqlBucket100(salt: String, key: String) =
+    s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+
+  /** Deterministic 80/10/10 train/val/test split keyed on doc_id.
+    * The split is data-independent (pure key hash), so at 100 TB it
+    * needs no shuffle at all — each scan task assigns its own rows.
+    */
+  val hashSplit: Q = (s, dir) => {
+    import s.implicits._
+    val b = bucket100("split|", $"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"split")
+  }
+
+  val hashSplitSql: String = {
+    val b = sqlBucket100("split|", "doc_id")
+    s"""SELECT CASE WHEN $b < 80 THEN 'train'
+       |            WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  COUNT(DISTINCT source) AS n_sources
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  /** Per-source quota: keep at most 10 documents per source, chosen by
+    * hash order (not arrival order, which is partition-dependent).
+    * One window shuffle on `source`; output ≤ 10 × |sources| rows
+    * regardless of corpus size — the anti-head-domination cap every
+    * web-scale corpus applies before training.
+    */
+  val quotaPerSource: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("quota|"), $"doc_id".cast("string"))), $"doc_id")
+    Tables(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("pick", row_number().over(w))
+      .filter($"pick" <= 10)
+      .orderBy($"source", $"pick")
+  }
+
+  val quotaPerSourceSql: String =
+    s"""SELECT source, doc_id, n_chars, pick FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+       |  FROM documents)
+       |WHERE pick <= 10 ORDER BY source, pick""".stripMargin
+
+  /** Stratified downsampling: the head language (en) is kept at 30%,
+    * the tail languages at 100% — rebalancing a skewed corpus without
+    * materializing per-language tables. The keep decision is again a
+    * pure key hash → scan-local at any scale; only the report aggregates.
+    */
+  val stratifiedLang: Q = (s, dir) => {
+    import s.implicits._
+    val rate = when($"lang" === "en", 30).otherwise(100)
+    val kept = (bucket100("strat|", $"doc_id") < rate).cast("long")
+    Tables(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(kept).as("n_kept"))
+      .withColumn("kept_pct", round($"n_kept" * 100.0 / $"n_total", 9))
+      .orderBy($"lang")
+  }
+
+  val stratifiedLangSql: String = {
+    val b = sqlBucket100("strat|", "doc_id")
+    s"""SELECT lang, n_total, n_kept,
+       |  round(n_kept * 100.0 / n_total, 9) AS kept_pct
+       |FROM (
+       |  SELECT lang, COUNT(*) AS n_total,
+       |    CAST(SUM(CASE WHEN $b < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM documents GROUP BY lang)
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** Class balancing on the labeled embedding corpus: every label is
+    * downsampled (by hash order) to the size of the rarest label, the
+    * standard prep for a classification head. The per-label count rides
+    * the same `label`-keyed shuffle as the pick window; the global min
+    * is a 1-row aggregate broadcast into the filter (NOT an
+    * empty-partition window, which would drag every row through a
+    * single partition at scale).
+    */
+  val balanceLabels: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "embeddings").select($"vec_id", $"label")
+    val perLabel = Window.partitionBy($"label")
+    val pickW = Window.partitionBy($"label")
+      .orderBy(md5(concat(lit("bal|"), $"vec_id".cast("string"))), $"vec_id")
+    val minCnt = broadcast(
+      base.groupBy($"label").agg(count(lit(1)).as("c"))
+        .agg(min($"c").as("min_label")))
+    base
+      .withColumn("n_label", count(lit(1)).over(perLabel))
+      .withColumn("pick", row_number().over(pickW))
+      .crossJoin(minCnt)
+      .filter($"pick" <= $"min_label")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_kept"), min($"n_label").as("n_before"))
+      .orderBy($"label")
+  }
+
+  val balanceLabelsSql: String =
+    s"""SELECT label, COUNT(*) AS n_kept, MIN(n_label) AS n_before FROM (
+       |  SELECT label, n_label,
+       |    ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)), vec_id) AS pick,
+       |    MIN(n_label) OVER () AS min_label
+       |  FROM (
+       |    SELECT vec_id, label, COUNT(*) OVER (PARTITION BY label) AS n_label
+       |    FROM embeddings))
+       |WHERE pick <= min_label
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  /** One-pass corpus profile: row/null/distinct counts and length
+    * moments — the summary a curation run emits before and after each
+    * filter stage. Single partial-aggregate scan; the shuffle carries
+    * one row.
+    */
+  val profileDocuments: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"doc_id").as("n_doc_ids"),
+        sum($"text".isNull.cast("long")).as("n_null_text"),
+        sum(($"text" === "").cast("long")).as("n_empty_text"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        davg($"n_chars".cast("double")).as("avg_chars"),
+        sum((octet_length($"text") =!= $"n_chars").cast("long"))
+          .as("n_len_mismatch"))
+  }
+
+  val profileDocumentsSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT doc_id) AS n_doc_ids,
+       |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       |  CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  COUNT(DISTINCT source) AS n_sources,
+       |  MIN(n_chars) AS min_chars,
+       |  MAX(n_chars) AS max_chars,
+       |  ${sqlDavg("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+       |  CAST(SUM(CASE WHEN strlen(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_len_mismatch
+       |FROM documents""".stripMargin
+
+  /** PII redaction: scrub emails and phone-shaped tokens, report the
+    * per-document redaction counts and an md5 of the redacted text (a
+    * full-content gate without dumping the corpus). The synthetic corpus
+    * carries no PII, so the query plants deterministic markers first —
+    * exercising the exact regex semantics both engines must share
+    * (character classes only; no \\b, whose RE2/Java meanings differ).
+    * Pure per-row map: scan-bound at any scale.
+    */
+  val piiRedact: Q = (s, dir) => {
+    import s.implicits._
+    val ids = $"doc_id".cast("string")
+    val decorated = concat(
+      $"text",
+      when($"doc_id" % 3 =!= 0,
+        concat(lit(" contact user"), ids, lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" fallback u"), ids, lit("@alt.example.org or 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phoneRe = "555-[0-9][0-9][0-9][0-9]"
+    val redacted = regexp_replace(
+      regexp_replace(decorated, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    Tables(s, dir, "documents")
+      .select(
+        $"doc_id",
+        regexp_count(decorated, lit(emailRe)).as("n_emails"),
+        regexp_count(decorated, lit(phoneRe)).as("n_phones"),
+        length(redacted).as("red_len"),
+        md5(redacted).as("red_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val decorated =
+      """text ||
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN ' fallback u' || CAST(doc_id AS VARCHAR) || '@alt.example.org or 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END""".stripMargin
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val phoneRe = "555-[0-9][0-9][0-9][0-9]"
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($decorated, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all($decorated, '$phoneRe')) AS n_phones,
+       |  length(regexp_replace(regexp_replace($decorated,
+       |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')) AS red_len,
+       |  md5(regexp_replace(regexp_replace($decorated,
+       |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g')) AS red_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
+    "curate_quota_per_source" -> (quotaPerSource, Some(quotaPerSourceSql)),
+    "curate_stratified_lang" -> (stratifiedLang, Some(stratifiedLangSql)),
+    "curate_balance_labels" -> (balanceLabels, Some(balanceLabelsSql)),
+    "curate_profile_documents" -> (profileDocuments, Some(profileDocumentsSql)),
+    "curate_pii_redact" -> (piiRedact, Some(piiRedactSql)))
+}

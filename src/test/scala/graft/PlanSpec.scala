@@ -91,6 +91,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(o_totalprice"), p)
   }
 
+  test("hash split assigns scan-locally and prunes to the three used columns") {
+    val p = plan("curate_hash_split")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "split assignment must be a pure per-row hash, no window/join:\n" + p)
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint,doc_id:bigint>") ||
+      p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"), p)
+  }
+
+  test("label balancing broadcasts the 1-row global min, no empty-partition window") {
+    val p = plan("curate_balance_labels")
+    assert(p.contains("BroadcastExchange"), p)
+    // every window must be keyed on label — an empty-partition window
+    // would drag the full corpus through one task
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val keyed = "windowspecdefinition\\(label".r.findAllIn(p).size
+    assert(specs > 0 && specs == keyed,
+      s"unkeyed window spec present ($keyed/$specs keyed):\n" + p)
+  }
+
+  test("per-source quota is one window shuffle keyed on source") {
+    val p = plan("curate_quota_per_source")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("pagination plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("ref_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
