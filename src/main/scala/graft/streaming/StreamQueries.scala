@@ -309,11 +309,76 @@ object StreamQueries {
        |ORDER BY user_id, session_n""".stripMargin
   }
 
+  /** STREAM-STREAM interval join under the gate: clicks and purchases
+    * replayed as two independent file streams, inner-joined on user
+    * with `purchase.ts ∈ [click.ts, click.ts + 30 min]`. Each side is
+    * split across two files (`maxFilesPerTrigger 1`), so matches MUST
+    * cross micro-batch boundaries — the join state, not batch
+    * coincidence, produces the result. Inner interval joins emit on
+    * match (the watermark only bounds state retention), so no sentinel
+    * batches are needed; the watermark + the range condition are what
+    * let Spark expire click state at scale instead of buffering the
+    * full click history.
+    */
+  val streamIntervalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val (in, out, ck) = streamDirs()
+    val inP = s"$in/../in_p"
+    Files.createDirectories(Paths.get(inP))
+    val ev = graft.Tables(s, dir, "events").filter($"user_id" <= 300)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"event_type")
+    val clicks = ev.filter($"event_type" === "click").drop("event_type")
+    val purchases = ev.filter($"event_type" === "purchase").drop("event_type")
+    // two files per side: even/odd event ids — forces cross-batch matches
+    stageCsv(clicks.filter($"event_id" % 2 === 0), in, "c1")
+    stageCsv(clicks.filter($"event_id" % 2 =!= 0), in, "c2")
+    stageCsv(purchases.filter($"event_id" % 2 === 0), inP, "p1")
+    stageCsv(purchases.filter($"event_id" % 2 =!= 0), inP, "p2")
+    val t0 = new java.io.File(s"$in/c1.csv").lastModified()
+    require(new java.io.File(s"$in/c2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$inP/p2.csv").setLastModified(t0 + 10000),
+      s"could not order staged batch files by mtime under $in")
+    val csvSchema = "event_id BIGINT, user_id BIGINT, us BIGINT"
+    def side(path: String, prefix: String) = s.readStream
+      .schema(csvSchema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(path)
+      .select($"event_id".as(s"${prefix}_id"), $"user_id".as(s"${prefix}_user"),
+        timestamp_micros($"us").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val q = side(in, "click").join(side(inP, "purchase"),
+        $"click_user" === $"purchase_user" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"click_id", $"purchase_id", $"click_user".as("user_id"),
+        (unix_micros($"purchase_ts") - unix_micros($"click_ts")).as("delta_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy($"click_id", $"purchase_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |  c.user_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+       |FROM events c JOIN events p ON c.user_id = p.user_id
+       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+       |  AND c.user_id <= 300
+       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+       |ORDER BY click_id, purchase_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     // the batch twin's oracle IS the contract: stream result == batch result
     "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql)),
     "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql)),
     "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
-    "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql))
+    "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql)),
+    "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql))
   )
 }
