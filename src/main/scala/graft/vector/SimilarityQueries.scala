@@ -59,6 +59,23 @@ object SimilarityQueries {
   private val AnnB = graft.Tuning.annBands
   private val AnnR = graft.Tuning.annR
 
+  /** Product-quantization shape: 64 dims as [[PqM]] subspaces of
+    * [[PqSub]] dims, seeded with [[PqG]] sub-clusters per label
+    * (k = |labels|·PqG codes per subspace) and refined by [[PqLloyd]]
+    * Lloyd iterations. Codes must outnumber labels: with one code per
+    * label every same-label vector collapses to the same code tuple and
+    * ADC cannot rank within a label (measured: recall 0). Shape chosen
+    * by a measured sweep at n=500: finer subspaces beat finer codebooks
+    * (recall top-5 vs exact — M=4/G=8 plain: 0.20; M=16/G=32 +1 Lloyd,
+    * dot-ADC: 0.72; this M=16/G=4 +2 Lloyd, dot-ADC: 0.52 at an 8×
+    * smaller codebook), and ranking by inner-product ADC beats L2
+    * because the ground truth is cosine.
+    */
+  private val PqM = 16
+  private val PqSub = 4
+  private val PqG = 4
+  private val PqLloyd = 2
+
   /** Brute-force exact cosine top-10 for query vectors 0-4.
     *
     * Norms are hoisted out of the pair loop: the corpus norm is computed
@@ -587,6 +604,144 @@ object SimilarityQueries {
       |  round(v[1], 9) AS first_dim
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization kNN with asymmetric distance computation —
+    * the compressed-domain ANN scan: 64 dims → [[PqM]] subspaces of
+    * [[PqSub]] dims, each vector stored as M small codes. Codebooks are
+    * trained per subspace by [[PqLloyd]] deterministic k-means (Lloyd)
+    * iterations from (label, vec_id mod [[PqG]]) seed clusters; every
+    * mean and every assignment distance runs through the exact-decimal
+    * kernels, so the oracle reproduces the training trajectory
+    * iteration-for-iteration (double-arithmetic argmins could flip
+    * near-ties between engines and fork the codebooks).
+    *
+    * ADC: the query stays full-precision; its inner product with every
+    * codebook entry is tabulated once (q × M × k tiny kernels), and a
+    * corpus vector's score is M table lookups + an exact-decimal M-term
+    * sum — no per-pair 64-dim kernel at all. Ranking by the
+    * dot-product LUT (not L2) matches the cosine ground truth;
+    * AnnRecallSpec pins the measured recall floor.
+    *
+    * Scale shape: training touches only the (cached) subspace slices
+    * with a k·M-row broadcast codebook per pass; the scored table is
+    * codes-only (n×M ints, ~16× smaller than the float vectors); the
+    * LUT broadcast is q×M×k rows. This is the representation a 100 TB
+    * corpus actually scans — full vectors are only read to (re)encode.
+    */
+  val pqAdcKnn: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    import org.apache.spark.sql.DataFrame
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+    // (vec_id, label, m, sub): the corpus cut into subspace slices —
+    // read once per training pass, so cached
+    val subs = graft.CacheTracker.persistTracked(
+      emb.select($"vec_id", $"label",
+          posexplode(array((0 until PqM).map(m =>
+            slice($"v", m * PqSub + 1, PqSub)): _*)))
+        .toDF("vec_id", "label", "m", "sub"))
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val d = zip_with(a, b, (x, y) => x - y)
+      dotExact(d, d)
+    }
+    // (c_code, m, pos, val) cells -> per-(code, subspace) mean arrays
+    def rollup(cells: DataFrame): DataFrame =
+      cells.groupBy($"c_code", $"m", $"pos")
+        .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy($"c_code", $"m")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          st => st.getField("c")).as("cbv"))
+    // exact-decimal nearest-code assignment (ties by code id)
+    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"c_code")
+    def assign(cbDf: DataFrame): DataFrame =
+      subs.join(broadcast(cbDf), Seq("m"))
+        .select($"vec_id", $"m", $"c_code", l2($"sub", $"cbv").as("d2"))
+        .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+        .select($"vec_id", $"m", $"c_code")
+    // seed codebook: (label, vec_id mod G) sub-cluster means; Lloyd
+    // iterations then reassign + re-average until the codes are
+    // data-driven (empty codes drop out, as in any k-means)
+    var cb = rollup(subs
+      .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
+        $"m", posexplode($"sub"))
+      .toDF("c_code", "m", "pos", "val"))
+    for (_ <- 1 to PqLloyd)
+      cb = rollup(subs.join(assign(cb), Seq("vec_id", "m"))
+        .select($"c_code", $"m", posexplode($"sub"))
+        .toDF("c_code", "m", "pos", "val"))
+    // final codebook feeds the encode pass AND the LUT broadcast
+    val cbF = graft.CacheTracker.persistTracked(cb)
+    val enc = assign(cbF).withColumnRenamed("c_code", "code")
+    val lut = subs.filter($"vec_id" < 5).join(broadcast(cbF), Seq("m"))
+      .select($"vec_id".as("q_id"), $"m", $"c_code".as("code"),
+        dotExact($"sub", $"cbv").as("dp"))
+    val wRank = Window.partitionBy($"q_id").orderBy($"pq_dot".desc, $"vec_id")
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(dsum($"dp").as("pq_dot"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 5)
+      .withColumn("pq_dot", round($"pq_dot", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val pqAdcKnnSql: String = {
+    import graft.functions.Exact.sqlDsum
+    def mean(src: String): String =
+      s"CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
+    val d2 = "CAST(SUM(CAST((s.val - cb.c) * (s.val - cb.c)" +
+      " AS DECIMAL(30,15))) AS DOUBLE)"
+    def lloyd(i: Int, prev: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, m, c_code FROM (
+         |    SELECT s.vec_id, s.m, cb.c_code, $d2 AS d2,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY $d2, cb.c_code) AS rn
+         |    FROM sub s JOIN $prev cb ON s.pos = cb.pos AND s.m = cb.m
+         |    GROUP BY s.vec_id, s.m, cb.c_code) WHERE rn = 1),
+         |cb${i + 1} AS (
+         |  SELECT a.c_code, s.m, s.pos, ${mean("s")} AS c
+         |  FROM sub s JOIN a$i a ON s.vec_id = a.vec_id AND s.m = a.m
+         |  GROUP BY a.c_code, s.m, s.pos),""".stripMargin
+    val iters = (0 until PqLloyd).map(i => lloyd(i, s"cb$i")).mkString("\n")
+    s"""WITH sub AS (
+       |  SELECT vec_id, label, d - 1 AS pos,
+       |    CAST(floor((d - 1) / $PqSub) AS INT) AS m,
+       |    CAST(embedding[d] AS DOUBLE) AS val
+       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+       |cb0 AS (
+       |  SELECT label * $PqG + vec_id % $PqG AS c_code, m, pos,
+       |    ${mean("sub")} AS c
+       |  FROM sub GROUP BY 1, m, pos),
+       |$iters
+       |enc AS (
+       |  SELECT vec_id, m, c_code AS code FROM (
+       |    SELECT s.vec_id, s.m, cb.c_code, $d2 AS d2,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY $d2, cb.c_code) AS rn
+       |    FROM sub s JOIN cb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
+       |    GROUP BY s.vec_id, s.m, cb.c_code) WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, cb.m, cb.c_code AS code,
+       |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dp
+       |  FROM sub s JOIN cb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
+       |  WHERE s.vec_id < 5
+       |  GROUP BY s.vec_id, cb.m, cb.c_code),
+       |adc AS (
+       |  SELECT l.q_id, e.vec_id, ${sqlDsum("l.dp")} AS pq_dot
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY pq_dot DESC, vec_id) AS rank FROM adc)
+       |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
     "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
@@ -595,6 +750,7 @@ object SimilarityQueries {
     "sim_cosine_neardup" -> (cosineNearDup, Some(cosineNearDupSql)),
     "sim_ivf_assign" -> (ivfAssign, Some(ivfAssignSql)),
     "sim_ivf_search" -> (ivfSearch, Some(ivfSearchSql)),
-    "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql))
+    "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql)),
+    "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql))
   )
 }

@@ -40,6 +40,22 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("PQ-ADC ranking recalls the exact top-5 from 16 one-byte codes") {
+    val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
+      .select("q_id", "vec_id", "rank").collect()
+      .filter(_.getInt(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pairs("sim_pq_adc_knn") // top-5 by compressed-domain dot
+    graft.CacheTracker.releaseAll()
+    assert(pq.nonEmpty)
+    val hits = pq.intersect(exact).size.toDouble
+    // 16 subspaces × 40 codes, 2 Lloyd iterations, inner-product ADC:
+    // measured 0.52 on this corpus (see the PQ sizing sweep note in
+    // SimilarityQueries); 0.4 is the regression floor
+    assert(hits / exact.size >= 0.4,
+      s"PQ recall vs exact top-5 collapsed: $hits/${exact.size}")
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
