@@ -635,17 +635,21 @@ object SimilarityQueries {
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
     // (vec_id, label, m, sub): the corpus cut into subspace slices —
-    // read once per training pass, so cached
+    // read once per training pass, so cached. Repartitioned across the
+    // cores BEFORE caching: the embeddings corpus arrives as one file →
+    // one partition, every training join's other side is a broadcast
+    // (so nothing downstream ever re-partitions), and a 1-partition
+    // cache serializes every per-round scan+aggregate onto a single
+    // task (measured: 5 s single-task stages; the whole query sat at
+    // ~12 s regardless of kernel cost until this).
     val subs = graft.CacheTracker.persistTracked(
       emb.select($"vec_id", $"label",
           posexplode(array((0 until PqM).map(m =>
             slice($"v", m * PqSub + 1, PqSub)): _*)))
-        .toDF("vec_id", "label", "m", "sub"))
-    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-      val d = zip_with(a, b, (x, y) => x - y)
-      dotExact(d, d)
-    }
-    // (c_code, m, pos, val) cells -> per-(code, subspace) mean arrays
+        .toDF("vec_id", "label", "m", "sub")
+        .repartition(s.sparkContext.defaultParallelism, $"vec_id"))
+    // (c_code, m, pos, val) cells -> per-(code, subspace) mean arrays,
+    // each carrying its exact |c|² so assignment needs no zip_with diff
     def rollup(cells: DataFrame): DataFrame =
       cells.groupBy($"c_code", $"m", $"pos")
         .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
@@ -653,26 +657,62 @@ object SimilarityQueries {
         .groupBy($"c_code", $"m")
         .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
           st => st.getField("c")).as("cbv"))
-    // exact-decimal nearest-code assignment (ties by code id)
-    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"c_code")
+        .withColumn("cc", dotExact($"cbv", $"cbv"))
+    // exact-decimal nearest-code assignment (ties by code id).
+    // argmin_code |v-c|² = argmin_code (|c|² - 2·v·c) — the vector's own
+    // norm is constant within the group and drops out, so the score is
+    // ONE native dot kernel per pair (no interpreted zip_with diff, no
+    // second kernel for the norm). The argmin is min_by over the
+    // (score, code) ordering struct: an ObjectHashAggregate with
+    // map-side partial reduction. (min(struct(...)) falls back to
+    // SortAggregate and a window needs a full sort — measured 2.5 s vs
+    // 0.6 s per pass on the n·M·k score rows.)
     def assign(cbDf: DataFrame): DataFrame =
       subs.join(broadcast(cbDf), Seq("m"))
-        .select($"vec_id", $"m", $"c_code", l2($"sub", $"cbv").as("d2"))
-        .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
-        .select($"vec_id", $"m", $"c_code")
+        .select($"vec_id", $"m", $"c_code",
+          ($"cc" - lit(2.0) * dotExact($"sub", $"cbv")).as("score"))
+        .groupBy($"vec_id", $"m")
+        .agg(min_by($"c_code", struct($"score", $"c_code")).as("c_code"))
+    // Each training round materializes its codebook to scratch parquet
+    // and reads it back — the codebook IS the model artifact, and
+    // cutting the lineage there keeps every pass's physical plan small.
+    // Without this the iteration-i plan embeds the full iteration-(i-1)
+    // training tree: measured at sf0.1, task binaries grew to 2-3 MiB
+    // and the query spent ~12 s in planning/codegen/serialization
+    // (persist() does not help — cached RDDs keep their rebuild
+    // lineage in the task closure).
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val path = s"${graft.Scratch.dir}/graft_pq_cb_" +
+        s"${graft.RefQueries.runToken}_$name"
+      df.write.mode("overwrite").parquet(path)
+      // explicit schema: a bare parquet read runs a schema-inference job,
+      // and the training loop pays it once per materialized codebook
+      s.read.schema("c_code BIGINT, m INT, cbv ARRAY<DOUBLE>, cc DOUBLE")
+        .parquet(path)
+    }
     // seed codebook: (label, vec_id mod G) sub-cluster means; Lloyd
     // iterations then reassign + re-average until the codes are
-    // data-driven (empty codes drop out, as in any k-means)
-    var cb = rollup(subs
-      .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
-        $"m", posexplode($"sub"))
-      .toDF("c_code", "m", "pos", "val"))
-    for (_ <- 1 to PqLloyd)
-      cb = rollup(subs.join(assign(cb), Seq("vec_id", "m"))
-        .select($"c_code", $"m", posexplode($"sub"))
-        .toDF("c_code", "m", "pos", "val"))
+    // data-driven (empty codes drop out, as in any k-means).
+    // AQE is off for the eager training actions: every join here is an
+    // explicit broadcast and every aggregation has a statically known
+    // key cardinality, so adaptive re-planning buys nothing — but it
+    // bills each query stage as its own job, and this loop's many tiny
+    // stages paid ~0.4 s of scheduling fixed cost per job (measured:
+    // 28 jobs, ~12 s; the compute itself is ~2 s).
+    val aqePrev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val cbF = try {
+      var cb = materialize(rollup(subs
+        .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
+          $"m", posexplode($"sub"))
+        .toDF("c_code", "m", "pos", "val")), "seed")
+      for (i <- 1 to PqLloyd)
+        cb = materialize(rollup(subs.join(assign(cb), Seq("vec_id", "m"))
+          .select($"c_code", $"m", posexplode($"sub"))
+          .toDF("c_code", "m", "pos", "val")), s"lloyd$i")
+      cb
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
     // final codebook feeds the encode pass AND the LUT broadcast
-    val cbF = graft.CacheTracker.persistTracked(cb)
     val enc = assign(cbF).withColumnRenamed("c_code", "code")
     val lut = subs.filter($"vec_id" < 5).join(broadcast(cbF), Seq("m"))
       .select($"vec_id".as("q_id"), $"m", $"c_code".as("code"),
@@ -692,21 +732,33 @@ object SimilarityQueries {
     import graft.functions.Exact.sqlDsum
     def mean(src: String): String =
       s"CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
-    val d2 = "CAST(SUM(CAST((s.val - cb.c) * (s.val - cb.c)" +
-      " AS DECIMAL(30,15))) AS DOUBLE)"
-    def lloyd(i: Int, prev: String): String =
-      s"""a$i AS (
+    // assignment score mirrors the Spark side exactly: |c|² - 2·v·c with
+    // both components exact-decimal doubles, combined by two IEEE ops
+    def assignCtes(tag: String, cbName: String): String =
+      s"""cbn$tag AS (
+         |  SELECT c_code, m,
+         |    CAST(SUM(CAST(c * c AS DECIMAL(30,15))) AS DOUBLE) AS nc
+         |  FROM $cbName GROUP BY c_code, m),
+         |dots$tag AS (
+         |  SELECT s.vec_id, s.m, cb.c_code,
+         |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |  FROM sub s JOIN $cbName cb ON s.pos = cb.pos AND s.m = cb.m
+         |  GROUP BY s.vec_id, s.m, cb.c_code),
+         |a$tag AS (
          |  SELECT vec_id, m, c_code FROM (
-         |    SELECT s.vec_id, s.m, cb.c_code, $d2 AS d2,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY $d2, cb.c_code) AS rn
-         |    FROM sub s JOIN $prev cb ON s.pos = cb.pos AND s.m = cb.m
-         |    GROUP BY s.vec_id, s.m, cb.c_code) WHERE rn = 1),
+         |    SELECT d.vec_id, d.m, d.c_code,
+         |      row_number() OVER (PARTITION BY d.vec_id, d.m
+         |        ORDER BY n.nc - 2.0 * d.dot, d.c_code) AS rn
+         |    FROM dots$tag d
+         |      JOIN cbn$tag n ON d.c_code = n.c_code AND d.m = n.m)
+         |  WHERE rn = 1),""".stripMargin
+    def lloyd(i: Int): String =
+      s"""${assignCtes(i.toString, s"cb$i")}
          |cb${i + 1} AS (
          |  SELECT a.c_code, s.m, s.pos, ${mean("s")} AS c
          |  FROM sub s JOIN a$i a ON s.vec_id = a.vec_id AND s.m = a.m
          |  GROUP BY a.c_code, s.m, s.pos),""".stripMargin
-    val iters = (0 until PqLloyd).map(i => lloyd(i, s"cb$i")).mkString("\n")
+    val iters = (0 until PqLloyd).map(lloyd).mkString("\n")
     s"""WITH sub AS (
        |  SELECT vec_id, label, d - 1 AS pos,
        |    CAST(floor((d - 1) / $PqSub) AS INT) AS m,
@@ -717,13 +769,8 @@ object SimilarityQueries {
        |    ${mean("sub")} AS c
        |  FROM sub GROUP BY 1, m, pos),
        |$iters
-       |enc AS (
-       |  SELECT vec_id, m, c_code AS code FROM (
-       |    SELECT s.vec_id, s.m, cb.c_code, $d2 AS d2,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY $d2, cb.c_code) AS rn
-       |    FROM sub s JOIN cb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
-       |    GROUP BY s.vec_id, s.m, cb.c_code) WHERE rn = 1),
+       |${assignCtes("F", s"cb$PqLloyd")}
+       |enc AS (SELECT vec_id, m, c_code AS code FROM aF),
        |lut AS (
        |  SELECT s.vec_id AS q_id, cb.m, cb.c_code AS code,
        |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dp
