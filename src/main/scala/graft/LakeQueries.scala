@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact._
+
+/** Partitioned-layout ("data lake") queries: the storage-side scan
+  * features that decide whether a 100 TB table is read in full or in
+  * slivers. The gate corpus ships as single parquet files, so these
+  * queries first lay events out as a hive-partitioned table in scratch
+  * (partition column = event_type) and then gate the two pruning paths
+  * against the plain single-file oracle:
+  *
+  *   - STATIC partition pruning: a literal filter on the partition
+  *     column must reach the file index (PartitionFilters), so only the
+  *     matching directory is listed/read — guarded in PlanSpec.
+  *   - DYNAMIC partition pruning (DPP): when the filter lives on a
+  *     joined dimension, the scan learns its partition list at runtime
+  *     from the broadcast side (dynamicpruning subquery) — THE feature
+  *     that saves a fact-table scan when the dim filter is selective.
+  *
+  * Writing the layout is itself the ingest-side operator (partitionBy
+  * on write — how any large fact table should land on disk).
+  */
+object LakeQueries {
+  import Queries.Q
+
+  /** One partitioned copy of events per (JVM, sf dir); built lazily and
+    * reused by both queries — the layout is the fixture, the queries
+    * gate the reads. Thread-safe via the synchronized map (Verify runs
+    * queries sequentially, but nothing should rely on that).
+    */
+  private val built = scala.collection.mutable.Map[String, String]()
+  private def partitionedEvents(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = synchronized {
+    built.getOrElseUpdate(dir, {
+      val path = s"${Scratch.dir}/graft_lake_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+      Tables(s, dir, "events")
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  /** Static pruning: aggregate one event type out of the partitioned
+    * layout. At scale this reads |purchases|/|events| of the table —
+    * the plan guard (not the row counts) is what proves it.
+    */
+  val prunedScan: Q = (s, dir) => {
+    import s.implicits._
+    s.read.parquet(partitionedEvents(s, dir))
+      .filter($"event_type" === "purchase")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  val prunedScanSql: String =
+    s"""SELECT COUNT(*) AS n, ${sqlDsum("value")} AS total_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** Dynamic pruning: the event-type filter lives on a tiny category
+    * dimension; the partitioned scan must learn {purchase} from the
+    * broadcast at runtime. Per-type aggregate so the join is load-bearing.
+    */
+  val dppJoin: Q = (s, dir) => {
+    import s.implicits._
+    // the dim must be a FILE source: a literal local relation's filter
+    // constant-folds away at plan time, leaving no selective predicate
+    // for the optimizer to derive the dynamic pruning subquery from
+    val dimPath = s"${Scratch.dir}/graft_lake_dim_${Scratch.runToken}"
+    Seq(("purchase", "revenue"), ("click", "engagement"),
+      ("view", "engagement"), ("signup", "acquisition"), ("error", "ops"))
+      .toDF("event_type", "category")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.schema("event_type STRING, category STRING").parquet(dimPath)
+    s.read.parquet(partitionedEvents(s, dir))
+      .join(broadcast(dim.filter($"category" === "revenue")), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val dppJoinSql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events JOIN (VALUES ('purchase', 'revenue')) dim(event_type, category)
+       |  USING (event_type)
+       |WHERE category = 'revenue'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),
+    "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)))
+}

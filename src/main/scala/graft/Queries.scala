@@ -135,7 +135,7 @@ object Queries {
       Map(
         "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
         "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql))),
-      RefQueries.all, TpchQueries.all, EventQueries.all,
+      RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,

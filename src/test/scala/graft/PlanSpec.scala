@@ -116,6 +116,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
   }
 
+  test("partitioned-layout scan prunes statically on the partition column") {
+    val p = plan("lake_pruned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("= purchase)"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type"),
+      "the partition filter must prune directories, not rows:\n" + p)
+  }
+
+  test("dim-filtered join prunes the partitioned scan dynamically (DPP)") {
+    val p = plan("lake_dpp_join")
+    assert(p.contains("dynamicpruningexpression"),
+      "the scan must take its partition list from the broadcast dim:\n" + p)
+  }
+
   test("pagination plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("ref_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
