@@ -363,6 +363,61 @@ object StreamQueries {
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
+  /** STREAMING DEDUPLICATION under the gate: the events feed replayed
+    * with a 25% duplicate tail (a re-delivered file — the at-least-once
+    * failure mode every ingest pipeline has), streamed through
+    * `dropDuplicates(event_id)` with a watermark bounding the dedup
+    * state. Duplicates arrive in a LATER micro-batch than their
+    * originals, so suppressing them proves the keyed state works across
+    * batches, not within one. Append mode emits first-seen rows
+    * immediately; the oracle is the plain batch aggregate over the
+    * original (duplicate-free) events.
+    */
+  val streamDedup: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", $"value")
+    stageCsv(ev, in, "b1")
+    // the re-delivered file: every 4th event again, byte-identical
+    stageCsv(ev.filter($"event_id" % 4 === 0), in, "b2")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000),
+      s"could not order staged batch files by mtime under $in")
+    val q = s.readStream
+      .schema("event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("n_ids"),
+        dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val streamDedupSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events WHERE user_id <= 300
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val streamIntervalJoinSql: String =
     s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
        |  c.user_id,
@@ -379,6 +434,7 @@ object StreamQueries {
     "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql)),
     "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
     "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql)),
-    "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql))
+    "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql)),
+    "stream_dedup_watermark" -> (streamDedup, Some(streamDedupSql))
   )
 }
