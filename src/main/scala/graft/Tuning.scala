@@ -38,4 +38,14 @@ object Tuning {
 
   /** IVF cells probed per query (reads ~probes/k of the corpus). */
   val ivfProbes: Int = envInt("SPARK_GRAFT_IVF_PROBES", 4)
+
+  /** State-store partitions for the driver-gated streaming queries.
+    * Every stateful operator runs one state store per shuffle partition
+    * per micro-batch, each paying open/commit file IO — at the gate
+    * corpus's row counts that overhead dwarfs the data (measured: a
+    * 4-batch stream-stream join spent ~70 task-seconds per batch across
+    * 32 partitions on state machinery). Size this to throughput × key
+    * cardinality in production; 8 is ample for the gate.
+    */
+  val streamStatePartitions: Int = envInt("SPARK_GRAFT_STREAM_PARTITIONS", 8)
 }

@@ -65,14 +65,28 @@ object StreamQueries {
     (in, s"$root/out", s"$root/ck")
   }
 
+  /** Run a streaming query with [[graft.Tuning.streamStatePartitions]]
+    * state partitions (fresh checkpoints pin partitioning at first run,
+    * so the setting takes effect per gate invocation), restoring the
+    * session's batch setting afterwards.
+    */
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession)
+                                    (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, graft.Tuning.streamStatePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val streamIngestDedup: Q = (s, _) => {
     val (in, out, ck) = streamDirs()
     stageCsv(Gen.locations(s, 1000).withColumn("seq", lit(1L)), in, "b1")
     stageCsv(Gen.locations(s, 200)
       .withColumn("business", concat(lit("DUP_"), col("business")))
       .withColumn("seq", lit(2L)), in, "b2")
-    Streams.csvUpsertAvailableNow(s, in, out, ck, seqSchema,
-      Seq("locid"), "seq").awaitTermination()
+    withStatePartitions(s)(
+      Streams.csvUpsertAvailableNow(s, in, out, ck, seqSchema,
+        Seq("locid"), "seq").awaitTermination())
     Upsert.lastWins(s.read.schema(seqSchema).parquet(out),
       Seq("locid"), col("seq")).orderBy("locid")
   }
@@ -124,7 +138,7 @@ object StreamQueries {
     require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
       new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
       s"could not order staged batch files by mtime under $in")
-    val q = s.readStream
+    withStatePartitions(s)(s.readStream
       .schema("event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
       .option("header", "true")
       .option("maxFilesPerTrigger", "1")
@@ -150,7 +164,7 @@ object StreamQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      .awaitTermination())
     s.read.parquet(out)
       .filter($"event_type" =!= "__sentinel__")
       .orderBy($"w_start", $"event_type")
@@ -191,7 +205,7 @@ object StreamQueries {
     require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
       new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
       s"could not order staged batch files by mtime under $in")
-    val q = s.readStream
+    withStatePartitions(s)(s.readStream
       .schema(csvSchema)
       .option("header", "true")
       .option("maxFilesPerTrigger", "1")
@@ -209,7 +223,7 @@ object StreamQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      .awaitTermination())
     s.read.parquet(out)
       .filter($"w_start" <= timestamp_micros(lit(maxUs)).cast("timestamp_ntz"))
       .orderBy($"w_start")
@@ -255,7 +269,7 @@ object StreamQueries {
     require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
       new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
       s"could not order staged batch files by mtime under $in")
-    val q = s.readStream
+    withStatePartitions(s)(s.readStream
       .schema(csvSchema)
       .option("header", "true")
       .option("maxFilesPerTrigger", "1")
@@ -276,7 +290,7 @@ object StreamQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      .awaitTermination())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"sess_start")
     s.read.parquet(out)
@@ -346,7 +360,7 @@ object StreamQueries {
       .select($"event_id".as(s"${prefix}_id"), $"user_id".as(s"${prefix}_user"),
         timestamp_micros($"us").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
-    val q = side(in, "click").join(side(inP, "purchase"),
+    withStatePartitions(s)(side(in, "click").join(side(inP, "purchase"),
         $"click_user" === $"purchase_user" &&
           $"purchase_ts" >= $"click_ts" &&
           $"purchase_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"))
@@ -359,7 +373,7 @@ object StreamQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      .awaitTermination())
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
@@ -387,7 +401,7 @@ object StreamQueries {
     val t0 = new java.io.File(s"$in/b1.csv").lastModified()
     require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000),
       s"could not order staged batch files by mtime under $in")
-    val q = s.readStream
+    withStatePartitions(s)(s.readStream
       .schema("event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
       .option("header", "true")
       .option("maxFilesPerTrigger", "1")
@@ -402,7 +416,7 @@ object StreamQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+      .awaitTermination())
     s.read.parquet(out)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), countDistinct($"event_id").as("n_ids"),
