@@ -142,10 +142,43 @@ object AdvancedJoins {
       |    / COUNT(DISTINCT l_partkey) <= 0.05 AS INT) AS parts_within_5pct
       |FROM lineitem""".stripMargin
 
+  /** Approximate percentiles gated like [[approxDistinct]]: the sketch
+    * algorithms differ per engine (Spark: Greenwald-Khanna variant;
+    * DuckDB: t-digest), so the gate hashes the EXACT percentiles plus a
+    * per-engine flag that its own sketch lands within 1% of its own
+    * exact value — the error contract a 100 TB single-pass percentile
+    * (no full sort) actually promises.
+    */
+  val approxPercentile: Q = (s, dir) => {
+    import s.implicits._
+    val ap = expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
+    val ex = expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
+    Tables(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n"), ap.as("ap"), ex.as("ex"))
+      .select($"n",
+        round(element_at($"ex", 1), 6).as("exact_p50"),
+        round(element_at($"ex", 2), 6).as("exact_p95"),
+        (abs(element_at($"ap", 1) - element_at($"ex", 1)) /
+          element_at($"ex", 1) <= 0.01).cast("int").as("p50_within_1pct"),
+        (abs(element_at($"ap", 2) - element_at($"ex", 2)) /
+          element_at($"ex", 2) <= 0.01).cast("int").as("p95_within_1pct"))
+  }
+
+  val approxPercentileSql: String =
+    """SELECT COUNT(*) AS n,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+      |  CAST(abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+      |    / quantile_cont(l_extendedprice, 0.5) <= 0.01 AS INT) AS p50_within_1pct,
+      |  CAST(abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+      |    / quantile_cont(l_extendedprice, 0.95) <= 0.01 AS INT) AS p95_within_1pct
+      |FROM lineitem""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
     "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
     "agg_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
-    "agg_approx_distinct" -> (approxDistinct, Some(approxDistinctSql))
+    "agg_approx_distinct" -> (approxDistinct, Some(approxDistinctSql)),
+    "agg_approx_percentile" -> (approxPercentile, Some(approxPercentileSql))
   )
 }

@@ -163,4 +163,36 @@ class PlanSpec extends SparkSpec {
     val p = plan("sim_ivf_assign")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB a selective dim filter on one side of a SHUFFLE join
+    // should become a bloom filter applied inside the fact scan
+    // (runtime row-level filtering — the non-partitioned sibling of
+    // DPP). The optimizer's size thresholds are tuned for real tables,
+    // so pin them down to observe the rewrite on the test corpus.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creation side must be UNDER its threshold (default 10MB — the
+      // filtered orders easily are); the APPLICATION side must be OVER
+      // its minimum scan size, which only a pinned 0 satisfies here
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      import spark.implicits._
+      val li = Tables(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables(spark, sf0001, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select("o_orderkey")
+      val df = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "the urgent-orders bloom filter must reach the lineitem side:\n" + p)
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
 }
