@@ -130,11 +130,70 @@ object Queries {
       |       round(CAST(CAST(ssum / 256.0 / 255.0 AS REAL) AS DOUBLE), 6) AS emb_0
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** Audio half of the multimodal surface: framed PCM analysis over the
+    * synthetic corpus's audio rows (every 3rd id). All features are
+    * integer arithmetic over the same LCG bytes as [[multimodalPipeline]],
+    * here read as SIGNED 8-bit samples — fully hash-gated.
+    */
+  val multimodalAudio: Q = (s, _) =>
+    graft.multimodal.Multimodal
+      .analyzeAudio(graft.multimodal.Multimodal.syntheticCorpus(s, 200), 64)
+      .toDF().orderBy("media_id")
+
+  /** DuckDB mirror: the same recursive-CTE LCG as the raster oracle,
+    * bytes recentred to signed (v = b − 256 for b ≥ 128), framed by
+    * integer division, zero crossings via lag within (id, frame).
+    */
+  val multimodalAudioSql: String =
+    """WITH RECURSIVE ids AS (
+      |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 = 1
+      |),
+      |lcg AS (
+      |  SELECT id, 0 AS i,
+      |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+      |         (256 + id % 512) AS len
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT id, i + 1,
+      |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+      |         len
+      |  FROM lcg WHERE i < len - 1
+      |),
+      |vals AS (
+      |  SELECT id, i, len,
+      |         CASE WHEN (s // 72057594037927936) >= 128
+      |              THEN (s // 72057594037927936) - 256
+      |              ELSE (s // 72057594037927936) END::INT AS v
+      |  FROM lcg
+      |),
+      |fr AS (
+      |  SELECT id, i, v, len, i // 64 AS f
+      |  FROM vals WHERE i < (len // 64) * 64
+      |),
+      |zc AS (
+      |  SELECT *, CASE WHEN lag(v) OVER (PARTITION BY id, f ORDER BY i) IS NULL THEN 0
+      |                 WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY id, f ORDER BY i) >= 0) THEN 1
+      |                 ELSE 0 END AS z
+      |  FROM fr
+      |),
+      |fe AS (
+      |  SELECT id, f, MAX(len) AS len, CAST(SUM(v::BIGINT * v) AS BIGINT) AS e,
+      |         MAX(abs(v)) AS pk, CAST(SUM(z) AS INT) AS zc
+      |  FROM zc GROUP BY id, f
+      |)
+      |SELECT id AS media_id, MAX(len)::INT AS n_samples, COUNT(*)::INT AS n_frames,
+      |       CAST(SUM(e) AS BIGINT) AS total_energy, MAX(pk)::INT AS max_peak,
+      |       CAST(SUM(zc) AS INT) AS total_zc,
+      |       md5(string_agg(CAST(e AS VARCHAR), ',' ORDER BY f)) AS energy_digest
+      |FROM fe GROUP BY id ORDER BY media_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = {
     val modules: Seq[Map[String, (Q, Option[String])]] = Seq(
       Map(
         "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
-        "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql))),
+        "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql)),
+        "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.DedupQueries.all,

@@ -189,6 +189,55 @@ object Multimodal {
     }
   }
 
+  /** Per-media audio features from framed PCM analysis. */
+  final case class AudioFeatures(media_id: Long, n_samples: Int, n_frames: Int,
+                                 total_energy: Long, max_peak: Int,
+                                 total_zc: Int, energy_digest: String)
+
+  /** Audio path: payload bytes as signed 8-bit PCM, framed into
+    * [[frameLen]]-sample tumbling windows (ragged tail dropped);
+    * per-frame energy Σv², zero crossings, and peak, rolled up per
+    * media with an md5 fingerprint of the frame-energy sequence (the
+    * audio analog of the raster histogram digest). Pure integer
+    * arithmetic — DuckDB-expressible, so the gate hash-checks it.
+    * Same lazy flatMap shape as [[sampleFrames]]: constant memory per
+    * task, non-audio rows produce nothing.
+    */
+  def analyzeAudio(ds: Dataset[MediaFile], frameLen: Int): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      if (m.kind != "audio") Iterator.empty
+      else {
+        val nF = m.data.length / frameLen
+        val energies = new Array[Long](nF)
+        var peak = 0
+        var zc = 0
+        var total = 0L
+        var f = 0
+        while (f < nF) {
+          var e = 0L
+          var i = f * frameLen
+          while (i < (f + 1) * frameLen) {
+            val v = m.data(i).toInt
+            e += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > f * frameLen && (v >= 0) != (m.data(i - 1).toInt >= 0)) zc += 1
+            i += 1
+          }
+          energies(f) = e
+          total += e
+          f += 1
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val digest = md.digest(energies.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        Iterator.single(AudioFeatures(m.media_id, m.data.length, nF,
+          total, peak, zc, digest))
+      }
+    }
+  }
+
   /** The query-surface entry: synthetic corpus → features, projected to
     * stable scalar columns (rows-only checked — the decode stub is JVM
     * code, not SQL-expressible).

@@ -252,11 +252,68 @@ object CurationQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Embedding outlier report: vectors whose distance from the corpus
+    * centroid sits more than 2 standard deviations from the mean
+    * distance — the sanity filter that catches corrupted/degenerate
+    * vectors before they enter an index. (Norm-based z-scores are
+    * useless on this corpus: the embeddings are unit-normalized, norm
+    * stddev ≈ 4e-8, which underflows the exact-decimal moments to a
+    * zero sigma — centroid distance has real spread.) The 64-value
+    * centroid and the 1-row distance moments broadcast; the corpus is
+    * scanned once for distances (cached across the stats and report
+    * passes) — one kernel per vector at any scale.
+    */
+  val embeddingOutliers: Q = (s, dir) => {
+    import s.implicits._
+    import graft.vector.VectorOps.dotExact
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val mu = broadcast(
+      emb.select(posexplode($"v")).toDF("pos", "val")
+        .groupBy($"pos")
+        .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("m"))
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          st => st.getField("m")).as("mu")))
+    val diff = zip_with($"v", $"mu", (x, y) => x - y)
+    val dist = graft.CacheTracker.persistTracked(
+      emb.crossJoin(mu)
+        .select($"vec_id", sqrt(dotExact(diff, diff)).as("dd")))
+    val stats = broadcast(dist.agg(
+      davg($"dd").as("mu_d"),
+      sqrt(davg($"dd" * $"dd") - davg($"dd") * davg($"dd")).as("sigma")))
+    dist.crossJoin(stats)
+      .withColumn("z", ($"dd" - $"mu_d") / $"sigma")
+      .filter(abs($"z") > 2.0)
+      .select($"vec_id", round($"dd", 9).as("dist"), round($"z", 9).as("z"))
+      .orderBy($"vec_id")
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, d - 1 AS pos, CAST(embedding[d] AS DOUBLE) AS val
+       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+       |mu AS (
+       |  SELECT pos, CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM corpus GROUP BY pos),
+       |dist AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST((val - m) * (val - m) AS DECIMAL(30,15))) AS DOUBLE)) AS dd
+       |  FROM corpus JOIN mu USING (pos) GROUP BY vec_id),
+       |stats AS (SELECT ${sqlDavg("dd")} AS mu_d,
+       |    sqrt(${sqlDavg("dd * dd")} - ${sqlDavg("dd")} * ${sqlDavg("dd")}) AS sigma
+       |  FROM dist)
+       |SELECT vec_id, round(dd, 9) AS dist, round((dd - mu_d) / sigma, 9) AS z
+       |FROM dist CROSS JOIN stats
+       |WHERE abs((dd - mu_d) / sigma) > 2.0
+       |ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "curate_quota_per_source" -> (quotaPerSource, Some(quotaPerSourceSql)),
     "curate_stratified_lang" -> (stratifiedLang, Some(stratifiedLangSql)),
     "curate_balance_labels" -> (balanceLabels, Some(balanceLabelsSql)),
     "curate_profile_documents" -> (profileDocuments, Some(profileDocumentsSql)),
-    "curate_pii_redact" -> (piiRedact, Some(piiRedactSql)))
+    "curate_pii_redact" -> (piiRedact, Some(piiRedactSql)),
+    "curate_embedding_outliers" -> (embeddingOutliers, Some(embeddingOutliersSql)))
 }

@@ -72,6 +72,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.histogram.sum == 256 && f.n_bytes == png.length)
   }
 
+  test("audio framing is partition-count independent and drops the ragged tail") {
+    val s = spark
+    val base = syntheticCorpus(s, 60)
+    val a = analyzeAudio(base, 64).collect().sortBy(_.media_id)
+    val b = analyzeAudio(base.repartition(7), 64).collect().sortBy(_.media_id)
+    assert(a.nonEmpty && a.sameElements(b))
+    // only audio rows; full frames only (n_samples/64 of them)
+    assert(a.forall(_.media_id % 3 == 1))
+    assert(a.forall(x => x.n_frames == x.n_samples / 64))
+  }
+
   test("resize preserves corner pixels; decode stub is total on any payload") {
     val px = Codecs.decodeImage(Array[Byte](1, 2, 3), 4, 4)
     assert(px.length == 16 && px.forall(p => p >= 0 && p <= 255))
