@@ -164,6 +164,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The complement of the explicit salting in join_skew_salted: when
+    // skew is only discovered at runtime, AQE must split the oversized
+    // partition instead of letting one task straggle. Thresholds are
+    // pinned low to trigger on a synthesized 90%-one-key corpus.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
+    try {
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{when => sqlWhen, _}
+      val skewed = spark.range(40000)
+        .select(sqlWhen($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(200).select($"id".as("k"), lit("x").as("tag"))
+      val df = skewed.join(dim, "k").agg(count(lit(1)))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE must mark and split the skewed partition:\n" + p)
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a selective dim filter on one side of a SHUFFLE join
     // should become a bloom filter applied inside the fact scan
