@@ -33,6 +33,53 @@ object RefQueries {
     CsvIngest.readLocations(s, tmp).toDF().orderBy("locid")
   }
 
+  /** O13 complement — error-TOLERANT ingest: the reference (and
+    * [[csvRoundtrip]]) abort on the first ragged row (FAILFAST); a
+    * 100 TB backfill usually wants the other contract — parse what
+    * parses, quarantine what doesn't. PERMISSIVE mode with a
+    * corrupt-record column captures each bad line verbatim; the gate
+    * checks the good/quarantined split and that good-row values
+    * survive. The file plants a corrupt line at every id ≡ 3 (mod 7),
+    * so the oracle is closed-form arithmetic over `range`.
+    */
+  val csvPermissive: Q = (s, _) => {
+    import s.implicits._
+    val tmp = s"${graft.Scratch.dir}/graft_csv_permissive_" + runToken
+    val lines = (0 until 140).map { id =>
+      if (id % 7 == 3) s"oops_truncated_line_$id"
+      else s"$id,${id * 3L},name$id"
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/data.csv"),
+      ("a,b,name" +: lines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s.read
+      .schema("a BIGINT, b BIGINT, name STRING, _bad STRING")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(tmp)
+      // the aggregate must reference EVERY data column: the CSV parser
+      // prunes unread columns, and a line whose only token feeds a
+      // pruned column parses "clean" — _bad never gets set (measured:
+      // 140/0 instead of 120/20 when `a` was unread)
+      .agg(
+        sum($"_bad".isNull.cast("long")).as("n_good"),
+        sum($"_bad".isNotNull.cast("long")).as("n_quarantined"),
+        sum($"a").as("sum_a"),
+        sum($"b").as("sum_b"),
+        countDistinct($"name").as("n_names"))
+  }
+
+  val csvPermissiveSql: String =
+    """SELECT CAST(SUM(CASE WHEN range % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(SUM(CASE WHEN range % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  CAST(SUM(CASE WHEN range % 7 <> 3 THEN range END) AS BIGINT) AS sum_a,
+      |  CAST(SUM(CASE WHEN range % 7 <> 3 THEN range * 3 END) AS BIGINT) AS sum_b,
+      |  COUNT(DISTINCT CASE WHEN range % 7 <> 3 THEN 'name' || range END) AS n_names
+      |FROM range(140)""".stripMargin
+
   /** §1.4 — intra-batch duplicate keys resolved deterministically
     * last-write-wins (the reference would fail the chunk; SURVEY.md §1.4).
     */
@@ -210,6 +257,7 @@ object RefQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "ref_gen_locations" -> (genLocations, Some(Gen.locationsSql(1000) + " ORDER BY locid")),
     "ref_csv_roundtrip" -> (csvRoundtrip, Some(Gen.locationsSql(500) + " ORDER BY locid")),
+    "ref_csv_permissive" -> (csvPermissive, Some(csvPermissiveSql)),
     "ref_gen_1m_roundtrip" -> (gen1mRoundtrip, Some(gen1mRoundtripSql)),
     "ref_ingest_dedup" -> (ingestDedup, Some(ingestDedupSql)),
     "ref_upsert_merge" -> (upsertMerge, Some(upsertMergeSql)),
