@@ -24,11 +24,11 @@ object Probe {
     s.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
-        stages += ((i.stageId,
+        stages.synchronized { stages += ((i.stageId,
           i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
           i.taskMetrics.executorRunTime,
           i.numTasks + "t " + i.details.split("\n")
-            .find(_.contains("graft")).getOrElse(i.name).take(80)))
+            .find(_.contains("graft")).getOrElse(i.name).take(80))) }
       }
     })
     def t[A](label: String)(f: => A): A = {
@@ -36,12 +36,13 @@ object Probe {
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     t("warm")(Tables(s, dir, "lineitem").count())
-    stages.clear()
+    stages.synchronized(stages.clear())
     for (i <- 1 to 2)
       t(s"${name}_run$i")(Queries.queries(name)(s, dir).collect())
-    Thread.sleep(500)
-    println("PROBE total wall over stages (ms): " + stages.map(_._2).sum)
-    stages.sortBy(_._1).foreach { case (id, wall, run, n) =>
+    Thread.sleep(500) // listener bus drain heuristic (bus API is private)
+    val snap = stages.synchronized(stages.toVector)
+    println("PROBE total wall over stages (ms): " + snap.map(_._2).sum)
+    snap.sortBy(_._1).foreach { case (id, wall, run, n) =>
       println(f"PROBE stage $id%4d wall=$wall%6d ms run=$run%6d ms  $n")
     }
     graft.CacheTracker.releaseAll()

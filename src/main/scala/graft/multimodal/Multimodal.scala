@@ -206,7 +206,10 @@ object Multimodal {
   def analyzeAudio(ds: Dataset[MediaFile], frameLen: Int): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
-      if (m.kind != "audio") Iterator.empty
+      // sub-frame payloads produce NO row (not a zero row): the oracle's
+      // frame CTE has no rows for them either, and the two must agree
+      // for any frameLen, not just ones below the corpus minimum
+      if (m.kind != "audio" || m.data.length < frameLen) Iterator.empty
       else {
         val nF = m.data.length / frameLen
         val energies = new Array[Long](nF)

@@ -71,12 +71,9 @@ object StreamQueries {
     * session's batch setting afterwards.
     */
   private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession)
-                                    (body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, graft.Tuning.streamStatePartitions.toString)
-    try body finally s.conf.set(key, prev)
-  }
+                                    (body: => A): A =
+    graft.Confs.withConf(s, "spark.sql.shuffle.partitions" ->
+      graft.Tuning.streamStatePartitions.toString)(body)
 
   val streamIngestDedup: Q = (s, _) => {
     val (in, out, ck) = streamDirs()

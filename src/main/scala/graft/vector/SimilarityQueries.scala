@@ -699,9 +699,7 @@ object SimilarityQueries {
     // bills each query stage as its own job, and this loop's many tiny
     // stages paid ~0.4 s of scheduling fixed cost per job (measured:
     // 28 jobs, ~12 s; the compute itself is ~2 s).
-    val aqePrev = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val cbF = try {
+    val cbF = graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
       var cb = materialize(rollup(subs
         .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
           $"m", posexplode($"sub"))
@@ -711,7 +709,7 @@ object SimilarityQueries {
           .select($"c_code", $"m", posexplode($"sub"))
           .toDF("c_code", "m", "pos", "val")), s"lloyd$i")
       cb
-    } finally s.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    }
     // final codebook feeds the encode pass AND the LUT broadcast
     val enc = assign(cbF).withColumnRenamed("c_code", "code")
     val lut = subs.filter($"vec_id" < 5).join(broadcast(cbF), Seq("m"))
@@ -731,7 +729,7 @@ object SimilarityQueries {
   val pqAdcKnnSql: String = {
     import graft.functions.Exact.sqlDsum
     def mean(src: String): String =
-      s"CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
+      s"CAST(SUM(CAST($src.val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
     // assignment score mirrors the Spark side exactly: |c|² - 2·v·c with
     // both components exact-decimal doubles, combined by two IEEE ops
     def assignCtes(tag: String, cbName: String): String =

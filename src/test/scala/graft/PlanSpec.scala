@@ -169,17 +169,11 @@ class PlanSpec extends SparkSpec {
     // skew is only discovered at runtime, AQE must split the oversized
     // partition instead of letting one task straggle. Thresholds are
     // pinned low to trigger on a synthesized 90%-one-key corpus.
-    val c = spark.conf
-    val saved = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
-    try {
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
-      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
-      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Confs.withConf(spark,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       import spark.implicits._
       import org.apache.spark.sql.functions.{when => sqlWhen, _}
       val skewed = spark.range(40000)
@@ -191,7 +185,7 @@ class PlanSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
         "AQE must mark and split the skewed partition:\n" + p)
-    } finally saved.foreach { case (k, v) => c.set(k, v) }
+    }
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
@@ -200,18 +194,14 @@ class PlanSpec extends SparkSpec {
     // (runtime row-level filtering — the non-partitioned sibling of
     // DPP). The optimizer's size thresholds are tuned for real tables,
     // so pin them down to observe the rewrite on the test corpus.
-    val c = spark.conf
-    val saved = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.get(k))
-    try {
-      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // creation side must be UNDER its threshold (default 10MB — the
-      // filtered orders easily are); the APPLICATION side must be OVER
-      // its minimum scan size, which only a pinned 0 satisfies here
-      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    // creation side must be UNDER its threshold (default 10MB — the
+    // filtered orders easily are); the APPLICATION side must be OVER
+    // its minimum scan size, which only a pinned 0 satisfies here;
+    // broadcast off forces the shuffle join the rewrite targets
+    Confs.withConf(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       import spark.implicits._
       val li = Tables(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
       val ord = Tables(spark, sf0001, "orders")
@@ -223,6 +213,6 @@ class PlanSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("might_contain"),
         "the urgent-orders bloom filter must reach the lineitem side:\n" + p)
-    } finally saved.foreach { case (k, v) => c.set(k, v) }
+    }
   }
 }
