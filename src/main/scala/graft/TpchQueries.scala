@@ -723,7 +723,295 @@ object TpchQueries {
 
   val q22Sql: String = q22Body("customer", "orders")
 
+  /** TPC-H Q2-shaped minimum-cost supplier: a correlated SCALAR MIN
+    * subquery whose inner query repeats the outer's region join — the
+    * classic decorrelation-to-aggregate-join shape (Catalyst rewrites
+    * the per-part MIN into one grouped aggregate joined back on the
+    * correlation key). MIN over a raw double column is exact in any
+    * engine, so the equality correlate is hash-safe (unlike a SUM,
+    * which would need the decimal detour). The corpus has no partsupp
+    * — FIXTURES.md — so lineitem stands in as the part↔supplier price
+    * relation, preserving the query shape exactly.
+    */
+  private def q2Body(part: String, lineitem: String, supplier: String,
+      nation: String, region: String): String =
+    s"""SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+       |  l_extendedprice AS best_price
+       |FROM $part
+       |  JOIN $lineitem ON p_partkey = l_partkey
+       |  JOIN $supplier ON l_suppkey = s_suppkey
+       |  JOIN $nation ON s_nationkey = n_nationkey
+       |  JOIN $region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE' AND p_size <= 10
+       |  AND l_extendedprice = (
+       |    SELECT MIN(l2.l_extendedprice)
+       |    FROM $lineitem l2
+       |      JOIN $supplier s2 ON l2.l_suppkey = s2.s_suppkey
+       |      JOIN $nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |      JOIN $region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY best_price DESC, p_partkey, s_suppkey
+       |LIMIT 100""".stripMargin
+
+  val q2MinCostSupplier: Q = (s, dir) => {
+    Tables(s, dir, "part").createOrReplaceTempView("part_q2")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q2")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q2")
+    Tables(s, dir, "region").createOrReplaceTempView("region_q2")
+    s.sql(q2Body("part_q2", "lineitem_q2", "supplier_q2", "nation_q2", "region_q2"))
+  }
+
+  val q2Sql: String = q2Body("part", "lineitem", "supplier", "nation", "region")
+
+  /** TPC-H Q7-shaped volume shipping: revenue flowing between two
+    * specific nations, in either direction, by ship year. The two
+    * nation lookups broadcast PRE-FILTERED to the pair (so the join
+    * discards non-pair rows before the shuffle, not after), and the
+    * symmetric OR runs on the two small joined name columns. Fact
+    * tables shuffle on their keys — the minimum for SF-scaling sides.
+    */
+  val q7VolumeShipping: Q = (s, dir) => {
+    import s.implicits._
+    val pair = Seq("NATION_6", "NATION_9")
+    val n1 = broadcast(Tables(s, dir, "nation")
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables(s, dir, "nation")
+      .filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"s_nk")
+      .join(n2, $"c_nationkey" === $"c_nk")
+      .filter(($"supp_nation" === "NATION_6" && $"cust_nation" === "NATION_9") ||
+        ($"supp_nation" === "NATION_9" && $"cust_nation" === "NATION_6"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+       |    OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8-shaped national market share: one nation's fraction of
+    * the revenue sold to one region's customers for one part type, per
+    * order year. Numerator and denominator are the SAME exact-decimal
+    * sum (one with a CASE), so the share is a deterministic division.
+    * Region-filtered customer nations and the supplier-nation name
+    * lookup both broadcast (fixed 25/5-row dims).
+    */
+  val q8MarketShare: Q = (s, dir) => {
+    import s.implicits._
+    val custNations = broadcast(Tables(s, dir, "nation")
+      .join(broadcast(Tables(s, dir, "region").filter($"r_name" === "AMERICA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("c_nk")))
+    val suppNation = broadcast(Tables(s, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables(s, dir, "part").filter($"p_type" === "STANDARD").select("p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(custNations, $"c_nationkey" === $"c_nk")
+      .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(suppNation, $"s_nationkey" === $"s_nk")
+      .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((dsum(when($"supp_nation" === "NATION_9", $"volume").otherwise(0.0)) /
+        dsum($"volume")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_year")
+  }
+
+  val q8Sql: String =
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |  ${sqlDsum("CASE WHEN sn.n_name = 'NATION_9' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |    / ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9-shaped product-type profit: profit per supplier nation
+    * per order year for parts matching a name pattern. The corpus has
+    * no ps_supplycost — FIXTURES.md — so cost is modeled as
+    * 0.6 × p_retailprice × l_quantity, keeping the canonical amount
+    * expression's (revenue − cost) shape. LIKE pushes into the part
+    * scan; the profit sum runs in exact decimal.
+    */
+  val q9ProductProfit: Q = (s, dir) => {
+    import s.implicits._
+    val suppNation = broadcast(Tables(s, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("nation")))
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables(s, dir, "part")
+          .filter($"p_name".like("%bolt%")).select("p_partkey", "p_retailprice"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(suppNation, $"s_nationkey" === $"s_nk")
+      .groupBy($"nation", year($"o_orderdate").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name AS nation,
+       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")}
+       |    AS sum_profit
+       |FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%bolt%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11-shaped important stock: per-part value within one
+    * nation's suppliers, kept only where it exceeds a multiple of the
+    * per-part MEAN — a grouped HAVING against a SCALAR subquery that
+    * re-aggregates the same derived view (Catalyst plans the subquery
+    * once and broadcasts the literal into the filter). The canonical
+    * fraction-of-total threshold degenerates on a uniform corpus
+    * (nothing clears x% of a 20k-part total), so the threshold is
+    * 1.2× the mean part value — same shape, SF-stable selectivity.
+    * No partsupp in this corpus: value = extendedprice × quantity
+    * summed over the nation's lineitems.
+    */
+  private def q11Body(lineitem: String, supplier: String, nation: String): String =
+    s"""WITH natl AS (
+       |  SELECT l_partkey, l_extendedprice * l_quantity AS val
+       |  FROM $lineitem
+       |    JOIN $supplier ON l_suppkey = s_suppkey
+       |    JOIN $nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_9')
+       |SELECT l_partkey, ${sqlDsum("val")} AS value
+       |FROM natl
+       |GROUP BY l_partkey
+       |HAVING ${sqlDsum("val")} > (
+       |  SELECT 1.2 * ${sqlDavg("pv")} FROM (
+       |    SELECT ${sqlDsum("val")} AS pv FROM natl GROUP BY l_partkey))
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  val q11ImportantStock: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q11")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q11")
+    s.sql(q11Body("lineitem_q11", "supplier_q11", "nation_q11"))
+  }
+
+  val q11Sql: String = q11Body("lineitem", "supplier", "nation")
+
+  /** TPC-H Q12-shaped shipping-priority counts: conditional counts of
+    * high/low-priority orders per lineitem class over a ship-year — the
+    * CASE-inside-SUM pivot that plans as ONE pass over the join (no
+    * per-priority re-scan). The corpus has no l_shipmode — FIXTURES.md
+    * — so l_returnflag stands in as the lineitem class.
+    */
+  val q12ShipPriority: Q = (s, dir) => {
+    import s.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q16-shaped supplier-count distribution: distinct suppliers
+    * per (brand, type, size) bucket, EXCLUDING suppliers from a NOT IN
+    * subquery — the null-aware anti join Catalyst plans specially
+    * (NOT IN must reject ALL rows if the subquery ever yields NULL;
+    * s_suppkey is non-null here, so it degenerates to a broadcast anti
+    * join, but the plan path is the point). "Complaints" stand-in:
+    * suppliers with negative account balance. COUNT(DISTINCT) adds the
+    * expand-then-dedup aggregate no other q-query exercises.
+    */
+  private def q16Body(lineitem: String, part: String, supplier: String): String =
+    s"""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM $lineitem JOIN $part ON p_partkey = l_partkey
+       |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM $supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  val q16SupplierCount: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+    Tables(s, dir, "part").createOrReplaceTempView("part_q16")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q16")
+    s.sql(q16Body("lineitem_q16", "part_q16", "supplier_q16"))
+  }
+
+  val q16Sql: String = q16Body("lineitem", "part", "supplier")
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier, Some(q2Sql)),
+    "q7_volume_shipping" -> (q7VolumeShipping, Some(q7Sql)),
+    "q8_market_share" -> (q8MarketShare, Some(q8Sql)),
+    "q9_product_profit" -> (q9ProductProfit, Some(q9Sql)),
+    "q11_important_stock" -> (q11ImportantStock, Some(q11Sql)),
+    "q12_ship_priority" -> (q12ShipPriority, Some(q12Sql)),
+    "q16_supplier_count" -> (q16SupplierCount, Some(q16Sql)),
     "q3_shipping_priority" -> (q3ShippingPriority, Some(q3Sql)),
     "q4_order_priority" -> (q4OrderPriority, Some(q4Sql)),
     "q13_customer_distribution" -> (q13CustomerDistribution, Some(q13Sql)),

@@ -91,6 +91,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(o_totalprice"), p)
   }
 
+  test("q2 decorrelates the scalar MIN to an aggregate join, no per-row subquery") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("min("), "the correlated MIN must become a grouped aggregate:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LessThanOrEqual(p_size,10)"),
+      "the size filter must reach the part scan:\n" + p)
+  }
+
+  test("q7 broadcasts both pre-filtered nation lookups") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the pair filter must reach the nation scans, not run post-join
+    assert(p.contains("In(n_name, [NATION_6,NATION_9])"), p)
+  }
+
+  test("q9 pushes the name LIKE into the part scan") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("StringContains(p_name,bolt)"),
+      "the %bolt% pattern must reach the part scan as a contains pushdown:\n" + p)
+  }
+
+  test("q11 plans the HAVING threshold as a one-row subquery, not a rescan join") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(n_name,NATION_9)"),
+      "the nation filter must reach its scan:\n" + p)
+  }
+
+  test("q16's NOT IN plans as a null-aware anti join") {
+    val p = plan("q16_supplier_count")
+    assert(p.contains("LeftAnti"), "NOT IN must become an anti join:\n" + p)
+    assert(p.contains("LessThan(s_acctbal,0.0)"),
+      "the complaints filter must reach the supplier scan:\n" + p)
+  }
+
   test("hash split assigns scan-locally and prunes to the three used columns") {
     val p = plan("curate_hash_split")
     assert(!p.contains("Window") && !p.contains("Join"),
