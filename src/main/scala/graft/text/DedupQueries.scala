@@ -275,10 +275,133 @@ object DedupQueries {
        |ORDER BY doc_a""".stripMargin
   }
 
+  /** Near-dup CLUSTER canonicalization — the step after pair discovery
+    * that actual dedup pipelines run: connected components over the
+    * near-dup edge graph, keep the lowest doc_id per component as the
+    * canonical copy. Pairs alone under-delete (A~B, B~C but A!~C leaves
+    * a duplicate unless transitivity is applied); components close the
+    * chain. The corpus is originals + TWO chained truncations (drop 5 /
+    * drop 10 words), so clusters have ≥3 members exactly when the
+    * chain-edge recovery works.
+    *
+    * Components run as distributed min-label propagation: each round is
+    * one shuffle (edges ⋈ labels, min per node), O(graph diameter)
+    * rounds with an explicit convergence check — the GraphX/Pregel
+    * shape without the GraphX dependency, and near-dup graph diameters
+    * are tiny in practice (bounded by cluster size, here 3). The edge
+    * build reuses the gated MinHash+LSH plan (banded candidates → exact
+    * Jaccard ≥ 0.4) — never all-pairs.
+    */
+  val dedupClusters: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    val corpus = base.select(explode(array(
+        struct($"doc_id", $"toks"),
+        struct(($"doc_id" + 10000).as("doc_id"),
+          slice($"toks", lit(1), size($"toks") - 5).as("toks")),
+        struct(($"doc_id" + 20000).as("doc_id"),
+          slice($"toks", lit(1), size($"toks") - 10).as("toks")))).as("r"))
+      .select($"r.doc_id", $"r.toks")
+    val shingled = graft.CacheTracker.persistTracked(
+      corpus.select($"doc_id", wordShingles($"toks", 3).as("sh")))
+    val bands = graft.CacheTracker.persistTracked(bandRows(
+      shingled.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $K)"))),
+      "doc_id", R))
+    val edges = graft.CacheTracker.persistTracked(
+      lshCandidates(bands, "doc_id")
+        .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+        .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+        .filter(jaccard($"sh_a", $"sh_b") >= 0.4)
+        .select($"doc_a", $"doc_b"))
+    val und = graft.CacheTracker.persistTracked(
+      edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    // min-label propagation to a fixpoint; every labels generation is
+    // persisted (the convergence count and the next round both read it)
+    // and the PREVIOUS generation released immediately — only the final
+    // fixpoint cache survives for the caller's action.
+    var labels: DataFrame = graft.CacheTracker.persistTracked(
+      und.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("comp")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = und.join(labels, $"src" === $"node")
+        .groupBy($"dst").agg(min($"comp").as("nbr"))
+      val next = graft.CacheTracker.persistTracked(
+        labels.select($"node", $"comp")
+          .join(prop, $"node" === $"dst", "left")
+          .select($"node",
+            least($"comp", coalesce($"nbr", $"comp")).as("comp")))
+      changed = next.toDF("node", "next_comp")
+        .join(labels.toDF("node", "prev_comp"), "node")
+        .filter($"next_comp" =!= $"prev_comp").count()
+      labels.unpersist(false)
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy($"comp".as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list($"node")),
+          x => x.cast("string")), ",").as("members"))
+      .orderBy($"cluster_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000, list_slice(toks, 1, len(toks) - 5) FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 20000, list_slice(toks, 1, len(toks) - 10) FROM base),
+       |shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM corpus),
+       |sig0 AS (
+       |  SELECT doc_id, list_transform(range(0, $K),
+       |    i -> list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS mh0
+       |  FROM shingled),
+       |sig AS (
+       |  SELECT doc_id, ${sqlBandedKeys("mh0", Bands, R)} AS mh FROM sig0),
+       |bands AS (
+       |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
+       |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
+       |  WHERE a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |            JOIN shingled sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_cat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |nodes AS (SELECT DISTINCT src AS node FROM und),
+       |reach(node, comp) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT u.dst, r.comp FROM reach r JOIN und u ON r.node = u.src),
+       |cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+       |SELECT comp AS cluster_id, COUNT(*) AS n_members,
+       |  array_to_string(list_sort(list(node)), ',') AS members
+       |FROM cc GROUP BY comp ORDER BY cluster_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
     "dedup_minhash_estimate" -> (minhashEstimate, Some(minhashEstimateSql)),
     "dedup_simhash_sig" -> (simhashSig, Some(simhashSigSql)),
-    "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql))
+    "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),
+    "dedup_cluster_canonical" -> (dedupClusters, Some(dedupClustersSql))
   )
 }
