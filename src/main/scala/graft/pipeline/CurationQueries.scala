@@ -308,7 +308,68 @@ object CurationQueries {
        |WHERE abs((dd - mu_d) / sigma) > 2.0
        |ORDER BY vec_id""".stripMargin
 
+  /** Sequence packing — the last step before a training run: documents
+    * are concatenated in a deterministic order and cut into fixed
+    * token-budget blocks (GPT-style packing; a doc can straddle a block
+    * boundary). Per block: how many docs it touches, how many carried
+    * over from the previous block, and its fill. The concatenation
+    * order is the usual hash order (not arrival order), and the
+    * cumulative offset is a window sum KEYED ON SOURCE — packing is
+    * per-shard, so at 100 TB this is one shuffle on `source` and never
+    * a global single-partition cumsum. The block explode emits
+    * ceil(span/B) ≈ 1–2 rows per doc — linear, no range join.
+    */
+  val packSequences: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = 256L
+    val w = Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("pack|"), $"doc_id".cast("string"))), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = Tables(s, dir, "documents")
+      .select($"source", $"doc_id",
+        size(graft.text.TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("end_", sum($"n_tok").over(w))
+      .withColumn("start_", $"end_" - $"n_tok")
+    spans
+      .select($"source", $"start_", $"end_",
+        explode(sequence(expr(s"start_ div $B"), expr(s"(end_ - 1) div $B")))
+          .as("seq_id"))
+      .groupBy($"source", $"seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"start_" < $"seq_id" * B, 1L).otherwise(0L)).as("n_carry_docs"),
+        sum(least($"end_", ($"seq_id" + 1) * B) -
+          greatest($"start_", $"seq_id" * B)).as("seq_tokens"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |    len(${graft.text.TextAnalysis.sqlTokens("text")}) AS n_tok
+       |  FROM documents),
+       |spans AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY md5('pack|' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_
+       |  FROM docs WHERE n_tok > 0),
+       |sp AS (SELECT source, end_ - n_tok AS start_, end_ FROM spans),
+       |ex AS (
+       |  SELECT source, start_, end_,
+       |    unnest(range(start_ // 256, (end_ - 1) // 256 + 1)) AS seq_id
+       |  FROM sp)
+       |SELECT source, seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN start_ < seq_id * 256 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_carry_docs,
+       |  CAST(SUM(LEAST(end_, (seq_id + 1) * 256) - GREATEST(start_, seq_id * 256))
+       |    AS BIGINT) AS seq_tokens
+       |FROM ex GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "curate_quota_per_source" -> (quotaPerSource, Some(quotaPerSourceSql)),
     "curate_stratified_lang" -> (stratifiedLang, Some(stratifiedLangSql)),
