@@ -397,8 +397,106 @@ object DedupQueries {
        |  array_to_string(list_sort(list(node)), ',') AS members
        |FROM cc GROUP BY comp ORDER BY cluster_id""".stripMargin
 
+  /** Incremental ingest dedup — the DAILY path at 100 TB: a new batch
+    * of documents is checked against the EXISTING corpus without ever
+    * comparing corpus × corpus. The batch (a hash-selected 20% of docs,
+    * truncated to simulate re-crawled near-identical content) bands on
+    * the same MinHash keys as the corpus; the candidate join is
+    * batch-bands ⋈ corpus-bands on (band, key) — cost proportional to
+    * the BATCH, not the corpus, which is what lets a 100 TB index
+    * absorb a daily feed (corpus bands would be a precomputed table in
+    * production; here they build from the same scan). Verified dups get
+    * a drop verdict with their match; unmatched batch docs keep.
+    */
+  val incrementalIngest: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    val corpusSh = graft.CacheTracker.persistTracked(
+      base.select($"doc_id", wordShingles($"toks", 3).as("sh")))
+    val inBatch = (conv(substring(md5(concat(lit("incr|"),
+      $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100) >= 80
+    val batchSh = graft.CacheTracker.persistTracked(
+      base.filter(inBatch)
+        .select(($"doc_id" + 50000).as("doc_id"),
+          wordShingles(slice($"toks", lit(1), size($"toks") - 5), 3).as("sh")))
+    def bandsOf(sh: org.apache.spark.sql.DataFrame) = bandRows(
+      sh.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $K)"))),
+      "doc_id", R)
+    val cand = bandsOf(batchSh).toDF("b_doc", "band", "mh")
+      .join(bandsOf(corpusSh).toDF("c_doc", "band", "mh"), Seq("band", "mh"))
+      .select($"b_doc", $"c_doc").distinct()
+    val verified = cand
+      .join(batchSh.toDF("b_doc", "sh_b"), "b_doc")
+      .join(corpusSh.toDF("c_doc", "sh_c"), "c_doc")
+      .select($"b_doc", $"c_doc", jaccard($"sh_b", $"sh_c").as("jaccard"))
+      .filter($"jaccard" >= 0.4)
+    batchSh.select($"doc_id")
+      .join(verified, $"doc_id" === $"b_doc", "left")
+      .select($"doc_id", $"c_doc".as("matched"), $"jaccard",
+        when($"c_doc".isNull, "keep").otherwise("drop").as("verdict"))
+      .orderBy($"doc_id", $"matched")
+  }
+
+  val incrementalIngestSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |corpus_sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM base),
+       |batch AS (
+       |  SELECT doc_id + 50000 AS doc_id,
+       |    list_slice(toks, 1, len(toks) - 5) AS toks
+       |  FROM base
+       |  WHERE CAST(('0x' || substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 4))
+       |    AS INTEGER) % 100 >= 80),
+       |batch_sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM batch),
+       |c_sig AS (
+       |  SELECT doc_id, ${sqlBandedKeys(
+             s"list_transform(range(0, $K), i -> list_min(list_transform(sh, " +
+               "x -> md5(CAST(i AS VARCHAR) || '|' || x))))", Bands, R)} AS mh
+       |  FROM corpus_sh),
+       |b_sig AS (
+       |  SELECT doc_id, ${sqlBandedKeys(
+             s"list_transform(range(0, $K), i -> list_min(list_transform(sh, " +
+               "x -> md5(CAST(i AS VARCHAR) || '|' || x))))", Bands, R)} AS mh
+       |  FROM batch_sh),
+       |c_bands AS (
+       |  SELECT doc_id AS c_doc, struct_extract(u, 'band') AS band,
+       |    struct_extract(u, 'mh') AS mh
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
+       |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM c_sig)),
+       |b_bands AS (
+       |  SELECT doc_id AS b_doc, struct_extract(u, 'band') AS band,
+       |    struct_extract(u, 'mh') AS mh
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
+       |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM b_sig)),
+       |cand AS (
+       |  SELECT DISTINCT b_doc, c_doc
+       |  FROM b_bands JOIN c_bands ON b_bands.band = c_bands.band
+       |    AND b_bands.mh = c_bands.mh),
+       |verified AS (
+       |  SELECT b_doc, c_doc,
+       |    CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_cat(sb.sh, sc.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN batch_sh sb ON cand.b_doc = sb.doc_id
+       |            JOIN corpus_sh sc ON cand.c_doc = sc.doc_id
+       |  WHERE CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_cat(sb.sh, sc.sh))) AS DOUBLE) >= 0.4)
+       |SELECT b.doc_id, v.c_doc AS matched, v.jaccard,
+       |  CASE WHEN v.c_doc IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM batch_sh b LEFT JOIN verified v ON b.doc_id = v.b_doc
+       |ORDER BY b.doc_id, matched""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
+    "dedup_incremental_ingest" -> (incrementalIngest, Some(incrementalIngestSql)),
     "dedup_minhash_estimate" -> (minhashEstimate, Some(minhashEstimateSql)),
     "dedup_simhash_sig" -> (simhashSig, Some(simhashSigSql)),
     "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),

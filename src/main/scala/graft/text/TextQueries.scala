@@ -240,7 +240,69 @@ object TextQueries {
        |SELECT doc_id, term, tf, df, round(score, 9) AS tfidf, rk
        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Repetition-based quality metrics (the Gopher-rules family): the
+    * most-frequent-token fraction, the most-frequent-2-gram fraction,
+    * and the fraction of 2-gram occurrences belonging to a repeated
+    * 2-gram — the signals that catch boilerplate/spam/degenerate
+    * generations that length and stopword ratios miss. All integer
+    * counts and exact integer-ratio divisions — engine-identical with
+    * no rounding. Shape: two explode → partial-agg passes keyed on
+    * (doc, term), joined on doc_id — scan-bound, no corpus-wide state.
+    */
+  val repetitionQuality: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+    val tokStats = base.select($"doc_id", explode($"toks").as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_tok"), sum($"c").as("n_tok"))
+    val bigrams = transform(sequence(lit(1), size($"toks") - 1),
+      i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1)))
+    val biStats = base.select($"doc_id", explode(bigrams).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_bi"), sum($"c").as("n_bi"),
+        sum(when($"c" >= 2, $"c").otherwise(0L)).as("dup_bi"))
+    tokStats.join(biStats, "doc_id")
+      .select($"doc_id", $"n_tok",
+        ($"top_tok" / $"n_tok").as("top_token_frac"),
+        ($"top_bi" / $"n_bi").as("top_bigram_frac"),
+        ($"dup_bi" / $"n_bi").as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionQualitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, toks FROM (
+       |    SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+       |  WHERE len(toks) >= 2),
+       |tc AS (
+       |  SELECT doc_id, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+       |  GROUP BY doc_id, t),
+       |ts AS (
+       |  SELECT doc_id, MAX(c) AS top_tok, CAST(SUM(c) AS BIGINT) AS n_tok
+       |  FROM tc GROUP BY doc_id),
+       |bc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM base)
+       |  GROUP BY doc_id, g),
+       |bs AS (
+       |  SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+       |  FROM bc GROUP BY doc_id)
+       |SELECT doc_id, n_tok,
+       |  top_tok / n_tok AS top_token_frac,
+       |  top_bi / n_bi AS top_bigram_frac,
+       |  dup_bi / n_bi AS dup_bigram_frac
+       |FROM ts JOIN bs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_repetition_quality" -> (repetitionQuality, Some(repetitionQualitySql)),
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
     "text_tfidf_top" -> (tfidfTop, Some(tfidfTopSql)),
     "text_top_terms" -> (topTerms, Some(topTermsSql)),
