@@ -15,6 +15,16 @@ import graft.functions.Exact._
   * Sessionization shuffles once on user_id — the same key a streaming
   * flatMapGroupsWithState would state-partition on.
   */
+/** Typed rows for [[EventQueries.userSeqTyped]] (integer micros, no
+  * timestamp codec in the typed path).
+  */
+case class UserEv(user_id: Long, ts_us: Long, event_type: String,
+    value: Double, event_id: Long)
+
+/** Per-user sequence features emitted by the mapGroups fold. */
+case class UserSeq(user_id: Long, n_events: Long, max_gap_us: Option[Long],
+    n_value_increases: Long, first_type: String, last_type: String)
+
 object EventQueries {
   import Queries.Q
 
@@ -222,7 +232,64 @@ object EventQueries {
       |  CAST(coalesce(SUM(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchases
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Typed per-group sequence analysis via `mapGroups` — the Dataset
+    * API's escape hatch for arbitrary per-key imperative logic (the
+    * third leg of the typed surface next to the TopK Aggregator and
+    * the native expressions). Each user's events sort in memory inside
+    * the group (bounded per-user cardinality — the mapGroups contract)
+    * and fold into sequence features: max inter-event gap, count of
+    * value increases, first/last event type. One shuffle on user_id;
+    * timestamps are pre-projected to integer micros so the typed path
+    * carries no timestamp codec, and every output is integer/string —
+    * the oracle reproduces it with lag windows.
+    */
+  val userSeqTyped: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      // ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast to
+      // TIMESTAMP (which unix_micros requires) is value-preserving
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("ts_us"),
+        $"event_type", $"value", $"event_id")
+      .as[UserEv]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        val gaps = evs.iterator.sliding(2).withPartial(false)
+          .map(p => p(1).ts_us - p(0).ts_us).toSeq
+        UserSeq(
+          user_id = uid,
+          n_events = evs.length.toLong,
+          max_gap_us = if (gaps.isEmpty) None else Some(gaps.max),
+          n_value_increases = evs.iterator.sliding(2).withPartial(false)
+            .count(p => p(1).value > p(0).value).toLong,
+          first_type = evs.head.event_type,
+          last_type = evs.last.event_type)
+      }
+      .toDF()
+      .orderBy($"user_id")
+  }
+
+  val userSeqTypedSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, value,
+      |    lag(epoch_us(ts)) OVER w AS pts,
+      |    epoch_us(ts) AS ts_us,
+      |    lag(value) OVER w AS pval,
+      |    row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(ts_us - pts) AS max_gap_us,
+      |  CAST(SUM(CASE WHEN pval IS NOT NULL AND value > pval THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_value_increases,
+      |  MIN(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+      |  MIN(CASE WHEN rn = n THEN event_type END) AS last_type
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_user_seq_typed" -> (userSeqTyped, Some(userSeqTypedSql)),
     "events_type_count_map" -> (eventTypeMap, Some(eventTypeMapSql)),
     "events_retention_daily" -> (retentionDaily, Some(retentionDailySql)),
     "events_zscore_anomalies" -> (zscoreAnomalies, Some(zscoreSql)),

@@ -368,7 +368,58 @@ object CurationQueries {
        |    AS BIGINT) AS seq_tokens
        |FROM ex GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
+  /** Data-mixture construction: per-source sampling rates from a
+    * temperature-adjusted weight (w_s ∝ n_s^0.5 — α<1 upsamples tail
+    * sources relative to head ones, the standard multi-source LM
+    * mixture recipe), targeting a fixed total budget. The keep
+    * decision stays a pure md5 bucket against the per-source rate, so
+    * sampling is scan-local once the 1-row-per-source rate table (the
+    * only aggregate) broadcasts. The weight normalizer is the one
+    * order-dependent float sum — routed through the decimal detour so
+    * rates are bit-identical on any partitioning; every other step is
+    * deterministic IEEE arithmetic on identical operands.
+    */
+  val mixtureSample: Q = (s, dir) => {
+    import s.implicits._
+    val target = 300.0
+    val counts = Tables(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(dsum(sqrt($"n".cast("double"))).as("t"))
+    val rates = broadcast(counts.crossJoin(broadcast(tot))
+      .withColumn("w", sqrt($"n".cast("double")) / $"t")
+      .withColumn("rate", least(lit(1.0), lit(target) * $"w" / $"n")))
+    val b16 = conv(substring(md5(concat(lit("mix|"),
+      $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long")
+    Tables(s, dir, "documents").select($"source", $"doc_id")
+      .join(rates, "source")
+      .groupBy($"source")
+      .agg(max($"n").as("n_docs"),
+        round(max($"w"), 9).as("weight"),
+        round(max($"rate"), 9).as("rate"),
+        sum((b16 < floor($"rate" * 65536).cast("long")).cast("long"))
+          .as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val mixtureSampleSql: String =
+    s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       |tot AS (SELECT ${sqlDsum("sqrt(CAST(n AS DOUBLE))")} AS t FROM c),
+       |rates AS (
+       |  SELECT source, n, sqrt(CAST(n AS DOUBLE)) / t AS w,
+       |    LEAST(1.0, 300.0 * (sqrt(CAST(n AS DOUBLE)) / t) / n) AS rate
+       |  FROM c CROSS JOIN tot)
+       |SELECT source, MAX(n) AS n_docs,
+       |  round(MAX(w), 9) AS weight,
+       |  round(MAX(rate), 9) AS rate,
+       |  CAST(SUM(CASE WHEN
+       |      CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))
+       |        AS INTEGER) < CAST(floor(rate * 65536) AS BIGINT)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents JOIN rates USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "curate_quota_per_source" -> (quotaPerSource, Some(quotaPerSourceSql)),
