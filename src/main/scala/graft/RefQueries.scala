@@ -254,7 +254,43 @@ object RefQueries {
   val countsSql: String =
     "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem"
 
+  /** O6 twin on the READ side — JDBC as a parallel SOURCE, not just a
+    * sink: the generated locations upsert into embedded Derby through
+    * the real dialect seam, then come back via `spark.read.jdbc` with
+    * an explicit predicate partitioning (4 disjoint MOD classes over
+    * the numeric key suffix → 4 concurrent connections/tasks, the shape
+    * a production extract uses so one task doesn't serialize the whole
+    * table). The aggregate gates the full write→read cycle against the
+    * generator oracle — if either direction dropped or duplicated a
+    * row, counts and min/max keys diverge.
+    */
+  val jdbcParallelRead: Q = (s, _) => {
+    import s.implicits._
+    import graft.sinks.JdbcUpsertSink
+    val n = 2000L
+    val url = s"jdbc:derby:${graft.Scratch.dir}/jdbc_read_$runToken;create=true"
+    JdbcUpsertSink.ensureTable(url, JdbcUpsertSink.DerbyUpsert)
+    JdbcUpsertSink.write(Gen.locations(s, n).as[graft.model.Location], url,
+      parallelism = 4, dialect = JdbcUpsertSink.DerbyUpsert)
+    val predicates = (0 until 4)
+      .map(k => s"MOD(CAST(SUBSTR(locid, 4) AS BIGINT), 4) = $k").toArray
+    s.read.jdbc(url, "locations", predicates, new java.util.Properties())
+      .groupBy($"country")
+      .agg(count(lit(1)).as("n"),
+        min($"locid").as("first_loc"), max($"locid").as("last_loc"),
+        countDistinct($"business").as("n_businesses"))
+      .orderBy($"country")
+  }
+
+  val jdbcParallelReadSql: String =
+    s"""SELECT country, COUNT(*) AS n,
+       |  MIN(locid) AS first_loc, MAX(locid) AS last_loc,
+       |  COUNT(DISTINCT business) AS n_businesses
+       |FROM (${Gen.locationsSql(2000)})
+       |GROUP BY country ORDER BY country""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "ref_jdbc_parallel_read" -> (jdbcParallelRead, Some(jdbcParallelReadSql)),
     "ref_gen_locations" -> (genLocations, Some(Gen.locationsSql(1000) + " ORDER BY locid")),
     "ref_csv_roundtrip" -> (csvRoundtrip, Some(Gen.locationsSql(500) + " ORDER BY locid")),
     "ref_csv_permissive" -> (csvPermissive, Some(csvPermissiveSql)),

@@ -294,7 +294,6 @@ object DedupQueries {
     */
   val dedupClusters: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.DataFrame
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
@@ -310,77 +309,22 @@ object DedupQueries {
     val bands = graft.CacheTracker.persistTracked(bandRows(
       shingled.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $K)"))),
       "doc_id", R))
-    val edges = graft.CacheTracker.persistTracked(
-      lshCandidates(bands, "doc_id")
-        .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
-        .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
-        .filter(jaccard($"sh_a", $"sh_b") >= 0.4)
-        .select($"doc_a", $"doc_b"))
-    val und = graft.CacheTracker.persistTracked(
-      edges.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    // materialize the WHOLE LSH pipeline exactly once before the loop:
-    // lazy persists + the loop's self-joins would otherwise race the
-    // un-materialized caches and re-run shingle/minhash per action
-    // (measured 12 s/round at sf0.1). After this, the loop touches
-    // only the tiny cached edge/label tables — and the heavyweight
-    // upstream caches can be dropped immediately.
-    def dbg(msg: => String): Unit =
-      if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(s"[cc] $msg t=${System.nanoTime / 1000000}")
-    dbg("start")
-    val nEdges = und.count()
-    dbg(s"und materialized, rows=$nEdges")
+    // materialize the WHOLE LSH pipeline exactly once before the CC
+    // loop (the operator's contract): lazy persists + the loop's
+    // self-joins would otherwise race the un-materialized caches and
+    // re-run shingle/minhash per action (measured 12 s/round at
+    // sf0.1). Once the edge list exists the heavyweight upstream
+    // caches are dead weight — drop them immediately.
+    val edgesMat = lshCandidates(bands, "doc_id")
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+      .filter(jaccard($"sh_a", $"sh_b") >= 0.4)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(true)
     shingled.unpersist(false)
     bands.unpersist(false)
-    edges.unpersist(false)
-    // min-label propagation WITH pointer jumping to a fixpoint: each
-    // round takes the min over neighbours' labels, then shortcuts
-    // label(v) ← label(label(v)). One-hop propagation alone needs
-    // O(diameter) rounds (measured 12-member chains at sf0.1 → ~12
-    // rounds, each a fixed-overhead job — the bench cost lived there);
-    // the shortcut makes label trees collapse geometrically, so rounds
-    // ~ log2(diameter). Every generation is persisted (the convergence
-    // count and the next round both read it) and the PREVIOUS
-    // generation released immediately — only the final fixpoint cache
-    // survives for the caller's action.
-    // Every generation is cut with an EAGER localCheckpoint, not a
-    // persist: the pointer-jump self-join doubles the logical plan per
-    // round, so with plain persist the optimizer re-analyzes an
-    // exponentially growing tree (measured 1.4 s → 56 s per round by
-    // round 3 at sf0.1 — analysis time, not execution). Checkpointing
-    // truncates the plan to the materialized partitions, keeping every
-    // round's plan constant-size; superseded checkpoint RDDs are
-    // unreferenced and reclaimed by the context cleaner.
-    var labels: DataFrame =
-      und.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("comp"))
-        .localCheckpoint(true)
-    dbg("labels materialized")
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 12) {
-      val prop = und.join(labels, $"src" === $"node")
-        .groupBy($"dst").agg(min($"comp").as("nbr"))
-      // eager checkpoint: materialized once before the self-join below
-      // reads it twice, and the plan resets to a leaf
-      val m1 = labels.select($"node", $"comp")
-        .join(prop, $"node" === $"dst", "left")
-        .select($"node",
-          least($"comp", coalesce($"nbr", $"comp")).as("comp"))
-        .localCheckpoint(true)
-      dbg(s"round ${rounds + 1} m1 done")
-      val next = m1.toDF("node", "c1")
-        .join(m1.toDF("c1", "c2"), Seq("c1"), "left")
-        .select($"node", least($"c1", coalesce($"c2", $"c1")).as("comp"))
-        .localCheckpoint(true)
-      changed = next.toDF("node", "next_comp")
-        .join(labels.toDF("node", "prev_comp"), "node")
-        .filter($"next_comp" =!= $"prev_comp").count()
-      labels = next
-      rounds += 1
-      dbg(s"round=$rounds changed=$changed")
-    }
+    val labels = graft.operators.ConnectedComponents
+      .run(edgesMat, "doc_a", "doc_b")
     labels.groupBy($"comp".as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         array_join(transform(array_sort(collect_list($"node")),
