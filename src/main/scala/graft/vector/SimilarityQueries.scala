@@ -787,8 +787,118 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Hybrid retrieval — the RAG-era read path: a lexical BM25 score and
+    * a vector cosine, blended into one ranking. Lexical terms are word
+    * BIGRAMS (on this small-vocabulary corpus single words are
+    * near-universal — median df 388/500 — while bigrams stay selective
+    * at median df 28/500, which is also the honest n-gram-BM25 design
+    * for short queries). Shapes at scale: one shuffle on the term key
+    * for (query-term × posting) contributions, df and corpus stats
+    * broadcast, and the vector half reuses the brute-force broadcast
+    * scan. The BM25 term sum rides the decimal detour (order-invariant)
+    * and the final rank orders by the score ROUNDED to 9 — a 1-ulp
+    * ln()/libm divergence between engines cannot flip a rank because
+    * ties at 9 decimals break on vec_id.
+    */
+  val hybridSearch: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact._
+    val qIds = Seq(3L, 57L, 201L)
+    val toks = graft.text.TextAnalysis.tokens($"text")
+    val base = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .select($"doc_id", toks.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
+          i => concat_ws(" ", element_at($"toks", i),
+            element_at($"toks", i + 1))).as("bg")))
+    val terms = graft.CacheTracker.persistTracked(
+      base.select($"doc_id", explode($"bg").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+    val lens = base.select($"doc_id", size($"bg").as("len"))
+    val stats = broadcast(lens.agg(count(lit(1)).as("n"),
+      davg($"len".cast("double")).as("avgdl")))
+    val dfT = terms.groupBy($"t").agg(count(lit(1)).as("df"))
+    val qTerms = terms.filter($"doc_id".isin(qIds: _*))
+      .select($"doc_id".as("q_id"), $"t")
+    val contrib = qTerms
+      .join(terms, "t")
+      .filter($"doc_id" =!= $"q_id")
+      .join(broadcast(dfT), "t")
+      .crossJoin(stats)
+      .join(lens, "doc_id")
+      .select($"q_id", $"doc_id",
+        (log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          (($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avgdl"))))
+          .as("w"))
+    val bm25 = contrib.groupBy($"q_id", $"doc_id")
+      .agg(dsum($"w").as("bm25"))
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+    val qEmb = broadcast(emb.filter($"vec_id".isin(qIds: _*))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn")))
+    val cos = emb.crossJoin(qEmb)
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy(round($"hybrid", 9).desc, $"vec_id")
+    cos.join(bm25.withColumnRenamed("doc_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left")
+      .withColumn("bm25", coalesce($"bm25", lit(0.0)))
+      .withColumn("hybrid", $"bm25" + lit(5.0) * $"cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"rank", $"vec_id", round($"bm25", 9).as("bm25"),
+        round($"cosine", 9).as("cosine"), round($"hybrid", 9).as("hybrid"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val hybridSearchSql: String = {
+    import graft.functions.Exact.{sqlDsum, sqlDavg}
+    s"""WITH base AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1]) AS bg
+       |  FROM (SELECT doc_id, ${graft.text.TextAnalysis.sqlTokens("text")} AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 2),
+       |terms AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(bg) AS t FROM base) GROUP BY doc_id, t),
+       |lens AS (SELECT doc_id, len(bg) AS len FROM base),
+       |stats AS (SELECT COUNT(*) AS n, ${sqlDavg("CAST(len AS DOUBLE)")} AS avgdl
+       |          FROM lens),
+       |dft AS (SELECT t, COUNT(*) AS df FROM terms GROUP BY t),
+       |qt AS (SELECT doc_id AS q_id, t FROM terms WHERE doc_id IN (3, 57, 201)),
+       |contrib AS (
+       |  SELECT q_id, terms.doc_id,
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))) AS w
+       |  FROM qt JOIN terms USING (t) JOIN dft USING (t) CROSS JOIN stats
+       |    JOIN lens ON terms.doc_id = lens.doc_id
+       |  WHERE terms.doc_id <> q_id),
+       |bm AS (SELECT q_id, doc_id, ${sqlDsum("w")} AS bm25
+       |       FROM contrib GROUP BY q_id, doc_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id IN (3, 57, 201)),
+       |cos AS (SELECT q_id, vec_id, ${sqlCosine("embedding", "q_emb")} AS cosine
+       |        FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+       |hybrid AS (
+       |  SELECT cos.q_id, cos.vec_id, COALESCE(bm25, 0.0) AS bm25, cosine,
+       |    COALESCE(bm25, 0.0) + 5.0 * cosine AS hybrid
+       |  FROM cos LEFT JOIN bm ON cos.q_id = bm.q_id AND cos.vec_id = bm.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY round(hybrid, 9) DESC, vec_id) AS rank FROM hybrid)
+       |SELECT q_id, rank, vec_id, round(bm25, 9) AS bm25,
+       |  round(cosine, 9) AS cosine, round(hybrid, 9) AS hybrid
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
+    "sim_hybrid_search" -> (hybridSearch, Some(hybridSearchSql)),
     "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
     "sim_knn_topk_agg" -> (knnTopkAgg, Some(knnBruteSql)),
     "sim_ann_lsh" -> (annLsh, Some(annLshSql)),
