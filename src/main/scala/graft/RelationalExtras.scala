@@ -360,7 +360,98 @@ object RelationalExtras {
       |  CAST(levenshtein(p_name, p_brand) AS INT) AS name_brand_dist
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** SCD Type-2 dimension history: three deterministic attribute
+    * snapshots per customer collapse into validity ranges — rows kept
+    * only where the attribute CHANGED vs the previous version (lag),
+    * each range closed by the next change's effective date (lead),
+    * open-ended rows flagged current. The warehouse op behind every
+    * "as-of" dimension join. One shuffle on the key carries both
+    * windows; snapshots explode from a single scan.
+    */
+  val scd2History: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val versions = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        explode(sequence(lit(0), lit(2))).as("v"))
+      .select($"c_custkey", $"v",
+        make_date(lit(2020), $"v" + 1, lit(1)).as("eff"),
+        when($"c_custkey" % ($"v" + 2) === 0,
+          concat(lit("SEG"), $"v")).otherwise($"c_mktsegment").as("seg"))
+    val w = Window.partitionBy($"c_custkey").orderBy($"v")
+    versions
+      .withColumn("prev_seg", lag($"seg", 1).over(w))
+      .filter($"prev_seg".isNull || $"seg" =!= $"prev_seg")
+      .withColumn("valid_to", lead($"eff", 1).over(w))
+      // TIMESTAMP, not DATE, in the gated output: the comparator's
+      // common ground across engines (CLAUDE.md date_trunc rule)
+      .select($"c_custkey", $"seg",
+        $"eff".cast("timestamp").as("valid_from"),
+        $"valid_to".cast("timestamp").as("valid_to"),
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
+  val scd2HistorySql: String =
+    """WITH versions AS (
+      |  SELECT c_custkey, v, make_date(2020, CAST(v + 1 AS INT), 1) AS eff,
+      |    CASE WHEN c_custkey % (v + 2) = 0 THEN 'SEG' || CAST(v AS VARCHAR)
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer CROSS JOIN range(0, 3) t(v)),
+      |changed AS (
+      |  SELECT * FROM (
+      |    SELECT c_custkey, v, eff, seg,
+      |      lag(seg) OVER (PARTITION BY c_custkey ORDER BY v) AS prev_seg
+      |    FROM versions)
+      |  WHERE prev_seg IS NULL OR seg <> prev_seg)
+      |SELECT c_custkey, seg, CAST(eff AS TIMESTAMP) AS valid_from,
+      |  CAST(lead(eff) OVER (PARTITION BY c_custkey ORDER BY v) AS TIMESTAMP)
+      |    AS valid_to,
+      |  lead(eff) OVER (PARTITION BY c_custkey ORDER BY v) IS NULL AS is_current
+      |FROM changed
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** Incremental aggregate maintenance — the materialized-view update
+    * path: per-key partial states (count / decimal sum / min / max)
+    * computed for a base slice and a delta slice SEPARATELY, then
+    * merged by state algebra (sum of counts, sum of exact sums, min of
+    * mins, max of maxs). The gate's oracle is the FULL recompute — the
+    * whole point of the query is that merge(base, delta) must equal
+    * recompute(base ∪ delta) exactly, which only holds because the sum
+    * state is order-invariant decimal. At 100 TB this is the shape that
+    * turns a nightly full scan into a delta-sized job.
+    */
+  val incrementalMerge: Q = (s, dir) => {
+    import s.implicits._
+    def state(slice: org.apache.spark.sql.DataFrame) =
+      slice.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"o_totalprice".cast("decimal(30,15)")).as("s"),
+          min($"o_totalprice").as("mn"),
+          max($"o_totalprice").as("mx"))
+    val orders = Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val base = state(orders.filter($"o_orderkey" % 5 =!= 0))
+    val delta = state(orders.filter($"o_orderkey" % 5 === 0))
+    base.unionByName(delta)
+      .groupBy($"o_custkey")
+      .agg(sum($"cnt").as("n_orders"),
+        sum($"s").cast("double").as("total"),
+        min($"mn").as("min_price"),
+        max($"mx").as("max_price"))
+      .orderBy($"o_custkey")
+  }
+
+  val incrementalMergeSql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price
+       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "scd2_dimension_history" -> (scd2History, Some(scd2HistorySql)),
+    "agg_incremental_merge" -> (incrementalMerge, Some(incrementalMergeSql)),
     "window_ntile_frames" -> (windowNtile, Some(windowNtileSql)),
     "window_rank_distribution" -> (windowRankDist, Some(windowRankDistSql)),
     "window_range_frame" -> (windowRangeFrame, Some(windowRangeFrameSql)),

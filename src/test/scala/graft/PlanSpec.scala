@@ -195,6 +195,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hybrid search broadcasts df/stats/query sides; posting join is hash, not cartesian") {
+    val p = plan("sim_hybrid_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      "the lexical half must join on the term key:\n" + p)
+  }
+
   test("IVF assignment broadcasts the centroid set on both phases") {
     val p = plan("sim_ivf_assign")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
