@@ -288,7 +288,57 @@ object EventQueries {
       |  MIN(CASE WHEN rn = n THEN event_type END) AS last_type
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Ordered funnel per user: first view → first click AFTER that view
+    * → first purchase AFTER that click. The stage timestamps are
+    * staged conditional MINs (each stage's window opens where the
+    * previous stage landed — the order constraint is the funnel), all
+    * on integer micros. Three user-keyed aggregate/join rounds — the
+    * same one shuffle key throughout, so co-partitioning carries across
+    * stages. NULL stage = user fell out; the trailing conversion gap is
+    * exact integer micros.
+    */
+  val funnelConversion: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"))
+    val t1 = ev.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts_us")).as("t1"))
+    val t2 = ev.join(t1, "user_id")
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "click" && $"ts_us" > $"t1", $"ts_us"))
+        .as("t2"), min($"t1").as("t1_keep"))
+    val t3 = ev.join(t2, "user_id")
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "purchase" && $"ts_us" > $"t2", $"ts_us"))
+        .as("t3"), min($"t1_keep").as("t1"), min($"t2").as("t2_keep"))
+    t3.select($"user_id", $"t1", $"t2_keep".as("t2"), $"t3",
+        ($"t3" - $"t1").as("convert_us"))
+      .orderBy($"user_id")
+  }
+
+  val funnelConversionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+      |  FROM ev GROUP BY user_id),
+      |s2 AS (
+      |  SELECT ev.user_id,
+      |    MIN(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END) AS t2,
+      |    MIN(t1) AS t1
+      |  FROM ev JOIN s1 ON ev.user_id = s1.user_id GROUP BY ev.user_id),
+      |s3 AS (
+      |  SELECT ev.user_id,
+      |    MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END) AS t3,
+      |    MIN(t1) AS t1, MIN(t2) AS t2
+      |  FROM ev JOIN s2 ON ev.user_id = s2.user_id GROUP BY ev.user_id)
+      |SELECT user_id, t1, t2, t3, t3 - t1 AS convert_us
+      |FROM s3 ORDER BY user_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_funnel_conversion" -> (funnelConversion, Some(funnelConversionSql)),
     "events_user_seq_typed" -> (userSeqTyped, Some(userSeqTypedSql)),
     "events_type_count_map" -> (eventTypeMap, Some(eventTypeMapSql)),
     "events_retention_daily" -> (retentionDaily, Some(retentionDailySql)),

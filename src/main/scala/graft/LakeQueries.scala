@@ -88,7 +88,54 @@ object LakeQueries {
        |WHERE category = 'revenue'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Z-order clustering stats — the layout decision behind multi-column
+    * data skipping: rows sorted by an interleaved-bit curve over
+    * (user_id, value-bucket) land in files whose min/max ranges are
+    * TIGHT in BOTH dimensions, so a predicate on either column prunes
+    * files; a linear sort only bounds its leading column. The z-value
+    * is pure integer bit arithmetic (engine-identical); the query
+    * splits the curve into 16 STATIC equal-width z-ranges ("files") and
+    * reports each range's per-dimension bounds — the footer stats a
+    * skipping reader would consult. Entirely scan-local (no global
+    * rank/window — fixed curve ranges ARE the file boundaries at
+    * scale, exactly how a z-ordered writer assigns rows to files);
+    * only the 16-row stats aggregate shuffles.
+    */
+  val zorderStats: Q = (s, dir) => {
+    import s.implicits._
+    val z = expr(
+      """aggregate(sequence(0, 7), 0L, (acc, i) -> acc
+        |  + shiftleft(shiftright(x, i) % 2, i * 2)
+        |  + shiftleft(shiftright(y, i) % 2, i * 2 + 1))""".stripMargin)
+    Tables(s, dir, "events")
+      .select($"event_id", ($"user_id" % 256).cast("long").as("x"),
+        (floor($"value" * 2.56).cast("long") % 256).as("y"))
+      .withColumn("bucket", (z / 4096).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+      .orderBy($"bucket")
+  }
+
+  val zorderStatsSql: String =
+    """WITH pts AS (
+      |  SELECT event_id, user_id % 256 AS x,
+      |    CAST(floor(value * 2.56) AS BIGINT) % 256 AS y
+      |  FROM events),
+      |zed AS (
+      |  SELECT x, y,
+      |    CAST(list_sum(list_transform(range(0, 8), i ->
+      |      (((x >> i) % 2) << (i * 2)) + (((y >> i) % 2) << (i * 2 + 1))))
+      |      // 4096 AS INT) AS bucket
+      |  FROM pts)
+      |SELECT bucket, COUNT(*) AS n,
+      |  MIN(x) AS x_min, MAX(x) AS x_max,
+      |  MIN(y) AS y_min, MAX(y) AS y_max
+      |FROM zed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),
-    "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)))
+    "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)),
+    "lake_zorder_stats" -> (zorderStats, Some(zorderStatsSql)))
 }

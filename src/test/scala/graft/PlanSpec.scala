@@ -166,6 +166,20 @@ class PlanSpec extends SparkSpec {
       "the scan must take its partition list from the broadcast dim:\n" + p)
   }
 
+  test("z-order bucket assignment is scan-local: no window, no join") {
+    val p = plan("lake_zorder_stats")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "static curve ranges must assign buckets in the scan:\n" + p)
+  }
+
+  test("SCD2 windows are keyed on the dimension key") {
+    val p = plan("scd2_dimension_history")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val keyed = "windowspecdefinition\\(c_custkey".r.findAllIn(p).size
+    assert(specs > 0 && specs == keyed,
+      s"unkeyed window spec present ($keyed/$specs keyed):\n" + p)
+  }
+
   test("pagination plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("ref_pagination")
     assert(p.contains("TakeOrderedAndProject"), p)
