@@ -423,10 +423,15 @@ object RelationalExtras {
     */
   val incrementalMerge: Q = (s, dir) => {
     import s.implicits._
+    // partial-sum scale MUST equal Exact.dsum's (22,6): Spark's
+    // double→decimal cast rounds via the shortest decimal repr so any
+    // scale ≥ the data's agrees TODAY, but DuckDB expands the binary
+    // double — a wider Spark scale here would silently diverge from the
+    // sqlDsum oracle the moment values need more fraction digits
     def state(slice: org.apache.spark.sql.DataFrame) =
       slice.groupBy($"o_custkey")
         .agg(count(lit(1)).as("cnt"),
-          sum($"o_totalprice".cast("decimal(30,15)")).as("s"),
+          sum($"o_totalprice".cast("decimal(22,6)")).as("s"),
           min($"o_totalprice").as("mn"),
           max($"o_totalprice").as("mx"))
     val orders = Tables(s, dir, "orders")

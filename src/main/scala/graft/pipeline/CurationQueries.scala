@@ -25,16 +25,13 @@ import graft.functions.Exact._
 object CurationQueries {
   import Queries.Q
 
-  /** Hash bucket in [0,100): first 4 hex chars of md5(salt || key).
-    * Both engines take md5 over the UTF-8 bytes of the same string and
-    * parse the same 16-bit prefix, so buckets agree bit-for-bit.
-    */
+  // one definition of the md5 bucket pair for Spark + oracle — shared
+  // with the dedup batch selection (graft.functions.KeyHash)
   private def bucket100(salt: String, key: org.apache.spark.sql.Column) =
-    (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
-      .cast("long") % 100)
+    graft.functions.KeyHash.bucket100(salt, key)
 
   private def sqlBucket100(salt: String, key: String) =
-    s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+    graft.functions.KeyHash.sqlBucket100(salt, key)
 
   /** Deterministic 80/10/10 train/val/test split keyed on doc_id.
     * The split is data-independent (pure key hash), so at 100 TB it

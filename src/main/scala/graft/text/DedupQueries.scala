@@ -70,12 +70,10 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + 10000, list_slice(toks, 1, len(toks) - 5) FROM base),
        |shingled AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  SELECT doc_id, ${sqlShingles("toks")} AS sh
        |  FROM corpus),
        |sig0 AS (
-       |  SELECT doc_id, list_transform(range(0, $K),
-       |    i -> list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS mh0
+       |  SELECT doc_id, ${sqlMinhash("sh", K)} AS mh0
        |  FROM shingled),
        |sig AS (
        |  SELECT doc_id, ${sqlBandedKeys("mh0", Bands, R)} AS mh FROM sig0),
@@ -218,12 +216,8 @@ object DedupQueries {
   }
 
   val minhashEstimateSql: String = {
-    def shingles(toks: String) =
-      s"list_distinct(list_transform(range(1, len($toks) - 1), " +
-        s"i -> array_to_string(list_slice($toks, i, i + 2), ' ')))"
-    def mh(sh: String) =
-      s"list_transform(range(0, 16), i -> list_min(list_transform($sh, " +
-        "x -> md5(CAST(i AS VARCHAR) || '|' || x))))"
+    def shingles(toks: String) = sqlShingles(toks)
+    def mh(sh: String) = sqlMinhash(sh, 16)
     s"""WITH docs AS (
        |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
        |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
@@ -343,12 +337,10 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + 20000, list_slice(toks, 1, len(toks) - 10) FROM base),
        |shingled AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  SELECT doc_id, ${sqlShingles("toks")} AS sh
        |  FROM corpus),
        |sig0 AS (
-       |  SELECT doc_id, list_transform(range(0, $K),
-       |    i -> list_min(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS mh0
+       |  SELECT doc_id, ${sqlMinhash("sh", K)} AS mh0
        |  FROM shingled),
        |sig AS (
        |  SELECT doc_id, ${sqlBandedKeys("mh0", Bands, R)} AS mh FROM sig0),
@@ -397,8 +389,7 @@ object DedupQueries {
       .filter(size($"toks") >= 15)
     val corpusSh = graft.CacheTracker.persistTracked(
       base.select($"doc_id", wordShingles($"toks", 3).as("sh")))
-    val inBatch = (conv(substring(md5(concat(lit("incr|"),
-      $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100) >= 80
+    val inBatch = graft.functions.KeyHash.bucket100("incr|", $"doc_id") >= 80
     val batchSh = graft.CacheTracker.persistTracked(
       base.filter(inBatch)
         .select(($"doc_id" + 50000).as("doc_id"),
@@ -426,28 +417,21 @@ object DedupQueries {
        |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
        |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
        |corpus_sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  SELECT doc_id, ${sqlShingles("toks")} AS sh
        |  FROM base),
        |batch AS (
        |  SELECT doc_id + 50000 AS doc_id,
        |    list_slice(toks, 1, len(toks) - 5) AS toks
        |  FROM base
-       |  WHERE CAST(('0x' || substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 4))
-       |    AS INTEGER) % 100 >= 80),
+       |  WHERE ${graft.functions.KeyHash.sqlBucket100("incr|", "doc_id")} >= 80),
        |batch_sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  SELECT doc_id, ${sqlShingles("toks")} AS sh
        |  FROM batch),
        |c_sig AS (
-       |  SELECT doc_id, ${sqlBandedKeys(
-             s"list_transform(range(0, $K), i -> list_min(list_transform(sh, " +
-               "x -> md5(CAST(i AS VARCHAR) || '|' || x))))", Bands, R)} AS mh
+       |  SELECT doc_id, ${sqlBandedKeys(sqlMinhash("sh", K), Bands, R)} AS mh
        |  FROM corpus_sh),
        |b_sig AS (
-       |  SELECT doc_id, ${sqlBandedKeys(
-             s"list_transform(range(0, $K), i -> list_min(list_transform(sh, " +
-               "x -> md5(CAST(i AS VARCHAR) || '|' || x))))", Bands, R)} AS mh
+       |  SELECT doc_id, ${sqlBandedKeys(sqlMinhash("sh", K), Bands, R)} AS mh
        |  FROM batch_sh),
        |c_bands AS (
        |  SELECT doc_id AS c_doc, struct_extract(u, 'band') AS band,

@@ -51,6 +51,21 @@ object NearDup {
       i => array_min(transform(shingleSet,
         t => md5(concat(i.cast("string"), lit("|"), t).cast("binary")))))
 
+  /** DuckDB mirror of [[wordShingles]] (distinct word n-grams of a token
+    * list) — ONE definition interpolated by every oracle that shingles,
+    * so the shingle window can never drift between gates.
+    */
+  def sqlShingles(toks: String, n: Int = 3): String =
+    s"list_distinct(list_transform(range(1, len($toks) - ${n - 2}), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')))"
+
+  /** DuckDB mirror of [[minhashes]] — the md5(i || '|' || shingle)
+    * minimum per hash index.
+    */
+  def sqlMinhash(sh: String, k: Int): String =
+    s"list_transform(range(0, $k), i -> list_min(list_transform($sh, " +
+      "x -> md5(CAST(i AS VARCHAR) || '|' || x))))"
+
   /** Distinct character n-grams of normalized text. */
   def charNgrams(c: Column, n: Int): Column = {
     val norm = TextAnalysis.normText(c)
