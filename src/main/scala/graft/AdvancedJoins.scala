@@ -132,6 +132,36 @@ object AdvancedJoins {
         .as("parts_within_5pct"))
   }
 
+  /** HLL sketch ALGEBRA, not just estimation: per-slice sketches built
+    * independently (as partitions/days would at scale), merged with
+    * hll_union_agg, then estimated — the mergeability that lets a
+    * 100 TB pipeline maintain distinct counts incrementally instead of
+    * re-scanning. Gated like [[approxDistinct]]: the hash-stable output
+    * is the exact count plus a per-engine flag that its own
+    * sketch-merge path lands within 5% of its own exact value (DuckDB
+    * has no exposed sketch type; its approx_count_distinct merges
+    * internally — same contract, different surface).
+    */
+  val hllSketchMerge: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val merged = broadcast(
+      orders.groupBy(($"o_orderkey" % 5).as("slice"))
+        .agg(hll_sketch_agg($"o_custkey").as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est")))
+    orders.agg(countDistinct($"o_custkey").as("exact_custs"))
+      .crossJoin(merged)
+      .select($"exact_custs",
+        (abs($"est" - $"exact_custs").cast("double") / $"exact_custs" <= 0.05)
+          .cast("int").as("merged_within_5pct"))
+  }
+
+  val hllSketchMergeSql: String =
+    """SELECT COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  CAST(CAST(abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) AS DOUBLE)
+      |    / COUNT(DISTINCT o_custkey) <= 0.05 AS INT) AS merged_within_5pct
+      |FROM orders""".stripMargin
+
   val approxDistinctSql: String =
     """SELECT
       |  COUNT(DISTINCT l_orderkey) AS exact_orders,
@@ -178,6 +208,7 @@ object AdvancedJoins {
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
     "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
     "agg_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
+    "agg_hll_sketch_merge" -> (hllSketchMerge, Some(hllSketchMergeSql)),
     "agg_approx_distinct" -> (approxDistinct, Some(approxDistinctSql)),
     "agg_approx_percentile" -> (approxPercentile, Some(approxPercentileSql))
   )

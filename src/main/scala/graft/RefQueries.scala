@@ -289,7 +289,49 @@ object RefQueries {
        |FROM (${Gen.locationsSql(2000)})
        |GROUP BY country ORDER BY country""".stripMargin
 
+  /** Error-tolerant JSON-lines ingest — [[csvPermissive]]'s sibling for
+    * the other text format: malformed lines (truncated JSON, wrong
+    * types) land in the corrupt-record column instead of aborting the
+    * import, good rows aggregate normally. Same closed-form oracle
+    * trick: the planted corruption pattern is periodic, so the expected
+    * counts/sums are computable in SQL without reading the file.
+    */
+  val jsonPermissive: Q = (s, _) => {
+    import s.implicits._
+    val tmp = s"${graft.Scratch.dir}/graft_json_permissive_" + runToken
+    val lines = (0 until 140).map { id =>
+      if (id % 7 == 3) s"""{"a": $id, "b": """ // truncated mid-object
+      else s"""{"a": $id, "b": ${id * 3L}, "name": "name$id"}"""
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/data.json"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s.read
+      .schema("a BIGINT, b BIGINT, name STRING, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(tmp)
+      .agg(
+        sum($"_bad".isNull.cast("long")).as("n_good"),
+        sum($"_bad".isNotNull.cast("long")).as("n_quarantined"),
+        sum($"a").as("sum_a"),
+        sum($"b").as("sum_b"),
+        countDistinct($"name").as("n_names"))
+  }
+
+  val jsonPermissiveSql: String =
+    """WITH ids AS (SELECT i AS id FROM range(0, 140) t(i)),
+      |good AS (SELECT id FROM ids WHERE id % 7 <> 3)
+      |SELECT
+      |  (SELECT COUNT(*) FROM good) AS n_good,
+      |  (SELECT COUNT(*) FROM ids WHERE id % 7 = 3) AS n_quarantined,
+      |  (SELECT CAST(SUM(id) AS BIGINT) FROM good) AS sum_a,
+      |  (SELECT CAST(SUM(id * 3) AS BIGINT) FROM good) AS sum_b,
+      |  (SELECT COUNT(DISTINCT 'name' || CAST(id AS VARCHAR)) FROM good) AS n_names""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "ref_json_permissive" -> (jsonPermissive, Some(jsonPermissiveSql)),
     "ref_jdbc_parallel_read" -> (jdbcParallelRead, Some(jdbcParallelReadSql)),
     "ref_gen_locations" -> (genLocations, Some(Gen.locationsSql(1000) + " ORDER BY locid")),
     "ref_csv_roundtrip" -> (csvRoundtrip, Some(Gen.locationsSql(500) + " ORDER BY locid")),
