@@ -415,7 +415,76 @@ object CurationQueries {
        |FROM documents JOIN rates USING (source)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Link-analysis quality ranking — PageRank in FIXED-POINT int64:
+    * ranks live in units of 1e-12, contributions divide by out-degree
+    * with integer truncation, and the damping step is (85·S) div 100 —
+    * so every iterate is exact 64-bit arithmetic, bit-identical in any
+    * engine with zero float-divergence risk (the reason not to run this
+    * on doubles: ten iterations of order-sensitive float sums would
+    * need decimal detours at every step). The synthetic citation graph
+    * is three deterministic mod-targets per doc. Ten rounds, each one
+    * shuffle (edges ⋈ ranks → partial-sum on dst); generations cut with
+    * eager localCheckpoints like ConnectedComponents. The web-scale
+    * curation signal (page quality from link structure) in miniature.
+    */
+  val pagerankLinks: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val n = docs.count()
+    val unit = 1000000000000L / n
+    val base = 15L * unit / 100L
+    val edges = docs.select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+        ($"doc_id" * 29 + 3) % n)).as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+    val edgesDeg = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
+    var ranks = docs.select($"doc_id".as("node"), lit(unit).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 10) {
+      val contrib = edgesDeg.join(ranks, $"src" === $"node")
+        .groupBy($"dst").agg(sum(expr("r div outdeg")).as("s"))
+      ranks = docs.select($"doc_id".as("node"))
+        .join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy($"r".desc, $"node").limit(50)
+  }
+
+  val pagerankLinksSql: String = {
+    val steps = (1 to 10).map { k =>
+      s"""c$k AS (
+         |  SELECT dst, CAST(SUM(r // outdeg) AS BIGINT) AS s
+         |  FROM pr${k - 1} JOIN edeg ON node = src GROUP BY dst),
+         |pr$k AS (
+         |  SELECT d.doc_id AS node,
+         |    (15 * (1000000000000 // n)) // 100 + (85 * COALESCE(s, 0)) // 100 AS r
+         |  FROM docs d CROSS JOIN stats LEFT JOIN c$k ON d.doc_id = c$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  -- no unnest: DuckDB 1.x hits an internal binder error when a
+       |  -- CTE containing unnest is re-referenced under DISTINCT
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
+       |edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |edeg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+       |pr0 AS (SELECT doc_id AS node, 1000000000000 // n AS r
+       |        FROM docs CROSS JOIN stats),
+       |$steps
+       |SELECT node, r FROM pr10 ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
