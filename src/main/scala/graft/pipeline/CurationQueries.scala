@@ -483,7 +483,79 @@ object CurationQueries {
        |SELECT node, r FROM pr10 ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
+  /** The composed pipeline — exact dedup → quality filter → split — as
+    * ONE query, reporting the funnel (documents surviving each stage)
+    * and the per-split totals. This is the integration gate: each stage
+    * is an operator gated on its own elsewhere, and this query proves
+    * they CHAIN — the practical shape of a curation run, where the
+    * scan flows through dedup (one fingerprint shuffle), a scan-local
+    * quality predicate, and a scan-local hash split, and only tiny
+    * aggregates leave the executors.
+    */
+  val pipelineEndToEnd: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.nTokens($"text").cast("long").as("n_tok"),
+        TextAnalysis.nUniqTokens($"text").cast("long").as("n_uniq"))
+    val deduped = graft.CacheTracker.persistTracked(
+      docs.withColumn("rn",
+          row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+        .filter($"rn" === 1))
+    val quality = graft.CacheTracker.persistTracked(
+      deduped.filter($"n_tok" >= 20 &&
+        $"n_uniq".cast("double") / $"n_tok" >= 0.3))
+    val b = graft.functions.KeyHash.bucket100("e2e|", $"doc_id")
+    val split = quality.withColumn("stage",
+      concat(lit("3_"), when(b < 80, "train").when(b < 90, "val")
+        .otherwise("test")))
+    def tot(df: org.apache.spark.sql.DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .select(lit(stage).as("stage"), $"n_docs", $"n_tokens")
+    tot(docs, "0_input")
+      .unionByName(tot(deduped.toDF(), "1_deduped"))
+      .unionByName(tot(quality.toDF(), "2_quality"))
+      .unionByName(split.groupBy($"stage")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens")))
+      .orderBy($"stage")
+  }
+
+  val pipelineEndToEndSql: String = {
+    import graft.text.TextAnalysis
+    val b = graft.functions.KeyHash.sqlBucket100("e2e|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlFingerprint("text")} AS fp,
+       |    CAST(${TextAnalysis.sqlNTokens("text")} AS BIGINT) AS n_tok,
+       |    CAST(${TextAnalysis.sqlNUniqTokens("text")} AS BIGINT) AS n_uniq
+       |  FROM documents),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM docs)
+       |  WHERE rn = 1),
+       |quality AS (
+       |  SELECT * FROM deduped
+       |  WHERE n_tok >= 20 AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.3),
+       |split AS (
+       |  SELECT *, '3_' || (CASE WHEN $b < 80 THEN 'train'
+       |    WHEN $b < 90 THEN 'val' ELSE 'test' END) AS stage
+       |  FROM quality)
+       |SELECT '0_input' AS stage, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM docs
+       |UNION ALL
+       |SELECT '1_deduped', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM deduped
+       |UNION ALL
+       |SELECT '2_quality', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM quality
+       |UNION ALL
+       |SELECT stage, COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM split GROUP BY stage
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "pipeline_end_to_end" -> (pipelineEndToEnd, Some(pipelineEndToEndSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
