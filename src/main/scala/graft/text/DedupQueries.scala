@@ -460,7 +460,63 @@ object DedupQueries {
        |FROM batch_sh b LEFT JOIN verified v ON b.doc_id = v.b_doc
        |ORDER BY b.doc_id, matched""".stripMargin
 
+  /** Benchmark decontamination — the check every training pipeline runs
+    * before a model ships: which training documents share long n-grams
+    * with the held-out eval set? Eval docs are a hash-selected handful;
+    * 5-gram shingles explode on both sides and join on the shingle key
+    * (one shuffle, candidate pairs only — the same no-all-pairs
+    * discipline as LSH, except here the shingle IS the key because
+    * decontamination wants exact long-n-gram hits, not similarity).
+    * Output: per (train, eval) pair the shared-shingle count and the
+    * containment of the eval doc — the score a removal threshold sits
+    * on. At 100 TB the eval side is tiny and broadcasts.
+    */
+  val contaminationCheck: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    // the "eval set": 25-token spans lifted from a hash-selected ~3% of
+    // docs (re-keyed +90000) — planted contamination whose source doc
+    // MUST surface with containment 1.0, on top of any organic overlap
+    val isEval = graft.functions.KeyHash.bucket100("eval|", $"doc_id") < 3
+    val evalSh = base.filter(isEval && size($"toks") >= 32)
+      .select(($"doc_id" + 90000).as("eval_id"),
+        wordShingles(slice($"toks", lit(8), lit(25)), 5).as("sh"))
+      .select($"eval_id", explode($"sh").as("g"), size($"sh").as("eval_n"))
+    val trainSh = base.filter(size($"toks") >= 5)
+      .select($"doc_id".as("train_id"), explode(wordShingles($"toks", 5)).as("g"))
+    trainSh.join(broadcast(evalSh), "g")
+      .groupBy($"train_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"), max($"eval_n").as("eval_n"))
+      .select($"train_id", $"eval_id", $"n_shared",
+        ($"n_shared".cast("double") / $"eval_n").as("containment"))
+      .orderBy($"train_id", $"eval_id")
+  }
+
+  val contaminationCheckSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("eval|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |evsh AS (
+       |  SELECT doc_id + 90000 AS eval_id,
+       |    ${sqlShingles("list_slice(toks, 8, 32)", 5)} AS sh
+       |  FROM docs WHERE $b < 3 AND len(toks) >= 32),
+       |ev AS (
+       |  SELECT eval_id, unnest(sh) AS g, len(sh) AS eval_n FROM evsh),
+       |trsh AS (
+       |  SELECT doc_id AS train_id, ${sqlShingles("toks", 5)} AS sh
+       |  FROM docs WHERE len(toks) >= 5),
+       |tr AS (
+       |  SELECT train_id, unnest(sh) AS g FROM trsh)
+       |SELECT train_id, eval_id, COUNT(*) AS n_shared,
+       |  CAST(COUNT(*) AS DOUBLE) / MAX(eval_n) AS containment
+       |FROM tr JOIN ev USING (g)
+       |GROUP BY train_id, eval_id
+       |ORDER BY train_id, eval_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_contamination_check" -> (contaminationCheck, Some(contaminationCheckSql)),
     "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
     "dedup_incremental_ingest" -> (incrementalIngest, Some(incrementalIngestSql)),
     "dedup_minhash_estimate" -> (minhashEstimate, Some(minhashEstimateSql)),
