@@ -896,7 +896,72 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Johnson–Lindenstrauss random projection — embedding COMPRESSION,
+    * the cheap sibling of PQ: 64-d vectors project to 16-d through a
+    * deterministic integer-hash ±weight matrix (the same no-RNG-state
+    * recipe as the LSH hyperplanes), and the gate reports the measured
+    * cosine distortion per sampled pair — original vs projected — so
+    * the compression's quality contract is IN the output. Per-row map
+    * (16 exact-decimal dots per vector) + a keyed pair join; all
+    * kernels through the decimal detour, outputs rounded to 9.
+    */
+  val randomProjection: Q = (s, dir) => {
+    import s.implicits._
+    val weights = (j: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(1), lit(64)),
+        d => (((j * 1009 + d * 9176) % 97) - 48).cast("double") / lit(48.0))
+    // persisted: the pair self-join reads both sides — without the cache
+    // each side re-runs the 16 decimal dots per vector
+    val projected = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("p", transform(sequence(lit(1), lit(16)),
+          j => dotExact($"v", weights(j)))))
+    val pairs = projected.filter($"vec_id" < 20)
+      .select($"vec_id".as("a_id"), $"v".as("va"), $"p".as("pa"))
+      .join(projected.select(($"vec_id" - 100).as("a_id"),
+        $"v".as("vb"), $"p".as("pb"), $"vec_id".as("b_id")), "a_id")
+    pairs.select($"a_id", $"b_id",
+        round(dotExact($"va", $"vb") /
+          (normExact($"va") * normExact($"vb")), 9).as("cos_orig"),
+        round(dotExact($"pa", $"pb") /
+          (normExact($"pa") * normExact($"pb")), 9).as("cos_proj"))
+      .withColumn("abs_diff", round(abs($"cos_orig" - $"cos_proj"), 9))
+      .orderBy($"a_id")
+  }
+
+  val randomProjectionSql: String = {
+    def w(j: String) =
+      s"list_transform(range(1, 65), d -> " +
+        s"CAST((($j * 1009 + d * 9176) % 97) - 48 AS DOUBLE) / 48.0)"
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, v,
+       |    list_transform(range(1, 17), j -> ${sqlDotExact("v", w("j"))}) AS p
+       |  FROM base),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    a.v AS va, a.p AS pa, b.v AS vb, b.p AS pb
+       |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 100
+       |  WHERE a.vec_id < 20)
+       |SELECT a_id, b_id,
+       |  round(${sqlDotExact("va", "vb")} /
+       |    (${sqlNormExact("va")} * ${sqlNormExact("vb")}), 9) AS cos_orig,
+       |  round(${sqlDotExact("pa", "pb")} /
+       |    (${sqlNormExact("pa")} * ${sqlNormExact("pb")}), 9) AS cos_proj,
+       |  round(abs(round(${sqlDotExact("va", "vb")} /
+       |      (${sqlNormExact("va")} * ${sqlNormExact("vb")}), 9)
+       |    - round(${sqlDotExact("pa", "pb")} /
+       |      (${sqlNormExact("pa")} * ${sqlNormExact("pb")}), 9)), 9) AS abs_diff
+       |FROM pairs ORDER BY a_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_random_projection" -> (randomProjection, Some(randomProjectionSql)),
     "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
     "sim_hybrid_search" -> (hybridSearch, Some(hybridSearchSql)),
     "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
