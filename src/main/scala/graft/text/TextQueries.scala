@@ -301,7 +301,52 @@ object TextQueries {
        |FROM ts JOIN bs USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** RAG chunking — overlapping token windows (size 64, stride 48) per
+    * document, the retrieval-prep step between curation and embedding:
+    * each chunk carries its offset, length, and content fingerprint
+    * (md5 — the dedup/index key downstream). Pure per-row explode:
+    * ceil(len/stride) rows per doc, scan-bound at any scale. The final
+    * short window is kept (RAG chunkers keep the tail; it holds the
+    * document's end).
+    */
+  val chunkWindows: Q = (s, dir) => {
+    import s.implicits._
+    val size64 = 64
+    val stride = 48
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 1)
+    base
+      .select($"doc_id", $"toks",
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(toks) - 1) div $stride").cast("int")),
+          k => slice($"toks", k * stride + 1, lit(size64)))))
+      .toDF("doc_id", "toks", "chunk_idx", "chunk")
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * stride).cast("long").as("tok_offset"),
+        size($"chunk").as("n_tokens"),
+        md5(array_join($"chunk", " ").cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, toks FROM (
+       |    SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+       |  WHERE len(toks) >= 1),
+       |chunks AS (
+       |  SELECT doc_id, k AS chunk_idx, k * 48 AS tok_offset,
+       |    list_slice(toks, k * 48 + 1, k * 48 + 64) AS chunk
+       |  FROM base CROSS JOIN range(0, 100000) t(k)
+       |  WHERE k <= (len(toks) - 1) // 48)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |  CAST(tok_offset AS BIGINT) AS tok_offset,
+       |  CAST(len(chunk) AS INT) AS n_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_chunk_windows" -> (chunkWindows, Some(chunkWindowsSql)),
     "text_repetition_quality" -> (repetitionQuality, Some(repetitionQualitySql)),
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
     "text_tfidf_top" -> (tfidfTop, Some(tfidfTopSql)),
