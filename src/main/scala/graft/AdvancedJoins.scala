@@ -132,6 +132,51 @@ object AdvancedJoins {
         .as("parts_within_5pct"))
   }
 
+  /** Bucketed tables provisioned once per (JVM, sf dir): both fact
+    * sides land pre-hashed into 8 buckets on the join key, so the join
+    * below needs NO exchange — the write-time partitioning that turns
+    * every subsequent key-join into a local zipper at 100 TB. The
+    * PlanSpec twin pins the zero-Exchange property; the gate here pins
+    * the VALUES against the plain-join oracle (bucketing must never
+    * change semantics, only the shuffle).
+    */
+  private val bucketedFor = scala.collection.mutable.Set[String]()
+
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = synchronized {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (to, tl) = (s"b_orders_$tag", s"b_lineitem_$tag")
+    if (!bucketedFor.contains(tag)) {
+      import s.implicits._
+      graft.operators.Bucketing.resetTable(s, to)
+      graft.operators.Bucketing.resetTable(s, tl)
+      graft.operators.Bucketing.writeBucketed(
+        Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        to, "o_orderkey", 8)
+      graft.operators.Bucketing.writeBucketed(
+        Tables(s, dir, "lineitem")
+          .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+        tl, "o_orderkey", 8)
+      bucketedFor += tag
+    }
+    (to, tl)
+  }
+
+  val bucketedColocated: Q = (s, dir) => {
+    import s.implicits._
+    val (to, tl) = ensureBucketed(s, dir)
+    graft.operators.Bucketing.colocatedJoin(s, to, tl, "o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("total_qty"))
+      .orderBy($"o_custkey")
+  }
+
+  val bucketedColocatedSql: String =
+    s"""SELECT o_custkey, COUNT(*) AS n_lines,
+       |  ${sqlDsum("l_quantity")} AS total_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** HLL sketch ALGEBRA, not just estimation: per-slice sketches built
     * independently (as partitions/days would at scale), merged with
     * hll_union_agg, then estimated — the mergeability that lets a
@@ -205,6 +250,7 @@ object AdvancedJoins {
       |FROM lineitem""".stripMargin
 
   val all: Map[String, (Q, Option[String])] = Map(
+    "join_bucketed_colocated" -> (bucketedColocated, Some(bucketedColocatedSql)),
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
     "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
     "agg_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),

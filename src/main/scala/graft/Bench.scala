@@ -26,6 +26,8 @@ object Bench {
       // shuffle/spill on tmpfs: this host's disk stalls under iowait and
       // was adding 10x noise to shuffle-heavy query timings
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      .config("spark.sql.warehouse.dir",
+        s"${Scratch.dir}/graft_warehouse_${Scratch.runToken}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup so the first measured query doesn't pay one-time

@@ -19,6 +19,8 @@ object DevVerify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      .config("spark.sql.warehouse.dir",
+        s"${Scratch.dir}/graft_warehouse_${Scratch.runToken}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = new java.io.File(outDir)

@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Scratch.sparkLocalDir)
+      .config("spark.sql.warehouse.dir",
+        s"${Scratch.dir}/graft_warehouse_${Scratch.runToken}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -19,6 +19,23 @@ object Bucketing {
   /** Write `df` as a bucketed managed table (sorted within buckets, so
     * sort-merge joins skip the sort too).
     */
+  /** Drop `table` and delete its warehouse location. saveAsTable's
+    * overwrite only covers tables the CATALOG knows; a location left by
+    * a previous JVM (the in-memory catalog forgets, the filesystem
+    * doesn't) fails the write with LOCATION_ALREADY_EXISTS unless
+    * cleared first.
+    */
+  def resetTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write
       .bucketBy(buckets, key)

@@ -166,6 +166,22 @@ class PlanSpec extends SparkSpec {
       "the scan must take its partition list from the broadcast dim:\n" + p)
   }
 
+  test("gated bucketed join plans without any exchange when broadcast is off") {
+    // pin the at-scale case (both sides too big to broadcast, bucketed
+    // scan forced) — the layout the bucketing exists for
+    Confs.withConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val df = Queries.queries("join_bucketed_colocated")(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the final orderBy exchanges once (range partitioning for the
+      // sort); the JOIN itself must not — no shuffle on the join key
+      assert(!p.contains("hashpartitioning(o_orderkey"),
+        "the co-bucketed join must not shuffle its key:\n" + p)
+    }
+  }
+
   test("z-order bucket assignment is scan-local: no window, no join") {
     val p = plan("lake_zorder_stats")
     assert(!p.contains("Window") && !p.contains("Join"),

@@ -7,16 +7,8 @@ import graft.SparkSpec
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def resetTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
-  }
+  private def resetTable(name: String): Unit =
+    Bucketing.resetTable(spark, name)
 
   /** At sf0.001 the planner rightly prefers a broadcast join and skips
     * the bucketed layout entirely; pin the configuration that models the
