@@ -134,8 +134,92 @@ object LakeQueries {
       |  MIN(y) AS y_min, MAX(y) AS y_max
       |FROM zed GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Copy-on-write MERGE with dynamic partition overwrite — incremental
+    * table maintenance without a table format: a status-partitioned
+    * orders table takes an update batch that touches ONLY the 'F'
+    * partition; last-wins merge runs on that partition alone and the
+    * dynamic-overwrite write replaces only the partitions present in
+    * the written frame — 'O'/'P' files are never rewritten. At 100 TB
+    * this is what turns a daily upsert from a full-table rewrite into a
+    * touched-partitions job. The gate reads the maintained table back
+    * and checks the merged state (untouched partitions intact, updated
+    * keys doubled, new keys inserted) against the oracle's relational
+    * rendition of the same merge.
+    */
+  private val mergedTbl = scala.collection.mutable.Map[String, String]()
+  private def mergedOrders(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String = synchronized {
+    mergedTbl.getOrElseUpdate(dir, {
+      import s.implicits._
+      val path = s"${Scratch.dir}/graft_lake_merge_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+      val base = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
+          $"o_orderstatus")
+      base.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+      val updates = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
+        .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+          lit("update").as("src"), $"o_orderstatus")
+      // merge = last-wins over (touched partition ∪ updates), written
+      // back under dynamic overwrite: only partition F is replaced
+      val touched = s.read.parquet(path).filter($"o_orderstatus" === "F")
+      // eager checkpoint: the merged frame reads the very files the
+      // write below replaces — materialize first so the plan no longer
+      // references the output path (Spark rejects read-write cycles)
+      val merged = graft.operators.Upsert.lastWins(
+        touched.unionByName(updates)
+          .withColumn("seq", when($"src" === "update", 1L).otherwise(0L)),
+        Seq("o_orderkey"), col("seq")).drop("seq")
+        .localCheckpoint(true)
+      graft.Confs.withConf(s,
+        "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+        merged.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+      }
+      path
+    })
+  }
+
+  val mergePartition: Q = (s, dir) => {
+    import s.implicits._
+    s.read.parquet(mergedOrders(s, dir))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum($"o_totalprice").as("total"),
+        sum(($"src" === "update").cast("long")).as("n_updated"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val mergePartitionSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src, 0 AS seq
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |upd AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       |    'update' AS src, 1 AS seq
+       |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'),
+       |fmerged AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT * FROM base WHERE o_orderstatus = 'F'
+       |          UNION ALL SELECT * FROM upd))
+       |  WHERE rn = 1),
+       |final AS (
+       |  SELECT o_orderstatus, o_totalprice, src FROM base
+       |  WHERE o_orderstatus <> 'F'
+       |  UNION ALL
+       |  SELECT o_orderstatus, o_totalprice, src FROM fmerged)
+       |SELECT o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(SUM(CASE WHEN src = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_updated
+       |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),
     "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)),
-    "lake_zorder_stats" -> (zorderStats, Some(zorderStatsSql)))
+    "lake_zorder_stats" -> (zorderStats, Some(zorderStatsSql)),
+    "lake_merge_partition" -> (mergePartition, Some(mergePartitionSql)))
 }
