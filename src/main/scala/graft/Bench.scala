@@ -61,7 +61,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(full)
+    // Driver log capture keeps the TAIL of stdout: two rounds of per-query
+    // timings were lost when the head of the (long) JSON line was cut. The
+    // full JSON also goes to a file, and the LAST line printed is a short
+    // self-contained summary so a tail-capture always carries the verdict.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

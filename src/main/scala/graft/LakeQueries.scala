@@ -107,10 +107,14 @@ object LakeQueries {
       """aggregate(sequence(0, 7), 0L, (acc, i) -> acc
         |  + shiftleft(shiftright(x, i) % 2, i * 2)
         |  + shiftleft(shiftright(y, i) % 2, i * 2 + 1))""".stripMargin)
+    // pmod keeps x/y in [0,256) for ANY input sign, so z >= 0 and integer
+    // `div` (truncating) agrees with DuckDB's floor `//` on every row —
+    // double division + cast would diverge from the oracle on negatives
     Tables(s, dir, "events")
-      .select($"event_id", ($"user_id" % 256).cast("long").as("x"),
-        (floor($"value" * 2.56).cast("long") % 256).as("y"))
-      .withColumn("bucket", (z / 4096).cast("int"))
+      .select($"event_id", pmod($"user_id".cast("long"), lit(256L)).as("x"),
+        pmod(floor($"value" * 2.56).cast("long"), lit(256L)).as("y"))
+      .withColumn("z", z)
+      .withColumn("bucket", expr("z div 4096").cast("int"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),
         min($"x").as("x_min"), max($"x").as("x_max"),
@@ -120,8 +124,8 @@ object LakeQueries {
 
   val zorderStatsSql: String =
     """WITH pts AS (
-      |  SELECT event_id, user_id % 256 AS x,
-      |    CAST(floor(value * 2.56) AS BIGINT) % 256 AS y
+      |  SELECT event_id, ((user_id % 256) + 256) % 256 AS x,
+      |    ((CAST(floor(value * 2.56) AS BIGINT) % 256) + 256) % 256 AS y
       |  FROM events),
       |zed AS (
       |  SELECT x, y,

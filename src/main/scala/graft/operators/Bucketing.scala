@@ -31,8 +31,9 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val st = java.nio.file.Files.walk(loc)
+      try st.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally st.close()
     }
   }
 

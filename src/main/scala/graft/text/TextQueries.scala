@@ -334,11 +334,16 @@ object TextQueries {
        |  SELECT doc_id, toks FROM (
        |    SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
        |  WHERE len(toks) >= 1),
+       |idx AS (
+       |  -- scalar range() list + unnest: per-row bound, no hard cap
+       |  -- (table-function range() only takes constants in DuckDB 1.0)
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, (len(toks) - 1) // 48 + 1)) AS k
+       |  FROM base),
        |chunks AS (
        |  SELECT doc_id, k AS chunk_idx, k * 48 AS tok_offset,
        |    list_slice(toks, k * 48 + 1, k * 48 + 64) AS chunk
-       |  FROM base CROSS JOIN range(0, 100000) t(k)
-       |  WHERE k <= (len(toks) - 1) // 48)
+       |  FROM idx)
        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        |  CAST(tok_offset AS BIGINT) AS tok_offset,
        |  CAST(len(chunk) AS INT) AS n_tokens,
