@@ -27,38 +27,53 @@ object ConnectedComponents {
     * @return (node, comp) where comp is the component's minimum node id.
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 12): DataFrame = {
+      maxRounds: Int = 12): DataFrame =
+    runCounted(edges, srcCol, dstCol, maxRounds)._1
+
+  /** As [[run]], also returning the number of propagation rounds — used
+    * by the spec to pin the jobs-per-round budget (3: two checkpoint
+    * materializations + one convergence scan).
+    */
+  def runCounted(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 12): (DataFrame, Int) = {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true)
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
-    var changed = 1L
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val prop = und.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nbr"))
       // eager checkpoint: materialized once before the self-join below
-      // reads it twice, and the plan resets to a leaf
-      val m1 = labels.select(col("node"), col("comp"))
+      // reads it twice, and the plan resets to a leaf. The round's
+      // previous label rides along so convergence needs no extra join.
+      val m1 = labels.select(col("node"), col("comp").as("prev"),
+          col("comp"))
         .join(prop, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .select(col("node"), col("prev"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c1"))
         .localCheckpoint(true)
-      val next = m1.toDF("node", "c1")
-        .join(m1.toDF("c1", "c2"), Seq("c1"), "left")
-        .select(col("node"),
+      val next = m1
+        .join(m1.select(col("node").as("jn"), col("c1").as("c2")),
+          col("c1") === col("jn"), "left")
+        .select(col("node"), col("prev"),
           least(col("c1"), coalesce(col("c2"), col("c1"))).as("comp"))
+        .select(col("node"), col("comp"),
+          (col("comp") =!= col("prev")).as("chg"))
         .localCheckpoint(true)
-      changed = next.toDF("node", "next_comp")
-        .join(labels.toDF("node", "prev_comp"), "node")
-        .filter(col("next_comp") =!= col("prev_comp")).count()
-      labels = next
+      // convergence folded into the round: a columnar scan of the blocks
+      // the checkpoint just wrote — no join-vs-previous, no second
+      // evaluation of the propagation (was a full join+count job/round)
+      changed = next.agg(coalesce(max(col("chg")), lit(false)))
+        .head.getBoolean(0)
+      labels = next.select(col("node"), col("comp"))
       rounds += 1
     }
-    require(changed == 0,
+    require(!changed,
       s"connected components did not converge in $maxRounds rounds")
-    labels
+    (labels, rounds)
   }
 }

@@ -58,4 +58,47 @@ object ConnectedComponentsSpec extends Properties("connectedComponents") {
         got == expected
       }
     }
+
+  /** The convergence check is folded into the round: each round runs
+    * exactly 3 jobs (checkpoint m1, checkpoint next, convergence scan)
+    * — a regression to a join-vs-previous count would add a 4th.
+    * Listener delivery is async, so poll until the count is stable.
+    */
+  property("rounds cost exactly 3 jobs each") = {
+    val sc = spark.sparkContext
+    val edges = (0L until 12L).map(i => (i, i + 1)).toList
+      .toDF("a", "b").localCheckpoint(true)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // AQE stage materialization and broadcast-exchange collects each
+    // spawn their own jobs — pin both off so 1 action == 1 job and the
+    // per-round budget is deterministic
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.addSparkListener(listener)
+    val rounds =
+      try {
+        val (_, r) = ConnectedComponents.runCounted(edges, "a", "b")
+        var (prev, stable) = (-1, 0)
+        while (stable < 3) { // 3 consecutive stable polls ≈ bus drained
+          Thread.sleep(100)
+          val now = jobs.get()
+          if (now == prev) stable += 1 else { prev = now; stable = 0 }
+        }
+        r
+      } finally {
+        sc.removeSparkListener(listener)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      }
+    // setup = 2 jobs (und + initial labels checkpoints)
+    jobs.get() == 2 + 3 * rounds
+  }
 }
