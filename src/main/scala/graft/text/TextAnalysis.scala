@@ -46,9 +46,19 @@ object TextAnalysis {
     * characters, while token equality is engine-exact for any script the
     * whitespace tokenizer can split.
     */
-  def wordHits(c: Column, words: Seq[String]): Column = {
+  def wordHits(c: Column, words: Seq[String]): Column =
+    tokenHits(tokens(c), words)
+
+  /** [[wordHits]] over an already-tokenized array column — the form hot
+    * paths should use: project `tokens(text)` ONCE behind a
+    * materialization barrier (`explode(array(…))` — a Generate node
+    * CollapseProject cannot re-inline through) and derive every
+    * per-language hit count from the same array, instead of paying the
+    * regexp+split tokenizer per feature.
+    */
+  def tokenHits(toks: Column, words: Seq[String]): Column = {
     val set = words.map(_.toLowerCase)
-    size(filter(tokens(c), t => t.isin(set: _*)))
+    size(filter(toks, t => t.isin(set: _*)))
   }
   def sqlWordHits(e: String, words: Seq[String]): String = {
     val set = words.map(w => s"'${w.toLowerCase}'").mkString("(", ", ", ")")
@@ -72,8 +82,18 @@ object TextAnalysis {
   def langScores(c: Column): Seq[(String, Column)] =
     langStopwords.map { case (lang, words) => lang -> wordHits(c, words) }
 
-  def langBest(c: Column): Column = {
-    val scores = langScores(c)
+  /** [[langScores]] over an already-tokenized array column. */
+  def langScoresFrom(toks: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, words) => lang -> tokenHits(toks, words) }
+
+  def langBest(c: Column): Column = langBestFromScores(langScores(c))
+
+  /** Argmax over precomputed per-language score columns — callers that
+    * materialized the hit counts (behind a barrier) pass the bound
+    * attributes so the fold duplicates cheap int comparisons, not
+    * tokenizer trees.
+    */
+  def langBestFromScores(scores: Seq[(String, Column)]): Column = {
     // argmax, first-wins on ties, 'und' (undetermined) when all zero
     val allZero = scores.map(_._2 === 0).reduce(_ && _)
     val best = scores.foldLeft[Option[Column]](None) {

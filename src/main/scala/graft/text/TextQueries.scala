@@ -56,22 +56,38 @@ object TextQueries {
     */
   val qualityScore: Q = (s, dir) => {
     import s.implicits._
-    val nt = nTokens($"text").cast("double")
-    val norm = normText($"text")
-    val stopRatio = wordHits($"text", langStopwords.head._2).cast("double") / nt
-    val uniqRatio = nUniqTokens($"text").cast("double") / nt
-    val alphaRatio = length(regexp_replace(norm, "[^a-z]", "")).cast("double") /
-      length(norm).cast("double")
-    val lenScore = least(lit(1.0), $"n_chars".cast("double") / lit(500.0))
-    Tables(s, dir, "documents")
+    // tokenize-once: each explode(array(…)) is a Generate node that
+    // CollapseProject cannot re-inline through, so the normalizer regexp,
+    // the split, and each feature are evaluated ONCE per row — the naive
+    // single-select form re-evaluates the tokenizer per feature reference
+    // (~12x on this query) and array HOFs are interpreted, not codegen'd.
+    val normed = Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        explode(array(normText($"text"))).as("norm"))
+    val toked = normed
+      .select($"doc_id", $"n_chars", $"norm",
+        explode(array(split($"norm", " "))).as("toks"))
+    val nt = size($"toks").cast("double")
+    val feats = toked
+      .select($"doc_id",
+        explode(array(struct(
+          (tokenHits($"toks", langStopwords.head._2).cast("double") / nt)
+            .as("stop_ratio"),
+          (size(array_distinct($"toks")).cast("double") / nt).as("uniq_ratio"),
+          (length(regexp_replace($"norm", "[^a-z]", "")).cast("double") /
+            length($"norm").cast("double")).as("alpha_ratio"),
+          least(lit(1.0), $"n_chars".cast("double") / lit(500.0))
+            .as("len_score")))).as("f"))
+    feats
       .select(
         $"doc_id",
-        stopRatio.as("stop_ratio"),
-        uniqRatio.as("uniq_ratio"),
-        alphaRatio.as("alpha_ratio"),
-        lenScore.as("len_score"),
-        (((lit(0.3) * stopRatio + lit(0.3) * uniqRatio) + lit(0.2) * alphaRatio)
-          + lit(0.2) * lenScore).as("quality"))
+        $"f.stop_ratio".as("stop_ratio"),
+        $"f.uniq_ratio".as("uniq_ratio"),
+        $"f.alpha_ratio".as("alpha_ratio"),
+        $"f.len_score".as("len_score"),
+        (((lit(0.3) * $"f.stop_ratio" + lit(0.3) * $"f.uniq_ratio")
+          + lit(0.2) * $"f.alpha_ratio")
+          + lit(0.2) * $"f.len_score").as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -98,9 +114,24 @@ object TextQueries {
     */
   val langId: Q = (s, dir) => {
     import s.implicits._
-    val scored = langScores($"text").map { case (l, c) => c.as(s"hits_$l") }
-    Tables(s, dir, "documents")
-      .select(($"doc_id" +: $"lang" +: scored :+ langBest($"text").as("lang_pred")): _*)
+    // tokenize-once (see qualityScore): one Generate barrier materializes
+    // the token array, a second materializes the five hit counts, so the
+    // tokenizer runs once per row and the argmax fold duplicates only
+    // cheap int comparisons over bound attributes.
+    val toked = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(array(tokens($"text"))).as("toks"))
+    val scored = toked
+      .select($"doc_id", $"lang",
+        explode(array(struct(langScoresFrom($"toks").map {
+          case (l, c) => c.as(s"hits_$l")
+        }: _*))).as("h"))
+    val hitCols = langStopwords.map { case (l, _) =>
+      l -> col(s"h.hits_$l")
+    }
+    scored
+      .select(($"doc_id" +: $"lang" +:
+        hitCols.map { case (l, c) => c.as(s"hits_$l") } :+
+        langBestFromScores(hitCols).as("lang_pred")): _*)
       .withColumn("agrees", ($"lang" === $"lang_pred").cast("int"))
       .orderBy($"doc_id")
   }

@@ -288,4 +288,22 @@ class PlanSpec extends SparkSpec {
         "the urgent-orders bloom filter must reach the lineitem side:\n" + p)
     }
   }
+
+  test("text lang-id/quality tokenize once: each regexp runs once per scan") {
+    // CollapseProject re-inlines projected expressions, so without the
+    // Generate barriers every per-language feature re-evaluates the
+    // interpreted regexp+split tokenizer (~12x per row). Count the
+    // regexp_replace occurrences in the executed plan: lang_id has one
+    // (the \s+ normalizer); quality_score has two DISTINCT regexps
+    // (\s+ normalizer, [^a-z] alpha filter), each exactly once.
+    // AQE's toString prints the Initial Plan after the Final — count
+    // occurrences in the final (executed) section only
+    def regexpCount(name: String): Int =
+      "regexp_replace".r
+        .findAllIn(plan(name).split("== Initial Plan ==")(0)).length
+    assert(regexpCount("text_lang_id") == 1,
+      "text_lang_id must evaluate the tokenizer exactly once")
+    assert(regexpCount("text_quality_score") == 2,
+      "text_quality_score must evaluate each of its two regexps once")
+  }
 }
