@@ -605,10 +605,31 @@ object TpchQueries {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
        |ORDER BY s_suppkey""".stripMargin
 
+  /** Executed form: the SQL shape above plans the scalar MAX as a
+    * SEPARATE subquery execution, so the revenue view — and the 100 TB
+    * lineitem scan under it — runs twice. Instead compute the global max
+    * as an empty-window aggregate over the ALREADY-AGGREGATED revenue
+    * rows: one lineitem scan, one shuffle on l_suppkey, then a
+    * single-partition exchange of only |suppliers| one-row-per-key
+    * aggregates (tiny at any SF) for the window. Values are identical —
+    * both sides of the equality are the same exact-decimal sums.
+    * PlanSpec pins the single-scan shape.
+    */
   val q15TopSupplier: Q = (s, dir) => {
-    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
-    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
-    s.sql(q15Body("supplier_q15", "lineitem_q15"))
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val revenue = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1997-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+      .select($"l_suppkey".as("supplier_no"), $"total_revenue")
+    val top = revenue
+      .withColumn("mx", max($"total_revenue").over(Window.partitionBy()))
+      .filter($"total_revenue" === $"mx")
+    Tables(s, dir, "supplier")
+      .join(top, $"s_suppkey" === $"supplier_no")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
   }
 
   val q15Sql: String = q15Body("supplier", "lineitem")

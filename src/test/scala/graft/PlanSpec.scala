@@ -289,6 +289,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q15 computes the revenue view in one lineitem scan (window max, no subquery rescan)") {
+    // the SQL scalar-subquery form runs the revenue aggregation — and
+    // the fact scan under it — twice (subqueries are separate query
+    // executions; ReuseExchange cannot cross them)
+    val p = plan("q15_top_supplier").split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      "q15 must scan lineitem exactly once:\n" + p)
+    assert(p.contains("Window"), "global max must come from a window:\n" + p)
+  }
+
+  test("q11 reuses the natl aggregation exchange between HAVING subquery and output") {
+    // sf0.001 has no NATION_9 rows and AQE collapses the plan to
+    // EmptyRelation, so pin the reuse at sf0.01
+    val df = Queries.queries("q11_important_stock")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "the partsupp-style aggregation must be planned once and reused:\n" + p)
+  }
+
   test("text lang-id/quality tokenize once: each regexp runs once per scan") {
     // CollapseProject re-inlines projected expressions, so without the
     // Generate barriers every per-language feature re-evaluates the
