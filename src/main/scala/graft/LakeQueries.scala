@@ -221,7 +221,44 @@ object LakeQueries {
        |    AS n_updated
        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Small-file compaction (operators/Compaction): events lands as a
+    * deliberately-fragmented partitioned layout (24 tiny files per
+    * event_type — the shape an incremental writer leaves behind), then
+    * each partition is compacted to its byte-derived file target. The
+    * gate reads the compacted table and checks every row survived
+    * against the plain single-file oracle; LayoutSpec asserts the
+    * file-count drop and the untouched-partition discipline.
+    */
+  private val compacted = scala.collection.mutable.Map[String, String]()
+  private def compactedEvents(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String = synchronized {
+    compacted.getOrElseUpdate(dir, {
+      val path = s"${Scratch.dir}/graft_lake_compact_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+      Tables(s, dir, "events").repartition(24)
+        .write.partitionBy("event_type").mode("overwrite").parquet(path)
+      graft.operators.Compaction.compactPartitioned(s, path,
+        targetBytes = 256L * 1024 * 1024)
+      path
+    })
+  }
+
+  val compactSmallFiles: Q = (s, dir) => {
+    import s.implicits._
+    s.read.parquet(compactedEvents(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val compactSmallFilesSql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_compact_small_files" -> (compactSmallFiles, Some(compactSmallFilesSql)),
     "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),
     "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)),
     "lake_zorder_stats" -> (zorderStats, Some(zorderStatsSql)),
