@@ -36,8 +36,15 @@ object Tuning {
   val annBands: Int = envInt("SPARK_GRAFT_ANN_BANDS", 3)
   val annR: Int = envInt("SPARK_GRAFT_ANN_R", 6)
 
-  /** IVF cells probed per query (reads ~probes/k of the corpus). */
+  /** IVF cells probed per query (reads ~replicas·probes/k of the corpus). */
   val ivfProbes: Int = envInt("SPARK_GRAFT_IVF_PROBES", 4)
+  /** Lloyd rounds refining the IVF coarse quantizer from label-mean seeds. */
+  val ivfLloyd: Int = envInt("SPARK_GRAFT_IVF_LLOYD", 2)
+  /** Cells each corpus vector is indexed under (IVF replication — the
+    * boundary-loss answer on weakly clustered data: recall@p=4 measured
+    * 0.76 single-assignment vs 0.92 with replicas=2 on this corpus).
+    */
+  val ivfReplicas: Int = envInt("SPARK_GRAFT_IVF_REPLICAS", 2)
 
   /** State-store partitions for the driver-gated streaming queries.
     * Every stateful operator runs one state store per shuffle partition

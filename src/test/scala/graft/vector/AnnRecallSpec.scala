@@ -25,7 +25,7 @@ class AnnRecallSpec extends SparkSpec {
       s"recall vs exact top-10 collapsed: $hits/${exact.size}")
   }
 
-  test("IVF probe search recalls most of the exact top-5 from 2 of 10 cells") {
+  test("IVF probe search recalls >=0.9 of the exact top-5 at 4 probes") {
     val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
       .select("q_id", "vec_id", "rank").collect()
       .filter(_.getInt(2) <= 5)
@@ -34,9 +34,10 @@ class AnnRecallSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
     assert(ivf.nonEmpty, "probing must produce candidates on this corpus")
     val hits = ivf.intersect(exact).size.toDouble
-    // labels are clustered, so a query's true neighbors live in its own
-    // and nearest cells: probing 2/10 cells must keep most of top-5
-    assert(hits / exact.size >= 0.6,
+    // Lloyd-trained cells + replicas=2 indexing: measured 0.92 on this
+    // corpus (deterministic), up from 0.76 with single-assignment
+    // label-mean cells — see the IvfProbes histogram note
+    assert(hits / exact.size >= 0.9,
       s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
