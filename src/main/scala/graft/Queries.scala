@@ -196,7 +196,8 @@ object Queries {
         "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
-      graft.text.TextQueries.all, graft.text.DedupQueries.all,
+      graft.text.TextQueries.all, graft.text.Utf8Queries.all,
+      graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,
       graft.pipeline.CurationQueries.all,
       graft.streaming.StreamQueries.all)

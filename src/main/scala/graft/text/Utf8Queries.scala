@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries
+import TextAnalysis._
+
+/** Non-ASCII correctness gates for the text surface: every other text
+  * gate runs on the all-ASCII `documents` corpus, so nothing proved the
+  * tokenizer / fingerprint / lang-id mirrors agree across engines on
+  * CJK, diacritics, Cyrillic, Greek, or emoji — the assumption a
+  * multilingual 100 TB dedup pipeline rests on. The fixture is ONE
+  * in-code literal corpus rendered to both dialects (Spark DataFrame +
+  * SQL VALUES), so the gate is pure cross-engine string semantics: no
+  * files, no staging, nothing to drift.
+  *
+  * Traps measured while building it (avoid in any fixture extension):
+  *   - Java lowercasing is FULL Unicode casing (contextual): trailing
+  *     'Σ' → final sigma 'ς', 'İ' → "i"+combining dot; DuckDB's
+  *     utf8proc does SIMPLE 1:1 mapping ('Σ' → 'σ', 'İ' → 'i').
+  *     1:1-safe cases (Latin diacritics, Cyrillic, non-final Greek,
+  *     CJK pass-through, ß) are engine-identical — those are covered.
+  *   - Java upper() maps 'ß' → "SS" (length change); utf8proc does not
+  *     — the dedup mutation here only varies whitespace, never case;
+  *     case-variant dedup is covered by the É/é doc pair instead.
+  *   - `\s` is ASCII-only in BOTH Java and RE2 (U+3000 matches neither)
+  *     and `length()` counts code points in both — single-code-point
+  *     emoji are safe; ZWJ/flag grapheme clusters are not exercised.
+  */
+object Utf8Queries {
+  import Queries.Q
+
+  /** (doc_id, text, lang): spaced CJK (tokenizable), unspaced CJK (one
+    * opaque token), Latin diacritics incl. a case/whitespace duplicate
+    * pair, Cyrillic, Greek, Hangul, emoji, and mixed-script rows.
+    */
+  val docs: Seq[(Long, String, String)] = Seq(
+    (1L, "的 是 了 在 我 有 和 机器 学习 模型", "zh"),
+    (2L, "机器学习模型训练数据没有空格", "zh"),
+    (3L, "der Müller übt während die Straße naß ist und nicht ein", "de"),
+    (4L, "le café est très chaud et les élèves étudient un été", "fr"),
+    (5L, "el niño y la niña de España que los jóvenes una mañana", "es"),
+    (6L, "the quick brown fox 😀 jumps over a lazy dog and the fox is happy", "en"),
+    (7L, "the 模型 is trained auf Deutsch et en français 🚀", "en"),
+    (8L, "Élève Déjà  Vu   Café", "fr"),
+    (9L, "élève déjà vu café", "fr"),
+    (10L, "το μοντέλο обучение данных μάθηση", "el"),
+    (11L, "データ の 処理 と 学習 모델 학습", "ja"),
+    (12L, "😀 🎉 🚀 ✨", "und"))
+
+  private def fixture(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    docs.toDF("doc_id", "text", "lang")
+  }
+
+  /** The same rows as a DuckDB VALUES CTE (no quotes appear in texts). */
+  private val sqlFixture: String =
+    "utf8_docs(doc_id, text, lang) AS (VALUES\n    " +
+      docs.map { case (i, t, l) => s"(CAST($i AS BIGINT), '$t', '$l')" }
+        .mkString(",\n    ") + ")"
+
+  /** [[TextQueries.tokenStats]] shape over the UTF-8 fixture, plus the
+    * md5 content fingerprint — proving normalization, both tokenizers,
+    * code-point length, and the fingerprint agree beyond ASCII.
+    */
+  val utf8TokenStats: Q = (s, _) => {
+    import s.implicits._
+    val norm = normText($"text")
+    fixture(s).select(
+      $"doc_id",
+      nTokens($"text").as("n_tokens"),
+      nUniqTokens($"text").as("n_uniq_tokens"),
+      nBpeTokens($"text").as("n_bpe_tokens"),
+      length(norm).as("n_chars_norm"),
+      fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val utf8TokenStatsSql: String =
+    s"""WITH $sqlFixture
+       |SELECT doc_id,
+       |  ${sqlNTokens("text")} AS n_tokens,
+       |  ${sqlNUniqTokens("text")} AS n_uniq_tokens,
+       |  ${sqlNBpeTokens("text")} AS n_bpe_tokens,
+       |  CAST(length(${sqlNormText("text")}) AS INT) AS n_chars_norm,
+       |  ${sqlFingerprint("text")} AS fp
+       |FROM utf8_docs ORDER BY doc_id""".stripMargin
+
+  /** [[TextQueries.langId]] shape over the UTF-8 fixture: per-language
+    * stopword hits (token membership — the reason `\b` was banned) and
+    * the argmax, including the zh inventory's CJK tokens. Unspaced CJK
+    * rows are single opaque tokens and must predict 'und' in BOTH
+    * engines — that agreement is the point, not the prediction.
+    */
+  val utf8LangId: Q = (s, _) => {
+    import s.implicits._
+    val toked = fixture(s)
+      .select($"doc_id", $"lang", explode(array(tokens($"text"))).as("toks"))
+    val scored = toked
+      .select($"doc_id", $"lang",
+        explode(array(struct(langScoresFrom($"toks").map {
+          case (l, c) => c.as(s"hits_$l")
+        }: _*))).as("h"))
+    val hitCols = langStopwords.map { case (l, _) => l -> col(s"h.hits_$l") }
+    scored
+      .select(($"doc_id" +: $"lang" +:
+        hitCols.map { case (l, c) => c.as(s"hits_$l") } :+
+        langBestFromScores(hitCols).as("lang_pred")): _*)
+      .withColumn("agrees", ($"lang" === $"lang_pred").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val utf8LangIdSql: String = {
+    val scored = langStopwords.map { case (l, _) =>
+      s"${sqlWordHits("text", langStopwords.toMap.apply(l))} AS hits_$l"
+    }.mkString(",\n  ")
+    s"""WITH $sqlFixture
+       |SELECT doc_id, lang,
+       |  $scored,
+       |  ${sqlLangBest("text")} AS lang_pred,
+       |  CAST(lang = ${sqlLangBest("text")} AS INT) AS agrees
+       |FROM utf8_docs ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[TextQueries.fingerprintDedup]] shape over the UTF-8 fixture: the
+    * corpus doubled with whitespace-mutated copies (leading/trailing/
+    * internal runs — never case, see the ß trap above), collapsed by
+    * md5(normalized text). The É/é pair (docs 8/9) additionally proves
+    * Unicode case-folding dedup: they fingerprint identically, so their
+    * group carries 4 copies and canonical doc_id 8.
+    */
+  val utf8FingerprintDedup: Q = (s, _) => {
+    import s.implicits._
+    val base = fixture(s).select($"doc_id", $"text")
+    val mutated = base.select(($"doc_id" + 100L).as("doc_id"),
+      concat(lit("  "), $"text", lit("\t \t")).as("text"))
+    base.unionByName(mutated)
+      .groupBy(fingerprint($"text").as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("canonical_id"))
+      .orderBy($"fp")
+  }
+
+  val utf8FingerprintDedupSql: String =
+    s"""WITH $sqlFixture,
+       |all_docs AS (
+       |  SELECT doc_id, text FROM utf8_docs
+       |  UNION ALL
+       |  SELECT doc_id + 100, '  ' || text || chr(9) || ' ' || chr(9)
+       |  FROM utf8_docs)
+       |SELECT ${sqlFingerprint("text")} AS fp,
+       |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+       |FROM all_docs GROUP BY 1 ORDER BY fp""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "text_utf8_token_stats" -> (utf8TokenStats, Some(utf8TokenStatsSql)),
+    "text_utf8_lang_id" -> (utf8LangId, Some(utf8LangIdSql)),
+    "text_utf8_fingerprint_dedup" ->
+      (utf8FingerprintDedup, Some(utf8FingerprintDedupSql)))
+}
