@@ -25,13 +25,18 @@ object DedupQueries {
   /** MinHash + LSH near-dup pairs: originals vs copies with the last 5
     * words dropped; recovered pairs verified by exact shingle Jaccard.
     */
-  val minhashLsh: Q = (s, dir) => {
+  /** The near-dup gate corpus, shingled and persisted: docs with >= 15
+    * tokens plus a truncated copy of each (original + copy from ONE
+    * scan — explode, not self-union — half the I/O, and avoids HOF
+    * lambda-binding clashes on reused plans). Shared by [[minhashLsh]]
+    * and the shape-explicit BandingProps helpers.
+    */
+  private[graft] def shingledCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
-    // original + truncated copy from ONE scan (explode, not self-union —
-    // half the I/O, and avoids HOF lambda-binding clashes on reused plans)
     val corpus = base.select(explode(array(
         struct($"doc_id", $"toks"),
         struct(($"doc_id" + 10000).as("doc_id"),
@@ -39,8 +44,34 @@ object DedupQueries {
       .select($"r.doc_id", $"r.toks")
     // read three times (signature build + both sides of the exact-Jaccard
     // verify): persist so tokenization+shingling run once per doc
-    val shingled = graft.CacheTracker.persistTracked(
+    graft.CacheTracker.persistTracked(
       corpus.select($"doc_id", wordShingles($"toks", 3).as("sh")))
+  }
+
+  /** Banded LSH candidate pairs at an EXPLICIT (k, r) shape — the
+    * "same plan, different constants" claim made checkable: BandingProps
+    * compares this against an in-memory banding model over the same
+    * signatures for random shapes.
+    */
+  private[graft] def minhashCandidatesWith(k: Int, r: Int): Q = (s, dir) => {
+    import s.implicits._
+    val shingled = shingledCorpus(s, dir)
+    val bands = graft.CacheTracker.persistTracked(bandRows(
+      shingled.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $k)"))),
+      "doc_id", r))
+    lshCandidates(bands, "doc_id")
+  }
+
+  /** The corpus signature table at an explicit k (for the model side). */
+  private[graft] def minhashSignaturesWith(k: Int): Q = (s, dir) => {
+    import s.implicits._
+    shingledCorpus(s, dir)
+      .select($"doc_id", expr(s"minhash_md5(sh, $k)").as("mh"))
+  }
+
+  val minhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val shingled = shingledCorpus(s, dir)
     // posexplode forces ONE evaluation of the signature per doc; band
     // keys are then rebuilt from the cheap exploded rows. The band table
     // is persisted because the candidate self-join reads it twice —
