@@ -511,11 +511,17 @@ object SimilarityQueries {
     * corpus's k=10 makes the scanned fraction look coarse, the
     * replicas·p/k SHAPE is what a production k=4096 deployment keeps).
     */
-  val ivfSearch: Q = (s, dir) => {
+  /** The [[IvfProbes]] highest-cosine cells per query vector (vec_id <
+    * 5): the probe list the search path and the pruned-layout read both
+    * start from.
+    */
+  private def ivfProbesFor(s: org.apache.spark.sql.SparkSession,
+      vectors: org.apache.spark.sql.DataFrame,
+      centroidArr: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
     val wp = Window.partitionBy($"q_id").orderBy($"cos_c".desc, $"c_label")
-    val probes = vectors.filter($"vec_id" < 5)
+    vectors.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v", $"xn")
       .crossJoin(broadcast(centroidArr.select($"c_label", $"cv", $"cn")))
       .select($"q_id", $"c_label",
@@ -523,6 +529,12 @@ object SimilarityQueries {
       .withColumn("prn", row_number().over(wp))
       .filter($"prn" <= IvfProbes)
       .select($"q_id", $"c_label".as("probe_label"))
+  }
+
+  val ivfSearch: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    val probes = ivfProbesFor(s, vectors, centroidArr)
     // a vector indexed under two probed cells is one candidate, once
     val cand = assigned.select($"vec_id", $"nearest_label")
       .join(broadcast(probes), $"nearest_label" === $"probe_label")
@@ -563,6 +575,65 @@ object SimilarityQueries {
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
        |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** The IVF index AS A LAYOUT, and its pruned read — what "a query
+    * reads just its probe cells' files" means on disk: the replicated
+    * assignment is written hive-partitioned by cell, the probe list is
+    * written as a (tiny) file-backed routing table, and the read joins
+    * the layout to the probes so the partitioned scan takes its cell
+    * list from the broadcast at runtime (dynamicpruning, the
+    * `lake_dpp_join` mechanism — PlanSpec pins it). Only probe-cell
+    * directories are listed/read: at a production k=4096 / p=64 that is
+    * the difference between touching 1.6% and 100% of the index files.
+    * Built once per (JVM, sf dir), like the lake layouts.
+    */
+  private val ivfIdxPaths =
+    scala.collection.mutable.Map[String, (String, String)]()
+  private def ivfIndexLayout(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = synchronized {
+    ivfIdxPaths.getOrElseUpdate(dir, {
+      val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${graft.Scratch.dir}/graft_ivf_idx_" +
+        s"${graft.RefQueries.runToken}_$dirKey"
+      assigned.write.partitionBy("nearest_label").mode("overwrite").parquet(idx)
+      val pPath = s"${graft.Scratch.dir}/graft_ivf_probes_" +
+        s"${graft.RefQueries.runToken}_$dirKey"
+      ivfProbesFor(s, vectors, centroidArr)
+        .write.mode("overwrite").parquet(pPath)
+      (idx, pPath)
+    })
+  }
+
+  val ivfPrunedRead: Q = (s, dir) => {
+    import s.implicits._
+    val (idx, pPath) = ivfIndexLayout(s, dir)
+    // the dim-side predicate DPP derives the partition list from — the
+    // probe table is file-backed for the same reason as lake_dpp_join's
+    // dim (a local relation's filter constant-folds away at plan time)
+    val probesF = s.read.schema("q_id BIGINT, probe_label INT")
+      .parquet(pPath).filter($"q_id" < 5)
+    s.read.parquet(idx)
+      .join(broadcast(probesF), $"nearest_label" === $"probe_label")
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"nearest_label")
+      .agg(count(lit(1)).as("n_indexed"))
+      .orderBy($"q_id", $"nearest_label")
+  }
+
+  val ivfPrunedReadSql: String =
+    s"""WITH $sqlIvfCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS prn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE prn <= $IvfProbes)
+       |SELECT p.q_id, a.c_label AS nearest_label, COUNT(*) AS n_indexed
+       |FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |WHERE a.vec_id <> p.q_id
+       |GROUP BY p.q_id, a.c_label
+       |ORDER BY p.q_id, nearest_label""".stripMargin
 
   /** Same result as [[knnBrute]], computed with the typed single-pass
     * [[graft.operators.TopKByScore]] aggregator instead of a window rank:
@@ -1034,6 +1105,7 @@ object SimilarityQueries {
     "sim_cosine_neardup" -> (cosineNearDup, Some(cosineNearDupSql)),
     "sim_ivf_assign" -> (ivfAssign, Some(ivfAssignSql)),
     "sim_ivf_search" -> (ivfSearch, Some(ivfSearchSql)),
+    "sim_ivf_pruned_read" -> (ivfPrunedRead, Some(ivfPrunedReadSql)),
     "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql)),
     "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql))
   )

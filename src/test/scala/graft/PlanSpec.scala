@@ -166,6 +166,12 @@ class PlanSpec extends SparkSpec {
       "the scan must take its partition list from the broadcast dim:\n" + p)
   }
 
+  test("IVF pruned read takes its cell list from the probe table at runtime") {
+    val p = plan("sim_ivf_pruned_read")
+    assert(p.contains("dynamicpruningexpression"),
+      "the cell-partitioned index scan must prune to the probed cells:\n" + p)
+  }
+
   test("gated bucketed join plans without any exchange when broadcast is off") {
     // pin the at-scale case (both sides too big to broadcast, bucketed
     // scan forced) — the layout the bucketing exists for
