@@ -197,7 +197,7 @@ object Queries {
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
-      graft.text.DedupQueries.all,
+      graft.text.BpeQueries.all, graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,
       graft.pipeline.CurationQueries.all,
       graft.streaming.StreamQueries.all)

@@ -50,6 +50,9 @@ object Utf8Queries {
 
   private def fixture(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
+    // these queries never touch Tables(), the usual registration choke
+    // point, so make sure the native expressions resolve (guarded)
+    graft.functions.Registry.registerAll(s)
     docs.toDF("doc_id", "text", "lang")
   }
 
@@ -151,7 +154,37 @@ object Utf8Queries {
        |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
        |FROM all_docs GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** [[TextQueries.rollingFingerprint]] shape over the UTF-8 fixture:
+    * the native `rolling_hash64` folds UTF-8 BYTES while the SQL mirror
+    * folds code points — they agree only on ASCII, which is why the
+    * query ASCII-projects first. This gate proves the PROJECTION ITSELF
+    * (Java vs RE2 `[^ -~]` on CJK/emoji input, and the hash on what
+    * survives — including rows projected to all-spaces or empty) is
+    * engine-exact, closing the loop the all-ASCII corpus left open.
+    */
+  val utf8RollingFingerprint: Q = (s, _) => {
+    import s.implicits._
+    fixture(s)
+      .select($"doc_id",
+        regexp_replace(normText($"text"), "[^ -~]", "").as("norm"))
+      .select($"doc_id", expr("rolling_hash64(norm)").as("fp64"))
+      .withColumn("shard", ($"fp64" % 64).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val utf8RollingFingerprintSql: String = {
+    val h = graft.functions.RollingHash64.sql("norm")
+    s"""WITH $sqlFixture,
+       |n AS (SELECT doc_id,
+       |  regexp_replace(${sqlNormText("text")}, '[^ -~]', '', 'g') AS norm
+       |  FROM utf8_docs)
+       |SELECT doc_id, $h AS fp64, CAST($h % 64 AS INT) AS shard
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_utf8_rolling_fingerprint" ->
+      (utf8RollingFingerprint, Some(utf8RollingFingerprintSql)),
     "text_utf8_token_stats" -> (utf8TokenStats, Some(utf8TokenStatsSql)),
     "text_utf8_lang_id" -> (utf8LangId, Some(utf8LangIdSql)),
     "text_utf8_fingerprint_dedup" ->
