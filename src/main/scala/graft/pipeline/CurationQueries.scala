@@ -554,7 +554,77 @@ object CurationQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Deequ-style data-validation report — the admission gate any 100 TB
+    * ingest runs before data reaches training: completeness (null
+    * keys), uniqueness (duplicate keys), a domain-range rule, and
+    * referential integrity (orphan facts), each reported as
+    * (check, violations, checked, pass). Per-table checks FUSE into one
+    * aggregate pass per scan (conditional sums — no per-rule re-scan);
+    * the FK check is one anti join. The unions on top combine 1-row
+    * frames, so the whole report costs two scans and one join at any
+    * scale.
+    */
+  val validateConstraints: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      sum($"o_orderkey".isNull.cast("long")).as("null_keys"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_keys"))
+    val l = Tables(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(($"l_quantity" < 1 || $"l_quantity" > 50).cast("long"))
+        .as("range_viol"))
+    val fk = Tables(s, dir, "lineitem").select($"l_orderkey")
+      .join(Tables(s, dir, "orders").select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(Tables(s, dir, "lineitem").agg(count(lit(1)).as("n")))
+    o.select(lit("orders_key_complete").as("check_name"),
+        $"null_keys".as("violations"), $"n".as("checked"))
+      .unionByName(o.select(lit("orders_key_unique").as("check_name"),
+        $"dup_keys".as("violations"), $"n".as("checked")))
+      .unionByName(l.select(lit("lineitem_qty_in_range").as("check_name"),
+        $"range_viol".as("violations"), $"n".as("checked")))
+      .unionByName(fk.select(lit("lineitem_fk_orders").as("check_name"),
+        $"orphans".as("violations"), $"n".as("checked")))
+      .withColumn("pass", ($"violations" === 0).cast("int"))
+      .orderBy($"check_name")
+  }
+
+  val validateConstraintsSql: String =
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_keys,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys
+      |  FROM orders),
+      |l AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS range_viol
+      |  FROM lineitem),
+      |fk AS (
+      |  SELECT (SELECT COUNT(*) FROM lineitem li
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = li.l_orderkey))
+      |      AS orphans,
+      |    (SELECT COUNT(*) FROM lineitem) AS n),
+      |rows_out AS (
+      |  SELECT 'orders_key_complete' AS check_name,
+      |    null_keys AS violations, n AS checked FROM o
+      |  UNION ALL
+      |  SELECT 'orders_key_unique', dup_keys, n FROM o
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_in_range', range_viol, n FROM l
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', orphans, n FROM fk)
+      |SELECT check_name, violations, checked,
+      |  CAST(violations = 0 AS INT) AS pass
+      |FROM rows_out ORDER BY check_name""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_validate_constraints" ->
+      (validateConstraints, Some(validateConstraintsSql)),
     "pipeline_end_to_end" -> (pipelineEndToEnd, Some(pipelineEndToEndSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),

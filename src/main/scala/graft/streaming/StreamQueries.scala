@@ -439,9 +439,79 @@ object StreamQueries {
        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
        |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Stream-STATIC join under the gate (the remaining join shape —
+    * `stream_interval_join` covers stream-stream): the events feed
+    * replayed through `readStream` is enriched against a static
+    * category dimension (broadcast per micro-batch, stateless) before a
+    * watermarked tumbling aggregation keyed on the JOINED-IN column.
+    * The watermark is applied BEFORE the join, so the sentinel rows —
+    * whose type matches no dim row and which the inner join therefore
+    * drops — still advance event time and flush the held windows: the
+    * join cannot be allowed to eat the clock. Oracle = the plain batch
+    * join+GROUP BY.
+    */
+  val streamStaticJoin: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", $"value")
+    stageCsv(ev, in, "b1")
+    val csvSchema = "event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE"
+    val maxUs = s.read.schema(csvSchema).option("header", "true")
+      .csv(s"$in/b1.csv").agg(max($"us")).head().getLong(0)
+    stageCsv(Seq((-1L, maxUs + 86400L * 1000000, "__sentinel__", 0.0))
+      .toDF("event_id", "us", "event_type", "value"), in, "b2")
+    stageCsv(Seq((-2L, maxUs + 2 * 86400L * 1000000, "__sentinel__", 0.0))
+      .toDF("event_id", "us", "event_type", "value"), in, "b3")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
+    val dim = Seq(("purchase", "revenue"), ("click", "engagement"),
+      ("view", "engagement"), ("signup", "acquisition"), ("error", "ops"))
+      .toDF("event_type", "category")
+    withStatePartitions(s)(s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), "event_type")
+      .groupBy(window($"ts", "10 minutes"), $"category")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"),
+        $"category", $"n", $"total_value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination())
+    s.read.parquet(out).orderBy($"w_start", $"category")
+  }
+
+  val streamStaticJoinSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, category,
+       |  COUNT(*) AS n, ${sqlDsum("value")} AS total_value
+       |FROM events JOIN (VALUES ('purchase', 'revenue'),
+       |  ('click', 'engagement'), ('view', 'engagement'),
+       |  ('signup', 'acquisition'), ('error', 'ops'))
+       |  dim(event_type, category) USING (event_type)
+       |WHERE user_id <= 300
+       |GROUP BY 1, 2 ORDER BY w_start, category""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     // the batch twin's oracle IS the contract: stream result == batch result
     "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql)),
+    "stream_static_join" -> (streamStaticJoin, Some(streamStaticJoinSql)),
     "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql)),
     "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
     "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql)),
