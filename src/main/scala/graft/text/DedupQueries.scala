@@ -317,7 +317,15 @@ object DedupQueries {
     * build reuses the gated MinHash+LSH plan (banded candidates → exact
     * Jaccard ≥ 0.4) — never all-pairs.
     */
-  val dedupClusters: Q = (s, dir) => {
+  /** The cluster-gate corpus (docs + two truncated copies) and its
+    * verified LSH edge graph, plus the corpus doc_id list for
+    * singleton handling — shared by [[dedupClusters]] and
+    * [[leakageSafeSplit]]. Returns (corpusIds, edges), both
+    * checkpointed.
+    */
+  private def clusterCorpusEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
@@ -346,8 +354,15 @@ object DedupQueries {
       .filter(jaccard($"sh_a", $"sh_b") >= 0.4)
       .select($"doc_a", $"doc_b")
       .localCheckpoint(true)
+    val corpusIds = corpus.select($"doc_id").localCheckpoint(true)
     shingled.unpersist(false)
     bands.unpersist(false)
+    (corpusIds, edgesMat)
+  }
+
+  val dedupClusters: Q = (s, dir) => {
+    import s.implicits._
+    val (_, edgesMat) = clusterCorpusEdges(s, dir)
     val labels = graft.operators.ConnectedComponents
       .run(edgesMat, "doc_a", "doc_b")
     labels.groupBy($"comp".as("cluster_id"))
@@ -357,8 +372,11 @@ object DedupQueries {
       .orderBy($"cluster_id")
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE docs AS (
+  /** The docs→corpus→LSH→edges→connected-components CTE chain shared by
+    * the cluster gate and the leakage-safe split gate.
+    */
+  private val clusterChainSql: String =
+    s"""docs AS (
        |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
        |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
        |corpus AS (
@@ -397,10 +415,60 @@ object DedupQueries {
        |  SELECT node, node FROM nodes
        |  UNION
        |  SELECT u.dst, r.comp FROM reach r JOIN und u ON r.node = u.src),
-       |cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+       |cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterChainSql
        |SELECT comp AS cluster_id, COUNT(*) AS n_members,
        |  array_to_string(list_sort(list(node)), ',') AS members
        |FROM cc GROUP BY comp ORDER BY cluster_id""".stripMargin
+
+  /** Leakage-safe train/val/test split — the eval-contamination
+    * guarantee [[graft.pipeline.CurationQueries.hashSplit]]'s per-doc
+    * bucket cannot give: a document and its near-duplicates must land
+    * on the SAME side of every split boundary, or test answers leak
+    * into training. Near-dup groups come from connected components over
+    * the verified LSH edge graph (singletons are their own group), and
+    * the split decision is an md5 bucket of the GROUP id — one hash per
+    * group, structurally incapable of splitting a group. Costs exactly
+    * the cluster pass plus a scan-local hash; at 100 TB the group table
+    * is the dedup output you already maintain.
+    */
+  val leakageSafeSplit: Q = (s, dir) => {
+    import s.implicits._
+    val (corpusIds, edgesMat) = clusterCorpusEdges(s, dir)
+    val labels = graft.operators.ConnectedComponents
+      .run(edgesMat, "doc_a", "doc_b")
+    val groups = corpusIds
+      .join(labels.toDF("doc_id", "comp"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("group_id"))
+    val b = graft.functions.KeyHash.bucket100("leak|", $"group_id")
+    groups
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"group_id").as("n_groups"),
+        min($"doc_id").as("min_doc_id"))
+      .orderBy($"split")
+  }
+
+  val leakageSafeSplitSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("leak|", "group_id")
+    s"""WITH RECURSIVE $clusterChainSql,
+       |assign AS (
+       |  SELECT c.doc_id, COALESCE(cc.comp, c.doc_id) AS group_id
+       |  FROM corpus c LEFT JOIN cc ON c.doc_id = cc.node),
+       |sp AS (
+       |  SELECT doc_id, group_id,
+       |    CASE WHEN $b < 80 THEN 'train'
+       |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM assign)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT group_id) AS n_groups,
+       |  MIN(doc_id) AS min_doc_id
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
 
   /** Incremental ingest dedup — the DAILY path at 100 TB: a new batch
     * of documents is checked against the EXISTING corpus without ever
@@ -553,6 +621,7 @@ object DedupQueries {
     "dedup_minhash_estimate" -> (minhashEstimate, Some(minhashEstimateSql)),
     "dedup_simhash_sig" -> (simhashSig, Some(simhashSigSql)),
     "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),
-    "dedup_cluster_canonical" -> (dedupClusters, Some(dedupClustersSql))
+    "dedup_cluster_canonical" -> (dedupClusters, Some(dedupClustersSql)),
+    "curate_leakage_safe_split" -> (leakageSafeSplit, Some(leakageSafeSplitSql))
   )
 }
