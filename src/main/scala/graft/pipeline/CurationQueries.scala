@@ -558,11 +558,11 @@ object CurationQueries {
     * ingest runs before data reaches training: completeness (null
     * keys), uniqueness (duplicate keys), a domain-range rule, and
     * referential integrity (orphan facts), each reported as
-    * (check, violations, checked, pass). Per-table checks FUSE into one
-    * aggregate pass per scan (conditional sums — no per-rule re-scan);
-    * the FK check is one anti join. The unions on top combine 1-row
-    * frames, so the whole report costs two scans and one join at any
-    * scale.
+    * (check, violations, checked, pass). ALL per-fact rules fuse into
+    * ONE pass over lineitem — the range rule as a conditional sum and
+    * the FK rule as null-counting the left-joined dimension key — and
+    * the orders rules into one aggregate; the unions on top combine
+    * 1-row frames. The 100 TB fact is scanned exactly once.
     */
   val validateConstraints: Q = (s, dir) => {
     import s.implicits._
@@ -570,22 +570,25 @@ object CurationQueries {
       count(lit(1)).as("n"),
       sum($"o_orderkey".isNull.cast("long")).as("null_keys"),
       (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_keys"))
-    val l = Tables(s, dir, "lineitem").agg(
-      count(lit(1)).as("n"),
-      sum(($"l_quantity" < 1 || $"l_quantity" > 50).cast("long"))
-        .as("range_viol"))
-    val fk = Tables(s, dir, "lineitem").select($"l_orderkey")
+    // the fused left join assumes a unique dimension key (else joined
+    // rows multiply and the counts drift) — which is exactly what the
+    // orders_key_unique rule in the same report verifies
+    val l = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
       .join(Tables(s, dir, "orders").select($"o_orderkey"),
-        $"l_orderkey" === $"o_orderkey", "left_anti")
-      .agg(count(lit(1)).as("orphans"))
-      .crossJoin(Tables(s, dir, "lineitem").agg(count(lit(1)).as("n")))
+        $"l_orderkey" === $"o_orderkey", "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(($"l_quantity" < 1 || $"l_quantity" > 50).cast("long"))
+          .as("range_viol"),
+        sum($"o_orderkey".isNull.cast("long")).as("orphans"))
     o.select(lit("orders_key_complete").as("check_name"),
         $"null_keys".as("violations"), $"n".as("checked"))
       .unionByName(o.select(lit("orders_key_unique").as("check_name"),
         $"dup_keys".as("violations"), $"n".as("checked")))
       .unionByName(l.select(lit("lineitem_qty_in_range").as("check_name"),
         $"range_viol".as("violations"), $"n".as("checked")))
-      .unionByName(fk.select(lit("lineitem_fk_orders").as("check_name"),
+      .unionByName(l.select(lit("lineitem_fk_orders").as("check_name"),
         $"orphans".as("violations"), $"n".as("checked")))
       .withColumn("pass", ($"violations" === 0).cast("int"))
       .orderBy($"check_name")
@@ -601,14 +604,11 @@ object CurationQueries {
       |l AS (
       |  SELECT COUNT(*) AS n,
       |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
-      |      THEN 1 ELSE 0 END) AS BIGINT) AS range_viol
-      |  FROM lineitem),
-      |fk AS (
-      |  SELECT (SELECT COUNT(*) FROM lineitem li
-      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
-      |                            WHERE o.o_orderkey = li.l_orderkey))
-      |      AS orphans,
-      |    (SELECT COUNT(*) FROM lineitem) AS n),
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS range_viol,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS orphans
+      |  FROM lineitem li LEFT JOIN orders o
+      |    ON li.l_orderkey = o.o_orderkey),
       |rows_out AS (
       |  SELECT 'orders_key_complete' AS check_name,
       |    null_keys AS violations, n AS checked FROM o
@@ -617,7 +617,7 @@ object CurationQueries {
       |  UNION ALL
       |  SELECT 'lineitem_qty_in_range', range_viol, n FROM l
       |  UNION ALL
-      |  SELECT 'lineitem_fk_orders', orphans, n FROM fk)
+      |  SELECT 'lineitem_fk_orders', orphans, n FROM l)
       |SELECT check_name, violations, checked,
       |  CAST(violations = 0 AS INT) AS pass
       |FROM rows_out ORDER BY check_name""".stripMargin

@@ -323,6 +323,28 @@ object DedupQueries {
     * [[leakageSafeSplit]]. Returns (corpusIds, edges), both
     * checkpointed.
     */
+  /** Memoized per (JVM, sf dir): both cluster gates consume the SAME
+    * corpus/edge graph and the SAME component labels — at deployment
+    * the dedup clustering is the maintained artifact the split reads,
+    * so the gates share it too instead of re-running LSH + CC each.
+    * Everything held is checkpointed and tiny (ids, edges, labels).
+    */
+  private val clusterMemo = scala.collection.mutable.Map[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** (corpus doc_ids, CC labels (node, comp)) for the cluster gates. */
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = synchronized {
+    clusterMemo.getOrElseUpdate(dir, {
+      val (corpusIds, edgesMat) = clusterCorpusEdges(s, dir)
+      val labels = graft.operators.ConnectedComponents
+        .run(edgesMat, "doc_a", "doc_b")
+        .localCheckpoint(true)
+      (corpusIds, labels)
+    })
+  }
+
   private def clusterCorpusEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
@@ -362,9 +384,7 @@ object DedupQueries {
 
   val dedupClusters: Q = (s, dir) => {
     import s.implicits._
-    val (_, edgesMat) = clusterCorpusEdges(s, dir)
-    val labels = graft.operators.ConnectedComponents
-      .run(edgesMat, "doc_a", "doc_b")
+    val (_, labels) = clusterLabels(s, dir)
     labels.groupBy($"comp".as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         array_join(transform(array_sort(collect_list($"node")),
@@ -436,9 +456,7 @@ object DedupQueries {
     */
   val leakageSafeSplit: Q = (s, dir) => {
     import s.implicits._
-    val (corpusIds, edgesMat) = clusterCorpusEdges(s, dir)
-    val labels = graft.operators.ConnectedComponents
-      .run(edgesMat, "doc_a", "doc_b")
+    val (corpusIds, labels) = clusterLabels(s, dir)
     val groups = corpusIds
       .join(labels.toDF("doc_id", "comp"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"comp", $"doc_id").as("group_id"))
