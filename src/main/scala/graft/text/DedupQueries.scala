@@ -324,10 +324,11 @@ object DedupQueries {
     * checkpointed.
     */
   /** Memoized per (JVM, sf dir): both cluster gates consume the SAME
-    * corpus/edge graph and the SAME component labels — at deployment
-    * the dedup clustering is the maintained artifact the split reads,
-    * so the gates share it too instead of re-running LSH + CC each.
-    * Everything held is checkpointed and tiny (ids, edges, labels).
+    * verified LSH edge graph — the shared INPUT artifact — so it builds
+    * once; each gate still runs its own connected-components pass (the
+    * clustering is `dedup_cluster_canonical`'s operator under test and
+    * must stay visible to the bench). Held frames are checkpointed and
+    * tiny (ids + edge list).
     */
   private val clusterMemo = scala.collection.mutable.Map[String,
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
@@ -335,14 +336,13 @@ object DedupQueries {
   /** (corpus doc_ids, CC labels (node, comp)) for the cluster gates. */
   private def clusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame) = synchronized {
-    clusterMemo.getOrElseUpdate(dir, {
-      val (corpusIds, edgesMat) = clusterCorpusEdges(s, dir)
-      val labels = graft.operators.ConnectedComponents
-        .run(edgesMat, "doc_a", "doc_b")
-        .localCheckpoint(true)
-      (corpusIds, labels)
-    })
+        org.apache.spark.sql.DataFrame) = {
+    val (corpusIds, edgesMat) = synchronized {
+      clusterMemo.getOrElseUpdate(dir, clusterCorpusEdges(s, dir))
+    }
+    val labels = graft.operators.ConnectedComponents
+      .run(edgesMat, "doc_a", "doc_b")
+    (corpusIds, labels)
   }
 
   private def clusterCorpusEdges(s: org.apache.spark.sql.SparkSession,
