@@ -54,6 +54,12 @@ object BpeQueries {
       var vocab = base
         .withColumn("s", trim(regexp_replace($"w", "(.)", "<$1> ")))
         .localCheckpoint(true)
+      // NOTE: if a round found NO adjacent pairs (fully merged vocab)
+      // the 1-row top frame would be empty and the cross join would
+      // empty the vocabulary — in BOTH engines identically. With
+      // BpeVocab multi-char words and BpeMerges << total pair count the
+      // case is unreachable; guard documented rather than coded, like
+      // the chunk-oracle bound.
       for (_ <- 1 to BpeMerges) {
         val sp = split($"s", " ")
         val top = vocab
@@ -101,8 +107,7 @@ object BpeQueries {
        |  SELECT w, freq,
        |    trim(regexp_replace(w, '(.)', '<\\1> ', 'g')) AS s
        |  FROM vocab),
-       |${(1 to BpeMerges).map(round).mkString("\n")}
-       |sel AS (SELECT 1)
+       |${(1 to BpeMerges).map(round).mkString("\n").stripSuffix(",")}
        |SELECT w, freq, s AS bpe,
        |  CAST(length(s) - length(replace(s, '<', '')) AS INT) AS n_symbols
        |FROM v$BpeMerges ORDER BY freq DESC, w LIMIT 50""".stripMargin
