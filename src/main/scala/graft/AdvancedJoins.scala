@@ -249,7 +249,79 @@ object AdvancedJoins {
       |    / quantile_cont(l_extendedprice, 0.95) <= 0.01 AS INT) AS p95_within_1pct
       |FROM lineitem""".stripMargin
 
+  /** Entity resolution (fuzzy join) — matching records whose keys are
+    * DIRTY, the data-integration operator no exact join covers: a
+    * "dirty" feed of customer names (one digit of the 9-digit suffix
+    * deterministically corrupted to 'x' at position custkey%6+1) is
+    * re-linked to the clean table WITHOUT an O(n²) comparison.
+    *
+    * Blocking is deletion-neighborhood style, designed for this
+    * corpus's adversarially low-entropy keys (sequential zero-padded
+    * ids — naive prefix/q-gram blocking degenerates into one giant
+    * block): split the digit suffix into thirds; the corruption always
+    * lands in thirds 1-2, so each record emits TWO block keys, md5 of
+    * the suffix with third 1 (resp. 2) removed — a matching pair
+    * always shares the key that removes the damaged third, and both
+    * keys keep the high-entropy low digits, so block sizes stay O(1)
+    * as the table grows. Candidates = one equi-join on the key (one
+    * shuffle), then the exact Levenshtein verify runs on candidates
+    * only — the LSH-dedup discipline applied to joining.
+    */
+  val fuzzyMatch: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_name")
+    val clean = cust.select($"c_custkey".as("id"), $"c_name".as("name"))
+    val dirty = cust
+      .withColumn("pos", (pmod($"c_custkey", lit(6)) + 1).cast("int"))
+      .selectExpr("c_custkey + 1000000 AS id",
+        "concat(substr(c_name, 1, 9), substr(c_name, 10, pos - 1), 'x', " +
+          "substr(c_name, 10 + pos, 9 - pos)) AS name")
+    def keyed(df: org.apache.spark.sql.DataFrame) = {
+      val d = substring(col("name"), 10, 9)
+      df.select(col("id"), col("name"),
+        explode(array(
+          md5(concat(lit("b1|"), substring(d, 4, 6))),
+          md5(concat(lit("b2|"), substring(d, 1, 3),
+            substring(d, 7, 3))))).as("bkey"))
+    }
+    keyed(clean).toDF("clean_id", "clean_name", "bkey")
+      .join(keyed(dirty).toDF("dirty_id", "dirty_name", "bkey"), "bkey")
+      .select($"clean_id", $"dirty_id",
+        levenshtein($"clean_name", $"dirty_name").as("dist"))
+      .distinct()
+      .filter($"dist" <= 1)
+      .orderBy($"clean_id", $"dirty_id")
+  }
+
+  val fuzzyMatchSql: String =
+    """WITH clean AS (
+      |  SELECT c_custkey AS id, c_name AS name FROM customer),
+      |dirty AS (
+      |  SELECT c_custkey + 1000000 AS id,
+      |    concat(substr(c_name, 1, 9), substr(c_name, 10, pos - 1), 'x',
+      |      substr(c_name, 10 + pos, 9 - pos)) AS name
+      |  FROM (SELECT *, CAST(c_custkey % 6 + 1 AS INT) AS pos FROM customer)),
+      |ck AS (
+      |  SELECT id AS clean_id, name AS clean_name, unnest(ARRAY[
+      |    md5('b1|' || substr(substr(name, 10, 9), 4, 6)),
+      |    md5('b2|' || substr(substr(name, 10, 9), 1, 3)
+      |      || substr(substr(name, 10, 9), 7, 3))]) AS bkey
+      |  FROM clean),
+      |dk AS (
+      |  SELECT id AS dirty_id, name AS dirty_name, unnest(ARRAY[
+      |    md5('b1|' || substr(substr(name, 10, 9), 4, 6)),
+      |    md5('b2|' || substr(substr(name, 10, 9), 1, 3)
+      |      || substr(substr(name, 10, 9), 7, 3))]) AS bkey
+      |  FROM dirty),
+      |cand AS (
+      |  SELECT DISTINCT clean_id, dirty_id,
+      |    CAST(levenshtein(clean_name, dirty_name) AS INT) AS dist
+      |  FROM ck JOIN dk USING (bkey))
+      |SELECT clean_id, dirty_id, dist FROM cand
+      |WHERE dist <= 1 ORDER BY clean_id, dirty_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "join_fuzzy_match" -> (fuzzyMatch, Some(fuzzyMatchSql)),
     "join_bucketed_colocated" -> (bucketedColocated, Some(bucketedColocatedSql)),
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
     "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
