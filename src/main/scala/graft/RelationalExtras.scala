@@ -383,8 +383,10 @@ object RelationalExtras {
       .withColumn("prev_seg", lag($"seg", 1).over(w))
       .filter($"prev_seg".isNull || $"seg" =!= $"prev_seg")
       .withColumn("valid_to", lead($"eff", 1).over(w))
-      // TIMESTAMP, not DATE, in the gated output: the comparator's
-      // common ground across engines (CLAUDE.md date_trunc rule)
+      // TIMESTAMP, not DATE, in the gated output: DuckDB's
+      // date-valued functions (date_trunc, make_date) surface as DATE
+      // while Spark's casts land on TIMESTAMP_NTZ — casting BOTH
+      // sides to TIMESTAMP is the comparator's common ground
       .select($"c_custkey", $"seg",
         $"eff".cast("timestamp").as("valid_from"),
         $"valid_to".cast("timestamp").as("valid_to"),

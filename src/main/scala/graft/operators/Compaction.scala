@@ -61,15 +61,26 @@ object Compaction {
       val bytes = files.map(Files.size(_)).sum
       val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (files.size > k) {
-        // rewrite into a sibling temp dir, then swap: readers of the
-        // partition see either the old file set or the new one
+        // Rewrite into a sibling temp dir, then stage the new files
+        // INTO the partition under dot-prefixed names (invisible to
+        // dataFiles and to parquet readers) BEFORE touching the old
+        // set, so the visible swap is a handful of same-directory
+        // metadata renames — not the distributed rewrite. A concurrent
+        // reader of THIS partition can still catch the rename window
+        // (each move is atomic; the multi-file swap is not); other
+        // partitions are never touched. True snapshot isolation needs
+        // a manifest layer above the directory listing.
         val tmp = pd.resolveSibling(pd.getFileName.toString + ".compact_tmp")
         spark.read.parquet(pd.toString).coalesce(k)
           .write.mode("overwrite").parquet(tmp.toString)
+        val staged = dataFiles(tmp).map { f =>
+          val s = pd.resolve("." + f.getFileName.toString + ".staged")
+          Files.move(f, s, StandardCopyOption.ATOMIC_MOVE)
+          s -> pd.resolve(f.getFileName.toString)
+        }
         files.foreach(delete)
-        dataFiles(tmp).foreach { f =>
-          Files.move(f, pd.resolve(f.getFileName.toString),
-            StandardCopyOption.ATOMIC_MOVE)
+        staged.foreach { case (src, dst) =>
+          Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
         }
         val st = Files.walk(tmp)
         try st.iterator().asScala.toSeq.reverse.foreach(Files.delete(_))

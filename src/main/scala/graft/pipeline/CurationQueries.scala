@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{Queries, Tables}
@@ -561,13 +562,17 @@ object CurationQueries {
     * (check, violations, checked, pass). ALL per-fact rules fuse into
     * ONE pass over lineitem — the range rule as a conditional sum and
     * the FK rule as null-counting the left-joined dimension key — and
-    * the orders rules into one aggregate; the unions on top combine
-    * 1-row frames. The 100 TB fact is scanned exactly once.
+    * the orders rules into one aggregate. The report rows come from
+    * EXPLODING the cross-joined 1-row aggregates, not from unioning
+    * re-references: a union re-plans (and column-prunes) each branch's
+    * aggregate into a DIFFERENT subtree ReuseExchange cannot dedupe,
+    * which silently doubled the fact scan — with explode the
+    * single-scan claim is structural, and PlanSpec pins it.
     */
   val validateConstraints: Q = (s, dir) => {
     import s.implicits._
     val o = Tables(s, dir, "orders").agg(
-      count(lit(1)).as("n"),
+      count(lit(1)).as("n_o"),
       sum($"o_orderkey".isNull.cast("long")).as("null_keys"),
       (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_keys"))
     // the fused left join assumes a unique dimension key (else joined
@@ -578,18 +583,20 @@ object CurationQueries {
       .join(Tables(s, dir, "orders").select($"o_orderkey"),
         $"l_orderkey" === $"o_orderkey", "left")
       .agg(
-        count(lit(1)).as("n"),
+        count(lit(1)).as("n_l"),
         sum(($"l_quantity" < 1 || $"l_quantity" > 50).cast("long"))
           .as("range_viol"),
         sum($"o_orderkey".isNull.cast("long")).as("orphans"))
-    o.select(lit("orders_key_complete").as("check_name"),
-        $"null_keys".as("violations"), $"n".as("checked"))
-      .unionByName(o.select(lit("orders_key_unique").as("check_name"),
-        $"dup_keys".as("violations"), $"n".as("checked")))
-      .unionByName(l.select(lit("lineitem_qty_in_range").as("check_name"),
-        $"range_viol".as("violations"), $"n".as("checked")))
-      .unionByName(l.select(lit("lineitem_fk_orders").as("check_name"),
-        $"orphans".as("violations"), $"n".as("checked")))
+    def check(name: String, viol: Column, n: Column) =
+      struct(lit(name).as("check_name"), viol.as("violations"),
+        n.as("checked"))
+    o.crossJoin(broadcast(l))
+      .select(explode(array(
+        check("orders_key_complete", $"null_keys", $"n_o"),
+        check("orders_key_unique", $"dup_keys", $"n_o"),
+        check("lineitem_qty_in_range", $"range_viol", $"n_l"),
+        check("lineitem_fk_orders", $"orphans", $"n_l"))).as("r"))
+      .select($"r.check_name", $"r.violations", $"r.checked")
       .withColumn("pass", ($"violations" === 0).cast("int"))
       .orderBy($"check_name")
   }

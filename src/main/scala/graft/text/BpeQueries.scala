@@ -56,10 +56,11 @@ object BpeQueries {
         .localCheckpoint(true)
       // NOTE: if a round found NO adjacent pairs (fully merged vocab)
       // the 1-row top frame would be empty and the cross join would
-      // empty the vocabulary — in BOTH engines identically. With
-      // BpeVocab multi-char words and BpeMerges << total pair count the
-      // case is unreachable; guard documented rather than coded, like
-      // the chunk-oracle bound.
+      // empty the vocabulary — in BOTH engines identically, so the
+      // oracle would hash-match an empty result and hide the bug. The
+      // post-loop require below turns that silent match into a loud
+      // failure: once emptied the vocab stays empty, so one check
+      // covers every round at the cost of a single take(1) job.
       for (_ <- 1 to BpeMerges) {
         val sp = split($"s", " ")
         val top = vocab
@@ -75,6 +76,10 @@ object BpeQueries {
           .select($"w", $"freq", expr("replace(s, pair, merged)").as("s"))
           .localCheckpoint(true)
       }
+      require(!vocab.isEmpty,
+        "BPE merge loop emptied the vocabulary: a round found no " +
+          "adjacent pairs (fully merged vocab) and the 1-row top frame " +
+          "came back empty — lower BpeMerges or raise BpeVocab")
       vocab
         .select($"w", $"freq", $"s".as("bpe"),
           (length($"s") - length(expr("replace(s, '<', '')"))).as("n_symbols"))

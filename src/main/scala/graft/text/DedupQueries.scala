@@ -327,27 +327,32 @@ object DedupQueries {
     * verified LSH edge graph — the shared INPUT artifact — so it builds
     * once; each gate still runs its own connected-components pass (the
     * clustering is `dedup_cluster_canonical`'s operator under test and
-    * must stay visible to the bench). Held frames are checkpointed and
-    * tiny (ids + edge list).
+    * must stay visible to the bench). The memo stores scratch-PARQUET
+    * paths, not DataFrames (the [[graft.vector.SimilarityQueries]]
+    * ivfCbPath pattern): a checkpointed frame is bound to the creating
+    * SparkContext and would dangle if a later session in the same JVM
+    * hit the same dir, while a path re-reads cleanly from any session.
     */
-  private val clusterMemo = scala.collection.mutable.Map[String,
-    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  private val clusterMemo =
+    scala.collection.mutable.Map[String, (String, String)]()
 
   /** (corpus doc_ids, CC labels (node, comp)) for the cluster gates. */
   private def clusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val (corpusIds, edgesMat) = synchronized {
+    val (idsPath, edgesPath) = synchronized {
       clusterMemo.getOrElseUpdate(dir, clusterCorpusEdges(s, dir))
     }
     val labels = graft.operators.ConnectedComponents
-      .run(edgesMat, "doc_a", "doc_b")
-    (corpusIds, labels)
+      .run(s.read.parquet(edgesPath), "doc_a", "doc_b")
+    (s.read.parquet(idsPath), labels)
   }
 
+  /** Builds the cluster corpus + verified edge graph and materializes
+    * both to scratch parquet; returns (idsPath, edgesPath).
+    */
   private def clusterCorpusEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame) = {
+      dir: String): (String, String) = {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
@@ -370,16 +375,20 @@ object DedupQueries {
     // re-run shingle/minhash per action (measured 12 s/round at
     // sf0.1). Once the edge list exists the heavyweight upstream
     // caches are dead weight — drop them immediately.
-    val edgesMat = lshCandidates(bands, "doc_id")
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def path(name: String) = s"${graft.Scratch.dir}/graft_cluster_" +
+      s"${name}_${graft.RefQueries.runToken}_$dirKey"
+    val (idsPath, edgesPath) = (path("ids"), path("edges"))
+    lshCandidates(bands, "doc_id")
       .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
       .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
       .filter(jaccard($"sh_a", $"sh_b") >= 0.4)
       .select($"doc_a", $"doc_b")
-      .localCheckpoint(true)
-    val corpusIds = corpus.select($"doc_id").localCheckpoint(true)
+      .write.mode("overwrite").parquet(edgesPath)
+    corpus.select($"doc_id").write.mode("overwrite").parquet(idsPath)
     shingled.unpersist(false)
     bands.unpersist(false)
-    (corpusIds, edgesMat)
+    (idsPath, edgesPath)
   }
 
   val dedupClusters: Q = (s, dir) => {

@@ -56,11 +56,15 @@ object Utf8Queries {
     docs.toDF("doc_id", "text", "lang")
   }
 
-  /** The same rows as a DuckDB VALUES CTE (no quotes appear in texts). */
+  /** The same rows as a DuckDB VALUES CTE. Single quotes are doubled so
+    * a future fixture row with an apostrophe (l'élève, don't) renders
+    * valid SQL instead of silently breaking the oracle.
+    */
   private val sqlFixture: String =
     "utf8_docs(doc_id, text, lang) AS (VALUES\n    " +
-      docs.map { case (i, t, l) => s"(CAST($i AS BIGINT), '$t', '$l')" }
-        .mkString(",\n    ") + ")"
+      docs.map { case (i, t, l) =>
+        s"(CAST($i AS BIGINT), '${t.replace("'", "''")}', '$l')"
+      }.mkString(",\n    ") + ")"
 
   /** [[TextQueries.tokenStats]] shape over the UTF-8 fixture, plus the
     * md5 content fingerprint — proving normalization, both tokenizers,

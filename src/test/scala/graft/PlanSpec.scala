@@ -315,6 +315,21 @@ class PlanSpec extends SparkSpec {
       "the partsupp-style aggregation must be planned once and reused:\n" + p)
   }
 
+  test("curate_validate_constraints fuses all fact rules into one lineitem scan") {
+    // the report rows explode out of the cross-joined 1-row aggregates
+    // precisely because the earlier union-of-references shape re-planned
+    // (and column-pruned) each branch's aggregate into a different
+    // subtree ReuseExchange could not dedupe — doubling the fact scan.
+    // Pin the scan counts so a regression back to that shape is loud:
+    // lineitem once; orders twice (its own aggregate + the FK-join
+    // broadcast side), NOT three times
+    val p = plan("curate_validate_constraints").split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      "the validation report must scan lineitem exactly once:\n" + p)
+    assert("orders\\.parquet".r.findAllIn(p).length <= 2,
+      "orders must be scanned at most twice (aggregate + FK dim side):\n" + p)
+  }
+
   test("text lang-id/quality tokenize once: each regexp runs once per scan") {
     // CollapseProject re-inlines projected expressions, so without the
     // Generate barriers every per-language feature re-evaluates the
