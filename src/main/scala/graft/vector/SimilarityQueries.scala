@@ -762,94 +762,137 @@ object SimilarityQueries {
     * LUT broadcast is q×M×k rows. This is the representation a 100 TB
     * corpus actually scans — full vectors are only read to (re)encode.
     */
-  val pqAdcKnn: Q = (s, dir) => {
+  /** (vec_id, label, m, sub): the corpus cut into subspace slices —
+    * read once per training pass, so cached. Repartitioned across the
+    * cores BEFORE caching: the embeddings corpus arrives as one file →
+    * one partition, every training join's other side is a broadcast
+    * (so nothing downstream ever re-partitions), and a 1-partition
+    * cache serializes every per-round scan+aggregate onto a single
+    * task (measured: 5 s single-task stages; the whole query sat at
+    * ~12 s regardless of kernel cost until this).
+    */
+  private def pqSubs(s: org.apache.spark.sql.SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    import graft.functions.Exact.dsum
-    import org.apache.spark.sql.DataFrame
     val emb = Tables(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-    // (vec_id, label, m, sub): the corpus cut into subspace slices —
-    // read once per training pass, so cached. Repartitioned across the
-    // cores BEFORE caching: the embeddings corpus arrives as one file →
-    // one partition, every training join's other side is a broadcast
-    // (so nothing downstream ever re-partitions), and a 1-partition
-    // cache serializes every per-round scan+aggregate onto a single
-    // task (measured: 5 s single-task stages; the whole query sat at
-    // ~12 s regardless of kernel cost until this).
-    val subs = graft.CacheTracker.persistTracked(
+    graft.CacheTracker.persistTracked(
       emb.select($"vec_id", $"label",
           posexplode(array((0 until PqM).map(m =>
             slice($"v", m * PqSub + 1, PqSub)): _*)))
         .toDF("vec_id", "label", "m", "sub")
         .repartition(s.sparkContext.defaultParallelism, $"vec_id"))
-    // (c_code, m, pos, val) cells -> per-(code, subspace) mean arrays,
-    // each carrying its exact |c|² so assignment needs no zip_with diff
-    def rollup(cells: DataFrame): DataFrame =
-      cells.groupBy($"c_code", $"m", $"pos")
-        .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy($"c_code", $"m")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          st => st.getField("c")).as("cbv"))
-        .withColumn("cc", dotExact($"cbv", $"cbv"))
-    // exact-decimal nearest-code assignment (ties by code id).
-    // argmin_code |v-c|² = argmin_code (|c|² - 2·v·c) — the vector's own
-    // norm is constant within the group and drops out, so the score is
-    // ONE native dot kernel per pair (no interpreted zip_with diff, no
-    // second kernel for the norm). The argmin is min_by over the
-    // (score, code) ordering struct: an ObjectHashAggregate with
-    // map-side partial reduction. (min(struct(...)) falls back to
-    // SortAggregate and a window needs a full sort — measured 2.5 s vs
-    // 0.6 s per pass on the n·M·k score rows.)
-    def assign(cbDf: DataFrame): DataFrame =
-      subs.join(broadcast(cbDf), Seq("m"))
-        .select($"vec_id", $"m", $"c_code",
-          ($"cc" - lit(2.0) * dotExact($"sub", $"cbv")).as("score"))
-        .groupBy($"vec_id", $"m")
-        .agg(min_by($"c_code", struct($"score", $"c_code")).as("c_code"))
-    // Each training round materializes its codebook to scratch parquet
-    // and reads it back — the codebook IS the model artifact, and
-    // cutting the lineage there keeps every pass's physical plan small.
-    // Without this the iteration-i plan embeds the full iteration-(i-1)
-    // training tree: measured at sf0.1, task binaries grew to 2-3 MiB
-    // and the query spent ~12 s in planning/codegen/serialization
-    // (persist() does not help — cached RDDs keep their rebuild
-    // lineage in the task closure).
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val path = s"${graft.Scratch.dir}/graft_pq_cb_" +
-        s"${graft.RefQueries.runToken}_$name"
-      df.write.mode("overwrite").parquet(path)
-      // explicit schema: a bare parquet read runs a schema-inference job,
-      // and the training loop pays it once per materialized codebook
-      s.read.schema("c_code BIGINT, m INT, cbv ARRAY<DOUBLE>, cc DOUBLE")
-        .parquet(path)
-    }
-    // seed codebook: (label, vec_id mod G) sub-cluster means; Lloyd
-    // iterations then reassign + re-average until the codes are
-    // data-driven (empty codes drop out, as in any k-means).
-    // AQE is off for the eager training actions: every join here is an
-    // explicit broadcast and every aggregation has a statically known
-    // key cardinality, so adaptive re-planning buys nothing — but it
-    // bills each query stage as its own job, and this loop's many tiny
-    // stages paid ~0.4 s of scheduling fixed cost per job (measured:
-    // 28 jobs, ~12 s; the compute itself is ~2 s).
-    val cbF = graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-      var cb = materialize(rollup(subs
-        .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
-          $"m", posexplode($"sub"))
-        .toDF("c_code", "m", "pos", "val")), "seed")
-      for (i <- 1 to PqLloyd)
-        cb = materialize(rollup(subs.join(assign(cb), Seq("vec_id", "m"))
-          .select($"c_code", $"m", posexplode($"sub"))
-          .toDF("c_code", "m", "pos", "val")), s"lloyd$i")
-      cb
-    }
-    // final codebook feeds the encode pass AND the LUT broadcast
-    val enc = assign(cbF).withColumnRenamed("c_code", "code")
-    val lut = subs.filter($"vec_id" < 5).join(broadcast(cbF), Seq("m"))
+  }
+
+  /** Exact-decimal nearest-code assignment (ties by code id).
+    * argmin_code |v-c|² = argmin_code (|c|² - 2·v·c) — the vector's own
+    * norm is constant within the group and drops out, so the score is
+    * ONE native dot kernel per pair (no interpreted zip_with diff, no
+    * second kernel for the norm). The argmin is min_by over the
+    * (score, code) ordering struct: an ObjectHashAggregate with
+    * map-side partial reduction. (min(struct(...)) falls back to
+    * SortAggregate and a window needs a full sort — measured 2.5 s vs
+    * 0.6 s per pass on the n·M·k score rows.)
+    */
+  private def pqAssign(subs: org.apache.spark.sql.DataFrame,
+      cbDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import subs.sparkSession.implicits._
+    subs.join(broadcast(cbDf), Seq("m"))
+      .select($"vec_id", $"m", $"c_code",
+        ($"cc" - lit(2.0) * dotExact($"sub", $"cbv")).as("score"))
+      .groupBy($"vec_id", $"m")
+      .agg(min_by($"c_code", struct($"score", $"c_code")).as("c_code"))
+  }
+
+  /** Final trained PQ codebook parquet per (JVM, sf dir) — the same
+    * shared-input-artifact memo as [[ivfTrain]]: the codebook is the
+    * model artifact both [[pqAdcKnn]] and [[ivfpqSearch]] read, and at
+    * deployment it trains once offline. Each gate's operator under test
+    * (the ADC scan / the composed probe+ADC+rescore read) stays fully
+    * measured.
+    */
+  private val pqCbPath = scala.collection.mutable.Map[String, String]()
+
+  private def pqCbRead(s: org.apache.spark.sql.SparkSession, path: String):
+      org.apache.spark.sql.DataFrame =
+    // explicit schema: a bare parquet read runs a schema-inference job,
+    // and the training loop pays it once per materialized codebook
+    s.read.schema("c_code BIGINT, m INT, cbv ARRAY<DOUBLE>, cc DOUBLE")
+      .parquet(path)
+
+  private def pqTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+      subs: org.apache.spark.sql.DataFrame): String = synchronized {
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    pqCbPath.getOrElseUpdate(dir, {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      def matPath(name: String) = s"${graft.Scratch.dir}/graft_pq_cb_" +
+        s"${graft.RefQueries.runToken}_${dirKey}_$name"
+      // (c_code, m, pos, val) cells -> per-(code, subspace) mean arrays,
+      // each carrying its exact |c|² so assignment needs no zip_with diff
+      def rollup(cells: DataFrame): DataFrame =
+        cells.groupBy($"c_code", $"m", $"pos")
+          .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy($"c_code", $"m")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+            st => st.getField("c")).as("cbv"))
+          .withColumn("cc", dotExact($"cbv", $"cbv"))
+      // Each training round materializes its codebook to scratch parquet
+      // and reads it back — the codebook IS the model artifact, and
+      // cutting the lineage there keeps every pass's physical plan small.
+      // Without this the iteration-i plan embeds the full iteration-(i-1)
+      // training tree: measured at sf0.1, task binaries grew to 2-3 MiB
+      // and the query spent ~12 s in planning/codegen/serialization
+      // (persist() does not help — cached RDDs keep their rebuild
+      // lineage in the task closure).
+      def materialize(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(matPath(name))
+        pqCbRead(s, matPath(name))
+      }
+      // seed codebook: (label, vec_id mod G) sub-cluster means; Lloyd
+      // iterations then reassign + re-average until the codes are
+      // data-driven (empty codes drop out, as in any k-means).
+      // AQE is off for the eager training actions: every join here is an
+      // explicit broadcast and every aggregation has a statically known
+      // key cardinality, so adaptive re-planning buys nothing — but it
+      // bills each query stage as its own job, and this loop's many tiny
+      // stages paid ~0.4 s of scheduling fixed cost per job (measured:
+      // 28 jobs, ~12 s; the compute itself is ~2 s).
+      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+        var cb = materialize(rollup(subs
+          .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
+            $"m", posexplode($"sub"))
+          .toDF("c_code", "m", "pos", "val")), "seed")
+        for (i <- 1 to PqLloyd)
+          cb = materialize(rollup(subs.join(pqAssign(subs, cb), Seq("vec_id", "m"))
+            .select($"c_code", $"m", posexplode($"sub"))
+            .toDF("c_code", "m", "pos", "val")), s"lloyd$i")
+      }
+      matPath(if (PqLloyd > 0) s"lloyd$PqLloyd" else "seed")
+    })
+  }
+
+  /** Per-query LUT: the query's subspace slices dotted against every
+    * codebook entry — q × M × k tiny kernels, broadcastable.
+    */
+  private def pqLut(subs: org.apache.spark.sql.DataFrame,
+      cbF: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import subs.sparkSession.implicits._
+    subs.filter($"vec_id" < 5).join(broadcast(cbF), Seq("m"))
       .select($"vec_id".as("q_id"), $"m", $"c_code".as("code"),
         dotExact($"sub", $"cbv").as("dp"))
+  }
+
+  val pqAdcKnn: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val subs = pqSubs(s, dir)
+    val cbF = pqCbRead(s, pqTrain(s, dir, subs))
+    // final codebook feeds the encode pass AND the LUT broadcast
+    val enc = pqAssign(subs, cbF).withColumnRenamed("c_code", "code")
+    val lut = pqLut(subs, cbF)
     val wRank = Window.partitionBy($"q_id").orderBy($"pq_dot".desc, $"vec_id")
     enc.join(broadcast(lut), Seq("m", "code"))
       .filter($"vec_id" =!= $"q_id")
@@ -861,8 +904,14 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rank")
   }
 
-  val pqAdcKnnSql: String = {
-    import graft.functions.Exact.sqlDsum
+  /** PQ training + encode + LUT CTE chain (one definition, two oracles
+    * — the [[graft.text.NearDup]] fragment-helper pattern): replays
+    * seed means, each Lloyd round's assign/re-average, the final
+    * per-subspace codebook, the corpus encode pass (`enc`), and the
+    * per-query LUT (`lut`). Codebook CTEs are named pqcb* so the chain
+    * composes with [[sqlIvfCtes]] (cb*) inside one WITH.
+    */
+  private def sqlPqCtes: String = {
     def mean(src: String): String =
       s"CAST(SUM(CAST($src.val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
     // assignment score mirrors the Spark side exactly: |c|² - 2·v·c with
@@ -886,30 +935,35 @@ object SimilarityQueries {
          |      JOIN cbn$tag n ON d.c_code = n.c_code AND d.m = n.m)
          |  WHERE rn = 1),""".stripMargin
     def lloyd(i: Int): String =
-      s"""${assignCtes(i.toString, s"cb$i")}
-         |cb${i + 1} AS (
+      s"""${assignCtes(i.toString, s"pqcb$i")}
+         |pqcb${i + 1} AS (
          |  SELECT a.c_code, s.m, s.pos, ${mean("s")} AS c
          |  FROM sub s JOIN a$i a ON s.vec_id = a.vec_id AND s.m = a.m
          |  GROUP BY a.c_code, s.m, s.pos),""".stripMargin
     val iters = (0 until PqLloyd).map(lloyd).mkString("\n")
-    s"""WITH sub AS (
+    s"""sub AS (
        |  SELECT vec_id, label, d - 1 AS pos,
        |    CAST(floor((d - 1) / $PqSub) AS INT) AS m,
        |    CAST(embedding[d] AS DOUBLE) AS val
        |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
-       |cb0 AS (
+       |pqcb0 AS (
        |  SELECT label * $PqG + vec_id % $PqG AS c_code, m, pos,
        |    ${mean("sub")} AS c
        |  FROM sub GROUP BY 1, m, pos),
        |$iters
-       |${assignCtes("F", s"cb$PqLloyd")}
+       |${assignCtes("F", s"pqcb$PqLloyd")}
        |enc AS (SELECT vec_id, m, c_code AS code FROM aF),
        |lut AS (
        |  SELECT s.vec_id AS q_id, cb.m, cb.c_code AS code,
        |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dp
-       |  FROM sub s JOIN cb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
+       |  FROM sub s JOIN pqcb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
        |  WHERE s.vec_id < 5
-       |  GROUP BY s.vec_id, cb.m, cb.c_code),
+       |  GROUP BY s.vec_id, cb.m, cb.c_code)""".stripMargin
+  }
+
+  val pqAdcKnnSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH $sqlPqCtes,
        |adc AS (
        |  SELECT l.q_id, e.vec_id, ${sqlDsum("l.dp")} AS pq_dot
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
@@ -920,6 +974,101 @@ object SimilarityQueries {
        |    ORDER BY pq_dot DESC, vec_id) AS rank FROM adc)
        |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, rank
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ composed index read path — the FAISS-IVFPQ layout every
+    * production 100 TB vector store actually runs, composing the two
+    * halves the surface already gates separately: (1) coarse-probe the
+    * [[graft.Tuning.ivfProbes]] highest-cosine Lloyd-trained cells
+    * ([[ivfStructure]]) and collect ONLY the vectors indexed there
+    * (replicated assignment); (2) ADC-score just those candidates'
+    * [[PqM]]-byte PQ codes against the query LUT — never a full-vector
+    * kernel at scan scale; (3) exact-rescore the compressed-domain
+    * top-[[graft.Tuning.ivfpqRerank]] with full vectors and return the
+    * top-5. `sim_ivf_search` rescores every probed vector with full
+    * vectors; `sim_pq_adc_knn` ADC-scans the whole corpus's codes; this
+    * gate applies BOTH prunings at once, which is what survives at
+    * 100 TB: the scan touches ~(replicas·probes/k) of the corpus and
+    * reads codes (16 B/vector), and full vectors surface only for the
+    * rerank shortlist (k_factor·k rows per query).
+    *
+    * Recall floor is pinned in AnnRecallSpec against `sim_knn_brute`.
+    * Determinism at the two cut boundaries: the probe list and the ADC
+    * shortlist both order by exact-decimal scores with id tiebreaks, so
+    * the shortlist membership — not just the final ranks — is
+    * engine-identical.
+    */
+  val ivfpqSearch: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    val probes = ivfProbesFor(s, vectors, centroidArr)
+    // a vector indexed under two probed cells is one candidate, once
+    val cand = assigned.select($"vec_id", $"nearest_label")
+      .join(broadcast(probes), $"nearest_label" === $"probe_label")
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val subs = pqSubs(s, dir)
+    val cbF = pqCbRead(s, pqTrain(s, dir, subs))
+    val enc = pqAssign(subs, cbF).withColumnRenamed("c_code", "code")
+    val lut = pqLut(subs, cbF)
+    // ADC-scan ONLY the candidate codes: cand drives the join, so the
+    // LUT-sum runs per (query, probed-cell vector), not per corpus row
+    val wAdc = Window.partitionBy($"q_id").orderBy($"pq_dot".desc, $"vec_id")
+    val shortlist = cand.join(enc, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(dsum($"dp").as("pq_dot"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter($"srn" <= graft.Tuning.ivfpqRerank)
+      .select($"q_id", $"vec_id")
+    val q = vectors.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    shortlist.join(vectors.select($"vec_id", $"v", $"xn"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id",
+        (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .withColumn("cosine", round($"cosine", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ivfpqSearchSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH $sqlIvfCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS prn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE prn <= $IvfProbes),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |  WHERE a.vec_id <> p.q_id),
+       |$sqlPqCtes,
+       |adc AS (
+       |  SELECT c.q_id, c.vec_id, ${sqlDsum("l.dp")} AS pq_dot
+       |  FROM cand c JOIN enc e ON c.vec_id = e.vec_id
+       |    JOIN lut l ON l.q_id = c.q_id AND e.m = l.m AND e.code = l.code
+       |  GROUP BY c.q_id, c.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY pq_dot DESC, vec_id) AS srn
+       |    FROM adc)
+       |  WHERE srn <= ${graft.Tuning.ivfpqRerank}),
+       |rescored AS (
+       |  SELECT sl.q_id, sl.vec_id,
+       |    ${sqlCosine("e.embedding", "qe.embedding")} AS cosine
+       |  FROM shortlist sl JOIN embeddings e ON sl.vec_id = e.vec_id
+       |                    JOIN embeddings qe ON sl.q_id = qe.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   /** Hybrid retrieval — the RAG-era read path: a lexical BM25 score and
@@ -1107,6 +1256,7 @@ object SimilarityQueries {
     "sim_ivf_search" -> (ivfSearch, Some(ivfSearchSql)),
     "sim_ivf_pruned_read" -> (ivfPrunedRead, Some(ivfPrunedReadSql)),
     "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql)),
-    "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql))
+    "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql)),
+    "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql))
   )
 }

@@ -57,6 +57,25 @@ class AnnRecallSpec extends SparkSpec {
       s"PQ recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("composed IVF-PQ read path recalls >=0.85 of the exact top-5 at 4 probes") {
+    val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
+      .select("q_id", "vec_id", "rank").collect()
+      .filter(_.getInt(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = pairs("sim_ivfpq_search") // probe → ADC shortlist → rescore
+    graft.CacheTracker.releaseAll()
+    assert(ivfpq.nonEmpty, "the composed path must produce results")
+    val hits = ivfpq.intersect(exact).size.toDouble
+    // composition loses recall only where BOTH prunings miss: a true
+    // neighbor outside every probed cell (IVF alone: 0.92) or outside
+    // the ADC top-ivfpqRerank of the probed candidates (sweep: 0.76 at
+    // depth 25, 0.80 at 40, passes at the default 50) — the rerank
+    // budget recovers the compressed-domain ranking error
+    info(f"IVF-PQ composed recall@5: ${hits / exact.size}%.2f")
+    assert(hits / exact.size >= 0.85,
+      s"IVF-PQ recall vs exact top-5 collapsed: $hits/${exact.size}")
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
