@@ -374,6 +374,91 @@ object StreamQueries {
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
+  /** STREAM-STREAM LEFT OUTER interval join under the gate — the outer
+    * semantics batch users get wrong first: an unmatched click must
+    * surface exactly once, null-padded, and only when the watermark
+    * proves no matching purchase can still arrive (state expiry emits
+    * it — nothing else may). Staging mirrors [[streamIntervalJoin]]
+    * (two files per side, cross-batch matches forced), plus the
+    * sentinel-watermark technique from [[streamTumblingCounts]] applied
+    * to BOTH sides: the join's event-time clock is the min of the two
+    * sides' watermarks, so each side stages two far-future sentinel
+    * files (user -1) — the first pair advances both watermarks past
+    * every real click's expiry point, the second pair drives the
+    * micro-batch in which the join state actually evicts and emits the
+    * null-padded rows before AvailableNow terminates. The sentinels
+    * pair only with each other (no real user is -1) and are dropped in
+    * the final batch read. Oracle = the plain batch LEFT JOIN with the
+    * identical interval predicate; the order key coalesces the nullable
+    * purchase_id (Spark sorts nulls first, DuckDB last — never let a
+    * NULL reach the comparator's sort).
+    */
+  val streamOuterIntervalJoin: Q = (s, dir) => {
+    import s.implicits._
+    val (in, out, ck) = streamDirs()
+    val inP = s"$in/../in_p"
+    Files.createDirectories(Paths.get(inP))
+    val ev = graft.Tables(s, dir, "events").filter($"user_id" <= 300)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"event_type")
+    val clicks = ev.filter($"event_type" === "click").drop("event_type")
+    val purchases = ev.filter($"event_type" === "purchase").drop("event_type")
+    stageCsv(clicks.filter($"event_id" % 2 === 0), in, "c1")
+    stageCsv(clicks.filter($"event_id" % 2 =!= 0), in, "c2")
+    stageCsv(purchases.filter($"event_id" % 2 === 0), inP, "p1")
+    stageCsv(purchases.filter($"event_id" % 2 =!= 0), inP, "p2")
+    val maxUs = ev.agg(max($"us")).head().getLong(0)
+    def sentinel(tag: Long, days: Long) =
+      Seq((tag, -1L, maxUs + days * 86400L * 1000000))
+        .toDF("event_id", "user_id", "us")
+    stageCsv(sentinel(-1L, 1), in, "c3")
+    stageCsv(sentinel(-2L, 2), in, "c4")
+    stageCsv(sentinel(-3L, 1), inP, "p3")
+    stageCsv(sentinel(-4L, 2), inP, "p4")
+    val t0 = new java.io.File(s"$in/c1.csv").lastModified()
+    val ordered = Seq(s"$in/c2.csv" -> 1, s"$inP/p2.csv" -> 1,
+      s"$in/c3.csv" -> 2, s"$inP/p3.csv" -> 2,
+      s"$in/c4.csv" -> 3, s"$inP/p4.csv" -> 3)
+      .forall { case (f, i) =>
+        new java.io.File(f).setLastModified(t0 + i * 10000L) }
+    require(ordered, s"could not order staged batch files by mtime under $in")
+    val csvSchema = "event_id BIGINT, user_id BIGINT, us BIGINT"
+    def side(path: String, prefix: String) = s.readStream
+      .schema(csvSchema).option("header", "true")
+      .option("maxFilesPerTrigger", "1").csv(path)
+      .select($"event_id".as(s"${prefix}_id"), $"user_id".as(s"${prefix}_user"),
+        timestamp_micros($"us").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    withStatePartitions(s)(side(in, "click").join(side(inP, "purchase"),
+        $"click_user" === $"purchase_user" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select($"click_id", $"purchase_id", $"click_user".as("user_id"),
+        (unix_micros($"purchase_ts") - unix_micros($"click_ts")).as("delta_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination())
+    s.read.parquet(out)
+      .filter($"user_id" >= 0)
+      .orderBy($"click_id", coalesce($"purchase_id", lit(-1L)))
+  }
+
+  val streamOuterIntervalJoinSql: String =
+    s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |  c.user_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+       |FROM events c LEFT JOIN events p
+       |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+       |WHERE c.event_type = 'click' AND c.user_id <= 300
+       |ORDER BY click_id, COALESCE(purchase_id, -1)""".stripMargin
+
   /** STREAMING DEDUPLICATION under the gate: the events feed replayed
     * with a 25% duplicate tail (a re-delivered file — the at-least-once
     * failure mode every ingest pipeline has), streamed through
@@ -516,6 +601,8 @@ object StreamQueries {
     "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
     "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql)),
     "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql)),
+    "stream_outer_interval_join" ->
+      (streamOuterIntervalJoin, Some(streamOuterIntervalJoinSql)),
     "stream_dedup_watermark" -> (streamDedup, Some(streamDedupSql))
   )
 }

@@ -154,6 +154,58 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq((10L, 2L, 1.5)))
   }
 
+  test("left-outer interval join emits unmatched clicks null-padded at state expiry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clickMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchMem = MemoryStream[(Long, Long, Timestamp)]
+    def side(mem: MemoryStream[(Long, Long, Timestamp)], p: String) =
+      mem.toDF().toDF(s"${p}_id", s"${p}_user", s"${p}_ts")
+        .withWatermark(s"${p}_ts", "10 minutes")
+    val joined = side(clickMem, "click").join(side(purchMem, "purchase"),
+      expr("""click_user = purchase_user AND
+             |purchase_ts >= click_ts AND
+             |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin),
+      "leftOuter")
+    val q = joined.select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("oij")
+      .outputMode("append").start()
+    try {
+      // click 1 matches purchase 101; click 2 (other user) never matches
+      clickMem.addData((1L, 10L, ts(1)), (2L, 20L, ts(5)))
+      purchMem.addData((101L, 10L, ts(10)))
+      q.processAllAvailable()
+      // two sentinel rounds per side: the first advances BOTH watermarks
+      // past every real click's expiry point, the second drives the
+      // batch in which the state actually evicts (watermarks computed at
+      // batch end apply to the NEXT batch)
+      for (h <- Seq(2, 3)) {
+        clickMem.addData((-h.toLong, -1L, Timestamp.valueOf(f"2024-01-01 0$h%d:00:00")))
+        purchMem.addData((-10L * h, -1L, Timestamp.valueOf(f"2024-01-01 0$h%d:00:00")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = s.table("oij")
+      .filter($"click_id" > 0)
+      .as[(Long, Option[Long])].collect().toSet
+    // the unmatched click surfaced exactly once, null-padded, and the
+    // result equals the batch left join over the same (real) rows
+    val batchClicks = Seq((1L, 10L, ts(1)), (2L, 20L, ts(5)))
+      .toDF("click_id", "click_user", "click_ts")
+    val batchPurchases = Seq((101L, 10L, ts(10)))
+      .toDF("purchase_id", "purchase_user", "purchase_ts")
+    val batch = batchClicks.join(batchPurchases,
+        expr("""click_user = purchase_user AND
+               |purchase_ts >= click_ts AND
+               |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin),
+        "leftOuter")
+      .select($"click_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, Some(101L)), (2L, None)))
+  }
+
   test("csvIngestStream dedups per key within each micro-batch") {
     val s = spark
     import s.implicits._
