@@ -28,6 +28,22 @@ object Tuning {
   val minhashBands: Int = envInt("SPARK_GRAFT_MINHASH_BANDS", 4)
   val minhashR: Int = envInt("SPARK_GRAFT_MINHASH_R", 2)
 
+  /** Hot-band overflow cap for MinHash LSH: a (band, key) group larger
+    * than this is dropped from candidate generation instead of joined.
+    * A boilerplate-heavy corpus (the same header/footer on millions of
+    * docs) collapses those docs onto ONE band key, and the candidate
+    * self-join goes quadratic in the group size — one hot group of g
+    * docs is g·(g-1)/2 pairs, unbounded by any of the banding math
+    * below. Groups at the cap are near-certain exact duplicates of each
+    * other (all r hashes agree in EVERY band they collide in), which is
+    * the exact-dedup fingerprint gate's job, not near-dup's — dropping
+    * them loses nothing the pipeline doesn't already catch, and keeps
+    * per-band candidates ≤ n_groups·cap·(cap-1)/2. Size to the largest
+    * legitimate near-dup cluster you expect (default 32 ≫ the gate
+    * corpus's max group of 3).
+    */
+  val lshBandCap: Int = envInt("SPARK_GRAFT_LSH_BAND_CAP", 32)
+
   /** Sign-LSH near-dup banding (embedding twins). */
   val ndBands: Int = envInt("SPARK_GRAFT_ND_BANDS", 4)
   val ndR: Int = envInt("SPARK_GRAFT_ND_R", 24)

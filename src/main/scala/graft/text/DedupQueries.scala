@@ -112,10 +112,7 @@ object DedupQueries {
        |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
        |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
        |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
-       |  WHERE a.doc_id < b.doc_id)
+       |${sqlCappedCand("doc_id")}
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    CAST(len(list_distinct(list_cat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
@@ -426,10 +423,7 @@ object DedupQueries {
        |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
        |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
        |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.mh = b.mh
-       |  WHERE a.doc_id < b.doc_id),
+       |${sqlCappedCand("doc_id")},
        |edges AS (
        |  SELECT doc_a, doc_b
        |  FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
@@ -641,7 +635,77 @@ object DedupQueries {
        |ORDER BY train_id, eval_id""".stripMargin
   }
 
+  /** Hot-band overflow accounting — the [[NearDup.lshCandidates]] guard
+    * made visible: the minhashLsh corpus plus [[BoilerClones]] copies of
+    * one boilerplate string (the same-header/footer failure mode that
+    * makes a (band, key) group quadratic at corpus scale). All clones
+    * collapse onto ONE key in EVERY band, blowing past
+    * [[graft.Tuning.lshBandCap]]; the gate reports, per band, the group
+    * count, how many groups overflowed and how many docs they held (the
+    * rows the guard drops), and the post-cap candidate-pair bound
+    * Σ g·(g-1)/2 over surviving groups — the boundedness certificate:
+    * ≤ n_groups·cap·(cap-1)/2 by construction, where the unguarded plan
+    * would carry +{BoilerClones choose 2} pairs per band from the hot
+    * group alone.
+    */
+  private val BoilerWords =
+    "terms of service all rights reserved this page is copyright by " +
+      "the site owner and may not be reproduced without permission"
+  private val BoilerClones = 40
+
+  val lshHotBand: Q = (s, dir) => {
+    import s.implicits._
+    val cap = graft.Tuning.lshBandCap
+    val corpus = shingledCorpus(s, dir).unionByName(
+      s.range(0, BoilerClones).select(($"id" + 50000).as("doc_id"),
+        wordShingles(split(lit(BoilerWords), " "), 3).as("sh")))
+    val bands = bandRows(
+      corpus.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $K)"))),
+      "doc_id", R)
+    bands.groupBy($"band", $"mh").agg(count(lit(1)).as("g"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"g" > cap, 1L).otherwise(0L)).as("n_hot_groups"),
+        sum(when($"g" > cap, $"g").otherwise(0L)).as("n_hot_docs"),
+        sum(when($"g" <= cap, expr("(g * (g - 1)) div 2")).otherwise(0L))
+          .as("kept_pair_bound"))
+      .orderBy($"band")
+  }
+
+  val lshHotBandSql: String = {
+    val cap = graft.Tuning.lshBandCap
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000, list_slice(toks, 1, len(toks) - 5) FROM base),
+       |allsh AS (
+       |  SELECT doc_id, ${sqlShingles("toks")} AS sh FROM corpus
+       |  UNION ALL
+       |  SELECT 50000 + j,
+       |    ${sqlShingles(s"string_split('$BoilerWords', ' ')")}
+       |  FROM range(0, $BoilerClones) t(j)),
+       |sig0 AS (
+       |  SELECT doc_id, ${sqlMinhash("sh", K)} AS mh0 FROM allsh),
+       |sig AS (
+       |  SELECT doc_id, ${sqlBandedKeys("mh0", Bands, R)} AS mh FROM sig0),
+       |bands AS (
+       |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
+       |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
+       |gsz AS (SELECT band, mh, COUNT(*) AS g FROM bands GROUP BY band, mh)
+       |SELECT CAST(band AS INT) AS band, COUNT(*) AS n_groups,
+       |  CAST(SUM(CASE WHEN g > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_groups,
+       |  CAST(SUM(CASE WHEN g > $cap THEN g ELSE 0 END) AS BIGINT) AS n_hot_docs,
+       |  CAST(SUM(CASE WHEN g <= $cap THEN (g * (g - 1)) // 2 ELSE 0 END) AS BIGINT)
+       |    AS kept_pair_bound
+       |FROM gsz GROUP BY band ORDER BY band""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_lsh_hot_band" -> (lshHotBand, Some(lshHotBandSql)),
     "dedup_contamination_check" -> (contaminationCheck, Some(contaminationCheckSql)),
     "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
     "dedup_incremental_ingest" -> (incrementalIngest, Some(incrementalIngestSql)),

@@ -115,12 +115,45 @@ object NearDup {
   /** LSH candidate pairs from (id, band, mh) key rows: docs sharing any
     * key are candidates. One shuffle on the band key; the output is the
     * candidate edge list (doc_a < doc_b).
+    *
+    * Hot-band guard: (band, mh) groups larger than `cap` are dropped
+    * BEFORE the self-join — one hot group (boilerplate text collapsing
+    * onto a single key) is otherwise g·(g-1)/2 pairs, the one quadratic
+    * escape hatch in the banding plan (see [[graft.Tuning.lshBandCap]]
+    * for why dropping loses nothing near-dup cares about). The group
+    * count is a window over the SAME (band, mh) key the join shuffles
+    * on, so the guard rides the join's exchange instead of adding one.
     */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
-    bands.alias("a").join(bands.alias("b"), Seq("band", "mh"))
+    lshCandidates(bands, idCol, graft.Tuning.lshBandCap)
+
+  def lshCandidates(bands: DataFrame, idCol: String, cap: Int): DataFrame = {
+    val sized = bands
+      .withColumn("gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("mh"))))
+      .where(col("gsz") <= cap).drop("gsz")
+    sized.alias("a").join(sized.alias("b"), Seq("band", "mh"))
       .where(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
+  }
+
+  /** The capped candidate CTE for oracle SQL — the exact mirror of
+    * [[lshCandidates]], parameterized on the id column so the pair and
+    * cluster chains share one definition. Expects a `bands(id, band,
+    * mh)` CTE in scope; one `gsz` predicate suffices because both join
+    * sides land in the same (band, mh) group.
+    */
+  def sqlCappedCand(idCol: String,
+      cap: Int = graft.Tuning.lshBandCap): String =
+    s"""sized AS (
+       |  SELECT $idCol, band, mh,
+       |    COUNT(*) OVER (PARTITION BY band, mh) AS gsz FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.$idCol AS doc_a, b.$idCol AS doc_b
+       |  FROM sized a JOIN sized b ON a.band = b.band AND a.mh = b.mh
+       |  WHERE a.gsz <= $cap AND a.$idCol < b.$idCol)""".stripMargin
 
   // ----------------------------------------------------------- simhash
 

@@ -50,6 +50,36 @@ object BandingProps extends Properties("lshBanding") {
       sigs.nonEmpty && got == expected
     }
 
+  private val hotShape = for {
+    cap <- Gen.choose(1, 5)
+    extra <- Gen.choose(1, 10) // hot group exceeds cap by this much
+    nNormal <- Gen.choose(1, 6)
+    normalSizes <- Gen.listOfN(nNormal, Gen.choose(1, cap))
+  } yield (cap, extra, normalSizes)
+
+  property("hot (band,key) groups are dropped, bounding candidates") =
+    forAll(hotShape) { case (cap, extra, normalSizes) =>
+      // planted adversary: one boilerplate group blowing past the cap,
+      // normal groups at-or-under it, all in one band — the shape a
+      // same-header corpus produces
+      val hot = (0 until cap + extra).map(i => (i.toLong, 0, "HOT"))
+      val normal = normalSizes.zipWithIndex.flatMap { case (sz, gi) =>
+        (0 until sz).map(i => ((1000 + gi * 100 + i).toLong, 0, s"g$gi"))
+      }
+      val bands = (hot ++ normal).toDF("doc_id", "band", "mh")
+      val got = graft.text.NearDup.lshCandidates(bands, "doc_id", cap)
+        .as[(Long, Long)].collect().toSet
+      // model: pairs only within groups at-or-under the cap
+      val expected = normalSizes.zipWithIndex.flatMap { case (sz, gi) =>
+        val ids = (0 until sz).map(i => (1000 + gi * 100 + i).toLong)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      val nGroups = normalSizes.size + 1
+      got == expected &&
+        got.size <= nGroups * cap * (cap - 1) / 2 &&
+        !got.exists { case (a, b) => a < 1000 || b < 1000 }
+    }
+
   private val annShape = for {
     r <- Gen.choose(2, 12)
     b <- Gen.choose(1, 4)
