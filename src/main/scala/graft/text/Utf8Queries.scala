@@ -24,8 +24,19 @@ import TextAnalysis._
   *     — the dedup mutation here only varies whitespace, never case;
   *     case-variant dedup is covered by the É/é doc pair instead.
   *   - `\s` is ASCII-only in BOTH Java and RE2 (U+3000 matches neither)
-  *     and `length()` counts code points in both — single-code-point
-  *     emoji are safe; ZWJ/flag grapheme clusters are not exercised.
+  *     and `length()` counts code points in both — so multi-code-point
+  *     grapheme clusters are SAFE for every shape gated here (rows
+  *     13-15): both engines count 👩‍💻 as 3 code points, 🇺🇸 as 2,
+  *     👋🏽 as 2, 👨‍👩‍👧‍👦 as 7, and the whitespace tokenizer keeps each
+  *     cluster one opaque token (ZWJ U+200D and regional indicators
+  *     are not `\s`). What CANNOT be gated is grapheme SEGMENTATION —
+  *     user-perceived character counts: DuckDB's `length_grapheme`
+  *     returns 1 for each of the above (measured, utf8proc UAX #29),
+  *     while Spark ships no grapheme function at all (Java needs
+  *     `BreakIterator.getCharacterInstance`, outside Catalyst) — so
+  *     "characters as a user sees them" has no cross-engine mirror and
+  *     any future query wanting it must pick the code-point convention
+  *     explicitly, as n_chars_norm does.
   */
 object Utf8Queries {
   import Queries.Q
@@ -46,7 +57,11 @@ object Utf8Queries {
     (9L, "élève déjà vu café", "fr"),
     (10L, "το μοντέλο обучение данных μάθηση", "el"),
     (11L, "データ の 処理 と 学習 모델 학습", "ja"),
-    (12L, "😀 🎉 🚀 ✨", "und"))
+    (12L, "😀 🎉 🚀 ✨", "und"),
+    // grapheme clusters: ZWJ profession (3 cp), ZWJ family (7 cp),
+    // skin-tone modifier (2 cp), regional-indicator flags (2 cp each)
+    (13L, "the 👩‍💻 and the 👨‍👩‍👧‍👦 wave 👋🏽 at a dog", "en"),
+    (14L, "🇺🇸 🇫🇷 🇯🇵", "und"))
 
   private def fixture(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
