@@ -257,7 +257,96 @@ object LakeQueries {
        |  COUNT(DISTINCT user_id) AS n_users
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time travel (operators/Snapshots): the same base/merge as
+    * [[mergePartition]], but run as three manifest-published versions of
+    * one table — v1 initial load, v2 the F-partition merge carrying the
+    * untouched partitions' files forward, v3 a whole-table compaction
+    * commit. The gate reads ALL THREE versions after everything has
+    * committed: v1 must still show the pre-merge state (the snapshot a
+    * yesterday's-report reader pinned), v2 the merged state, and v3 the
+    * identical merged state through compacted files — the
+    * rewrite-invariance + isolation contract a table format sells.
+    * LayoutSpec additionally asserts the file-level mechanics (old
+    * manifests' files survive on disk, compaction shrinks the live set).
+    */
+  private val snapTbl = scala.collection.mutable.Map[String, String]()
+  private def snapshotOrders(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String = synchronized {
+    snapTbl.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = s"${Scratch.dir}/graft_lake_snap_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+      val base = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
+          $"o_orderstatus")
+      operators.Snapshots.commit(s, root, base, "o_orderstatus")
+      val updates = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
+        .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+          lit("update").as("src"), $"o_orderstatus")
+      // the merge reads v1's files and writes a NEW commit dir, so no
+      // read-write cycle exists and no checkpoint is needed (contrast
+      // mergedOrders, which overwrites in place)
+      val touched = operators.Snapshots.read(s, root, 1)
+        .filter($"o_orderstatus" === "F")
+      val merged = operators.Upsert.lastWins(
+        touched.unionByName(updates)
+          .withColumn("seq", when($"src" === "update", 1L).otherwise(0L)),
+        Seq("o_orderkey"), col("seq")).drop("seq")
+      operators.Snapshots.commit(s, root, merged, "o_orderstatus",
+        carry = !_.contains("o_orderstatus=F/"))
+      operators.Snapshots.compactCommit(s, root, "o_orderstatus")
+      root
+    })
+  }
+
+  val snapshotRead: Q = (s, dir) => {
+    import s.implicits._
+    val root = snapshotOrders(s, dir)
+    def stateAt(v: Int) = operators.Snapshots.read(s, root, v)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("total"),
+        sum(($"src" === "update").cast("long")).as("n_updated"))
+      .withColumn("version", lit(v))
+    (1 to 3).map(stateAt).reduce(_ unionByName _)
+      .select($"version", $"o_orderstatus", $"n_rows", $"total", $"n_updated")
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  val snapshotReadSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src, 0 AS seq
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |upd AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       |    'update' AS src, 1 AS seq
+       |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'),
+       |fmerged AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT * FROM base WHERE o_orderstatus = 'F'
+       |          UNION ALL SELECT * FROM upd))
+       |  WHERE rn = 1),
+       |v2 AS (
+       |  SELECT o_orderstatus, o_totalprice, src FROM base
+       |  WHERE o_orderstatus <> 'F'
+       |  UNION ALL
+       |  SELECT o_orderstatus, o_totalprice, src FROM fmerged),
+       |states AS (
+       |  SELECT 1 AS version, o_orderstatus, o_totalprice, src FROM base
+       |  UNION ALL SELECT 2, o_orderstatus, o_totalprice, src FROM v2
+       |  UNION ALL SELECT 3, o_orderstatus, o_totalprice, src FROM v2)
+       |SELECT version, o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(SUM(CASE WHEN src = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_updated
+       |FROM states GROUP BY version, o_orderstatus
+       |ORDER BY version, o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_snapshot_read" -> (snapshotRead, Some(snapshotReadSql)),
     "lake_compact_small_files" -> (compactSmallFiles, Some(compactSmallFilesSql)),
     "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),
     "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)),

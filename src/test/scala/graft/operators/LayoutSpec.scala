@@ -66,4 +66,57 @@ class LayoutSpec extends SparkSpec {
     assert(parts.map(p => Compaction.dataFiles(p).map(_.getFileName.toString)) == names,
       "already-compact partitions must not be rewritten")
   }
+
+  test("snapshot versions survive a later merge and compaction") {
+    import java.nio.file.{Files, Paths}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    val orders = graft.Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
+        $"o_orderstatus")
+    def stamp(v: Int) = Snapshots.read(spark, root, v)
+      .agg(count(lit(1)), graft.functions.Exact.dsum($"o_totalprice"),
+        sum(($"src" === "update").cast("long"))).collect()(0)
+
+    // v1: initial load
+    assert(Snapshots.commit(spark, root, orders, "o_orderstatus") == 1)
+    val v1Files = Snapshots.manifest(root, 1)
+    val v1State = stamp(1)
+
+    // v2: merge doubling F prices, F partition replaced, others carried
+    val touched = Snapshots.read(spark, root, 1)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+        lit("update").as("src"), $"o_orderstatus")
+    assert(Snapshots.commit(spark, root, touched, "o_orderstatus",
+      carry = !_.contains("o_orderstatus=F/")) == 2)
+    // carried entries are exactly v1's non-F files
+    val v2Files = Snapshots.manifest(root, 2)
+    assert(v1Files.filterNot(_.contains("o_orderstatus=F/"))
+      .forall(v2Files.contains), "untouched partitions must carry forward")
+    assert(!v2Files.exists(f => f.startsWith("c00001/") &&
+      f.contains("o_orderstatus=F/")), "replaced partition must not carry")
+    val v2State = stamp(2)
+    assert(v2State != v1State, "merge must change the live state")
+
+    // v3: compaction commit — values invariant, live set all-new + small
+    assert(Snapshots.compactCommit(spark, root, "o_orderstatus") == 3)
+    val v3Files = Snapshots.manifest(root, 3)
+    assert(stamp(3) == v2State, "compaction must not change values")
+    assert(v3Files.forall(_.startsWith("c00003/")))
+    // one file per partition value
+    val nStatuses = Snapshots.read(spark, root, 3)
+      .select($"o_orderstatus").distinct().count()
+    assert(v3Files.size == nStatuses,
+      s"expected $nStatuses live files, got ${v3Files.size}")
+
+    // the OLD snapshots still read bit-identically: every v1 file is on
+    // disk and v1's state is untouched by merge + compaction
+    assert(v1Files.forall(f =>
+      Files.isRegularFile(Paths.get(root, "data", f))),
+      "old manifest files must survive later commits")
+    assert(stamp(1) == v1State, "v1 must read the pre-merge state")
+    assert(stamp(2) == v2State)
+  }
 }
