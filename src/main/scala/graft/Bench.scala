@@ -61,8 +61,26 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // DuckDB baseline on the SAME parquet: BASELINE.md publishes no
+    // reference numbers, so the measurable anchor for the perf contract
+    // is each oracle SQL timed in DuckDB on this host. Shelling to the
+    // sandbox's python (a bench-harness concern, like check_oracle.py —
+    // the library itself never touches it); absent python/duckdb the
+    // bench degrades to spark-only output.
+    val duck: Map[String, Option[Double]] = duckdbBaseline(sfDir)
+    val ratios = results.flatMap { case (k, v) =>
+      duck.getOrElse(k, None).collect { case d if d > 0 => k -> v / d } }
+    val duckJson = results.keys.map { k =>
+      "\"" + k + "\":" + duck.getOrElse(k, None).map(fmt).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val duckTotal = duck.values.flatten.sum
+    val ratioMedian =
+      if (ratios.isEmpty) 0.0
+      else ratios.values.toSeq.sorted.apply(ratios.size / 2)
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"ratio_median":${fmt(ratioMedian)}}"""
     println(full)
     // Driver log capture keeps the TAIL of stdout: two rounds of per-query
     // timings were lost when the head of the (long) JSON line was cut. The
@@ -73,7 +91,48 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"sf":"$sfDir","full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}""")
     spark.stop()
+  }
+
+  /** Times every [[SparkEntry.oracleSql]] entry in DuckDB via
+    * `scripts/bench_duckdb.py` (median-free single run, per-query
+    * interrupt timeout — the baseline is an anchor, not a regression
+    * detector). Returns per-query seconds; None = timed out / errored /
+    * baseline unavailable. Disable with SPARK_GRAFT_DUCKDB_BENCH=0.
+    */
+  private def duckdbBaseline(sfDir: String): Map[String, Option[Double]] = {
+    val script = java.nio.file.Paths.get("scripts", "bench_duckdb.py")
+    if (sys.env.get("SPARK_GRAFT_DUCKDB_BENCH").contains("0") ||
+      !java.nio.file.Files.exists(script)) return Map.empty
+    try {
+      def jstr(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+      val oraclePath =
+        java.nio.file.Paths.get(Scratch.dir, s"graft_oracle_${Scratch.runToken}.json")
+      java.nio.file.Files.write(oraclePath,
+        SparkEntry.oracleSql.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+          .mkString("{", ",", "}").getBytes("UTF-8"))
+      val timeout = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_TIMEOUT", "120")
+      val p = new ProcessBuilder("python3", script.toString, sfDir,
+        oraclePath.toString, timeout).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      // flat {"name": 1.23 | null, ...} — our own script's output
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*(null|[0-9.]+)".r.findAllMatchIn(out).map { m =>
+        m.group(1) -> (if (m.group(2) == "null") None else Some(m.group(2).toDouble))
+      }.toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] duckdb baseline unavailable: $e")
+        Map.empty
+    }
   }
 }

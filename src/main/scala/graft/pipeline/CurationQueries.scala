@@ -432,27 +432,41 @@ object CurationQueries {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val n = docs.count()
-    val unit = 1000000000000L / n
-    val base = 15L * unit / 100L
     val edges = docs.select($"doc_id".as("src"), explode(array(
         ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
         ($"doc_id" * 29 + 3) % n)).as("dst"))
       .filter($"src" =!= $"dst").distinct()
+    pagerankLoop(docs, edges, n, iters = 10)
+      .orderBy($"r".desc, $"node").limit(50)
+  }
+
+  /** The int64 fixed-point PageRank iteration (the documented iterative
+    * template: edge table materialized once, every generation cut with
+    * an eager localCheckpoint). Split out so ScaleStressSpec can drive
+    * the identical production loop on a synthesized 10× graph.
+    * @param docs  one `doc_id` row per node
+    * @param n     node count (drives the fixed-point unit)
+    */
+  private[graft] def pagerankLoop(docs: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame, n: Long,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val unit = 1000000000000L / n
+    val base = 15L * unit / 100L
     val edgesDeg = edges
-      .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
-    var ranks = docs.select($"doc_id".as("node"), lit(unit).as("r"))
+    var ranks = docs.select(col("doc_id").as("node"), lit(unit).as("r"))
       .localCheckpoint(true)
-    for (_ <- 1 to 10) {
-      val contrib = edgesDeg.join(ranks, $"src" === $"node")
-        .groupBy($"dst").agg(sum(expr("r div outdeg")).as("s"))
-      ranks = docs.select($"doc_id".as("node"))
-        .join(contrib, $"node" === $"dst", "left")
-        .select($"node",
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("s"))
+      ranks = docs.select(col("doc_id").as("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
         .localCheckpoint(true)
     }
-    ranks.orderBy($"r".desc, $"node").limit(50)
+    ranks
   }
 
   val pagerankLinksSql: String = {

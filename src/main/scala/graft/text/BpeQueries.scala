@@ -40,16 +40,27 @@ object BpeQueries {
   /** Training vocabulary cap (top word frequencies, total order). */
   private val BpeVocab = 300
 
-  val bpeTrainEncode: Q = (s, dir) => {
+  /** The training vocabulary of a docs frame: lowercase ascii-alpha
+    * words, 2..12 chars, top-[[BpeVocab]] by (freq desc, word) —
+    * deterministic in any engine. Split out so ScaleStressSpec can feed
+    * a replicated corpus through the identical production path.
+    */
+  private[graft] def vocabOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")).between(2, 12) &&
+        length(regexp_replace(col("w"), "[a-z]", "")) === 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(BpeVocab)
+
+  val bpeTrainEncode: Q = (s, dir) =>
+    trainOn(s, vocabOf(Tables(s, dir, "documents")))
+
+  /** The frequency-weighted merge loop over a (w, freq) vocabulary. */
+  private[graft] def trainOn(s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    // training vocabulary: lowercase ascii-alpha words, 2..12 chars,
-    // top-BpeVocab by (freq desc, word) — deterministic in any engine
-    val base = Tables(s, dir, "documents")
-      .select(explode(tokens($"text")).as("w"))
-      .filter(length($"w").between(2, 12) &&
-        length(regexp_replace($"w", "[a-z]", "")) === 0)
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .orderBy($"freq".desc, $"w").limit(BpeVocab)
     graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
       var vocab = base
         .withColumn("s", trim(regexp_replace($"w", "(.)", "<$1> ")))

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-stress for the three iterative loops (VERDICT r5 #6): the
+  * localCheckpoint-per-generation discipline is argued from measurements
+  * at gate scale; this suite actually runs each loop on a synthesized
+  * corpus ~10× the largest driver corpus (sf0.1: cluster graph ≈ 12k
+  * nodes, documents = 5k) and pins correctness plus round counts, with
+  * wall times printed for the SURVEY §8 record. The graphs are
+  * deterministic formulas, not data files — the loops' cost is driven by
+  * node/edge count and iteration structure, not by text content.
+  */
+class ScaleStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("connected components: 120k nodes in diameter-31 chains, log-bounded rounds") {
+    val n = 120000L
+    val block = 32L
+    // chains of 32: i — i+1 unless i closes a block. 3750 components,
+    // diameter 31 — adversarial for label propagation (a plain
+    // propagate needs 31 rounds; pointer jumping must stay ~log2)
+    val edges = spark.range(n)
+      .filter($"id" % block =!= (block - 1) && $"id" + 1 < n)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+      .localCheckpoint(true)
+    val ((labels, rounds), secs) = timed {
+      val (l, r) = ConnectedComponents.runCounted(edges, "src", "dst")
+      (l.localCheckpoint(true), r)
+    }
+    val bad = labels
+      .filter($"comp" =!= expr(s"(node div $block) * $block"))
+      .count()
+    val total = labels.count()
+    assert(total == n, s"every node labeled: got $total")
+    assert(bad == 0, s"$bad nodes got a wrong component label")
+    assert(rounds <= 10,
+      s"diameter-31 chains must converge in ~log2 rounds, took $rounds")
+    info(f"CC 120k nodes / ${edges.count()} edges: $rounds rounds, $secs%.1f s")
+  }
+
+  test("pagerank: 50k-node synthetic link graph, 10 fixed-point iterations") {
+    val n = 50000L
+    val docs = spark.range(n).select($"id".as("doc_id"))
+      .localCheckpoint(true)
+    val edges = docs.select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+        ($"doc_id" * 29 + 3) % n)).as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+    val (ranks, secs) = timed {
+      graft.pipeline.CurationQueries
+        .pagerankLoop(docs, edges, n, iters = 10)
+        .localCheckpoint(true)
+    }
+    val unit = 1000000000000L / n
+    val stats = ranks.agg(count(lit(1)), min($"r"), sum($"r")).head
+    assert(stats.getLong(0) == n, "one rank per node")
+    // every node holds at least the teleport mass, and total mass stays
+    // within the fixed-point truncation loss of n·unit (each of the 10
+    // rounds truncates < 1 unit-fraction per node at two `div` sites)
+    assert(stats.getLong(1) >= 15L * unit / 100L, "teleport floor")
+    val mass = stats.getLong(2).toDouble / (n * unit)
+    assert(mass > 0.85 && mass <= 1.0, s"rank mass drifted to $mass")
+    info(f"PageRank 50k nodes / ${edges.count()} edges, 10 iters: $secs%.1f s")
+  }
+
+  test("bpe training is invariant under 10x corpus replication") {
+    val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select($"text")
+    // 10 copies of every document: frequencies scale ×10 uniformly, so
+    // the top-300 vocabulary, every round's winning pair, and the final
+    // symbol sequences must be IDENTICAL — only freq changes. Catches
+    // any hidden corpus-size dependence in the merge loop.
+    val docs10 = docs1.crossJoin(spark.range(10)).select($"text")
+      .localCheckpoint(true)
+    val (out10, secs) = timed {
+      graft.text.BpeQueries
+        .trainOn(spark, graft.text.BpeQueries.vocabOf(docs10))
+        .localCheckpoint(true)
+    }
+    val out1 = graft.text.BpeQueries
+      .trainOn(spark, graft.text.BpeQueries.vocabOf(docs1))
+    val r1 = out1.select($"w", $"freq" * 10, $"bpe", $"n_symbols")
+      .as[(String, Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val r10 = out10.select($"w", $"freq", $"bpe", $"n_symbols")
+      .as[(String, Long, String, Int)].collect().toSeq.sortBy(_._1)
+    assert(r10 == r1, "10x-replicated training diverged from 1x")
+    info(f"BPE train on 10x corpus (${docs10.count()} docs): $secs%.1f s")
+  }
+}

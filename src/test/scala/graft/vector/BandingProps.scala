@@ -39,11 +39,14 @@ object BandingProps extends Properties("lshBanding") {
         .as[(Long, Seq[String])].collect().toSeq
       graft.CacheTracker.releaseAll()
       // model: same band keys (r consecutive hashes joined by '|'), all
-      // id-ordered pairs sharing any band key
+      // id-ordered pairs sharing any band key — groups over the
+      // production hot-band cap dropped, mirroring lshCandidates'
+      // default path (short r makes large collision groups reachable)
+      val cap = graft.Tuning.lshBandCap
       val expected = (0 until b).flatMap { band =>
         sigs.groupBy { case (_, mh) =>
           mh.slice(band * r, band * r + r).mkString("|")
-        }.values.flatMap { group =>
+        }.values.filter(_.size <= cap).flatMap { group =>
           for (a <- group; bb <- group if a._1 < bb._1) yield (a._1, bb._1)
         }
       }.toSet
