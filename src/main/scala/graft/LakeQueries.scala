@@ -345,7 +345,47 @@ object LakeQueries {
        |FROM states GROUP BY version, o_orderstatus
        |ORDER BY version, o_orderstatus""".stripMargin
 
+  /** CDC-style incremental read off the snapshot store: the row-level
+    * diff between two committed versions — what a downstream consumer
+    * pulls instead of re-reading the table. Updates are keys live in
+    * both versions with a changed price (the merged F rows that were in
+    * the base); inserts are update-batch keys the base never had (odd
+    * multiples of 3 with status F — the merge's last-wins union admits
+    * them). This merge deletes nothing, so the diff is exactly
+    * insert ∪ update; raw doubles pass through both engines untouched
+    * (no aggregation → no decimal detour needed).
+    */
+  val snapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val root = snapshotOrders(s, dir)
+    val v1 = operators.Snapshots.read(s, root, 1)
+      .select($"o_orderkey", $"o_totalprice".as("old_price"))
+    val v2 = operators.Snapshots.read(s, root, 2)
+      .select($"o_orderkey", $"o_totalprice".as("new_price"))
+    v2.join(v1, Seq("o_orderkey"), "left")
+      .filter($"old_price".isNull || $"old_price" =!= $"new_price")
+      .select($"o_orderkey",
+        when($"old_price".isNull, "insert").otherwise("update")
+          .as("change_type"),
+        $"old_price", $"new_price")
+      .orderBy($"o_orderkey")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+       |upd AS (
+       |  SELECT o_orderkey, o_totalprice * 2 AS new_price
+       |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F')
+       |SELECT u.o_orderkey,
+       |  CASE WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END
+       |    AS change_type,
+       |  b.o_totalprice AS old_price, u.new_price
+       |FROM upd u LEFT JOIN base b ON u.o_orderkey = b.o_orderkey
+       |ORDER BY u.o_orderkey""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_snapshot_diff" -> (snapshotDiff, Some(snapshotDiffSql)),
     "lake_snapshot_read" -> (snapshotRead, Some(snapshotReadSql)),
     "lake_compact_small_files" -> (compactSmallFiles, Some(compactSmallFilesSql)),
     "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),

@@ -127,6 +127,47 @@ object Snapshots {
       .reduce(_ unionByName _)
   }
 
+  /** Retention: delete every data file not referenced by any manifest
+    * with version ≥ `retainFrom`, and drop the expired manifests so a
+    * time-travel read below the retention floor fails LOUDLY (missing
+    * manifest) instead of silently reading a partial file set. This is
+    * the vacuum step every table format pairs with time travel — the
+    * deletes that merges and compactions deliberately never do.
+    * Returns (files deleted, files kept). Safe relative to readers of
+    * retained versions: their manifests' files are never touched.
+    */
+  def vacuum(root: String, retainFrom: Int): (Int, Int) = {
+    val latest = latestVersion(root)
+    require(retainFrom >= 1 && retainFrom <= latest,
+      s"retainFrom $retainFrom outside committed range [1, $latest]")
+    val live = (retainFrom to latest).flatMap(v => manifest(root, v)).toSet
+    val base = dataDir(root)
+    val walk = Files.walk(base)
+    val all =
+      try walk.iterator.asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString)
+        .toSeq
+      finally walk.close()
+    val dead = all.filterNot(live)
+    dead.foreach(f => Files.delete(base.resolve(f)))
+    (1 until retainFrom).foreach(v =>
+      Files.deleteIfExists(manifestPath(root, v)))
+    // prune directories the deletes emptied (bottom-up: deepest first)
+    val dirs = Files.walk(base)
+    try dirs.iterator.asScala
+      .filter(p => Files.isDirectory(p) && p != base)
+      .toSeq.sortBy(-_.getNameCount)
+      .foreach { d =>
+        val s = Files.list(d)
+        val empty = try !s.iterator.hasNext finally s.close()
+        if (empty) Files.delete(d)
+      }
+    finally dirs.close()
+    (dead.size, live.size)
+  }
+
   /** Compaction as a commit: rewrite the whole live set of the latest
     * version to one file per partition value and publish it as a full
     * snapshot. `repartition(partCol)` hash-clusters each value into

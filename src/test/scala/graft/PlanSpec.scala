@@ -214,6 +214,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), "band table must be cached for the self-join")
   }
 
+  test("hot-band guard rides the band-join exchanges instead of adding its own") {
+    // the group-size window partitions on the SAME (band, mh) key the
+    // candidate join hashes on, so ENSURE_REQUIREMENTS satisfies the
+    // join from the window's exchange: exactly one hashpartitioning(band
+    // per join side (2 total), one window per side — a regression to a
+    // separately-shuffled pre-count would show 3+ band exchanges
+    val p = plan("dedup_minhash_lsh").split("== Initial Plan ==")(0)
+    val bandEx = "hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandEx <= 2, s"expected <=2 band exchanges, got $bandEx:\n$p")
+    val wins = "windowspecdefinition\\(band".r.findAllIn(p).size
+    assert(wins <= 2, s"expected <=2 group-size windows, got $wins")
+    assert(p.contains("gsz"), "the guard must be present in the plan")
+  }
+
   test("cosine near-dup: native sign_bits signatures, banded join, cached rescore boundary") {
     val p = plan("sim_cosine_neardup")
     assert(p.contains("sign_bits"), p)

@@ -118,5 +118,22 @@ class LayoutSpec extends SparkSpec {
       "old manifest files must survive later commits")
     assert(stamp(1) == v1State, "v1 must read the pre-merge state")
     assert(stamp(2) == v2State)
+
+    // vacuum to v2: v1's replaced F files (referenced by no retained
+    // manifest) are deleted, v1's manifest is dropped (reads below the
+    // floor fail loudly), and v2/v3 read bit-identically
+    val (deleted, kept) = Snapshots.vacuum(root, retainFrom = 2)
+    val v1Only = v1Files.filter(_.contains("o_orderstatus=F/"))
+    assert(deleted == v1Only.size,
+      s"expected ${v1Only.size} dead files, deleted $deleted")
+    assert(v1Only.forall(f =>
+      !Files.exists(Paths.get(root, "data", f))), "dead files must go")
+    assert((v2Files ++ v3Files).distinct.size == kept)
+    assert((v2Files ++ v3Files).forall(f =>
+      Files.isRegularFile(Paths.get(root, "data", f))),
+      "retained versions' files must survive vacuum")
+    intercept[Exception](Snapshots.read(spark, root, 1))
+    assert(stamp(2) == v2State && stamp(3) == v2State,
+      "retained versions must read identically after vacuum")
   }
 }
