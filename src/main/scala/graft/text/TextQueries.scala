@@ -381,7 +381,119 @@ object TextQueries {
        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Bigram-LM perplexity quality filter — the CCNet/Gopher-style
+    * signal the heuristic gates (`text_quality_score`,
+    * `text_repetition_quality`) don't cover: score each document by the
+    * mean log-probability of its bigrams under an add-one-smoothed
+    * bigram LM trained on the corpus itself, and filter the docs whose
+    * token order the model finds implausible, plus the OOV rate the
+    * production filter (CCNet) pairs it with. The gate corpus is
+    * originals ∪ OOV-junk copies (doc_id+30000, every token replaced
+    * by a deterministic out-of-vocabulary string — the mojibake/binary/
+    * wrong-language class these filters exist to kill).
+    *
+    * Measured honesty note (sf0.01): the synthetic corpus draws tokens
+    * iid from a 31-word vocabulary, so EVERY class's avg_logprob
+    * converges to −ln V ≈ −3.43 (originals −3.63..−3.28, junk exactly
+    * −3.434) — with random token order and heavy smoothing the bigram
+    * signal carries no information BY CONSTRUCTION of the corpus, and
+    * token-reversed copies score identically (tried, measured, same
+    * range). The gate therefore keys its verdict on the OOV-rate
+    * column — 0.0 vs 1.0 here, an exact integer ratio with no float
+    * threshold to sit near — while avg_logprob stays hash-gated to 9
+    * decimals as the score a natural-language corpus WOULD separate
+    * on. The mechanism (count tables → smoothed per-bigram logprob →
+    * decimal-detoured per-doc mean) is the production shape either
+    * way.
+    *
+    * Scale shape: unigram/V stats broadcast (vocabulary-bounded), the
+    * bigram-count join shuffles on the term key exactly like the BM25
+    * posting join (never broadcast — corpus-scale), per-doc mean rides
+    * the decimal detour and the output rounds to 9 so a 1-ulp
+    * ln()/libm divergence cannot flip a row (the [[sim_hybrid_search]]
+    * discipline).
+    */
+  val lmPerplexity: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact._
+    val tr = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .select($"doc_id", tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2))
+    def bigramsOf(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+      explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i),
+          element_at($"toks", i + 1)))).as("bg"))
+    val uni = tr.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val big = bigramsOf(tr).groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val vstats = broadcast(uni.agg(count(lit(1)).as("v")))
+    val scored = tr.select(explode(array(
+        struct($"doc_id", $"toks"),
+        struct(($"doc_id" + 30000).as("doc_id"),
+          transform($"toks", (_, j) =>
+            concat(lit("zzq"),
+              ((($"doc_id" + 30000) * 31 + j) % 97).cast("string")))
+            .as("toks")))).as("r"))
+      .select($"r.doc_id", $"r.toks")
+    bigramsOf(scored)
+      .withColumn("prev", split($"bg", " ").getItem(0))
+      .join(big, Seq("bg"), "left")
+      .join(broadcast(uni), $"prev" === $"w", "left")
+      .crossJoin(vstats)
+      .select($"doc_id",
+        log((coalesce($"c2", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + $"v")).as("lp"),
+        $"c1".isNull.cast("long").as("oov"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(davg($"lp"), 9).as("avg_logprob"),
+        round(sum($"oov") / count(lit(1)), 9).as("oov_rate"))
+      .withColumn("verdict",
+        when($"oov_rate" > 0.5, "filter").otherwise("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |tr AS (SELECT * FROM base WHERE len(toks) >= 2),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c1
+       |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+       |vstats AS (SELECT COUNT(*) AS v FROM uni),
+       |trbg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM tr),
+       |big AS (SELECT bg, COUNT(*) AS c2 FROM trbg GROUP BY bg),
+       |scored AS (
+       |  SELECT doc_id, toks FROM tr
+       |  UNION ALL
+       |  SELECT doc_id + 30000,
+       |    list_transform(range(1, len(toks) + 1),
+       |      j -> 'zzq' || CAST(((doc_id + 30000) * 31 + (j - 1)) % 97 AS VARCHAR))
+       |  FROM tr),
+       |sbg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM scored),
+       |lp AS (
+       |  SELECT s.doc_id,
+       |    ln((COALESCE(b.c2, 0) + 1.0) / (COALESCE(u.c1, 0) + v.v)) AS lp,
+       |    CASE WHEN u.c1 IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM sbg s LEFT JOIN big b USING (bg)
+       |  LEFT JOIN uni u ON string_split(s.bg, ' ')[1] = u.w
+       |  CROSS JOIN vstats v)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  round(${graft.functions.Exact.sqlDavg("lp")}, 9) AS avg_logprob,
+       |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 9) AS oov_rate,
+       |  CASE WHEN CAST(SUM(oov) AS DOUBLE) / COUNT(*) > 0.5
+       |    THEN 'filter' ELSE 'keep' END AS verdict
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_lm_perplexity" -> (lmPerplexity, Some(lmPerplexitySql)),
     "text_chunk_windows" -> (chunkWindows, Some(chunkWindowsSql)),
     "text_repetition_quality" -> (repetitionQuality, Some(repetitionQualitySql)),
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),
