@@ -384,7 +384,109 @@ object LakeQueries {
        |FROM upd u LEFT JOIN base b ON u.o_orderkey = b.o_orderkey
        |ORDER BY u.o_orderkey""".stripMargin
 
+  /** Schema EVOLUTION across snapshots: v1 commits the table without
+    * any classification column; v2's partition-scoped merge writes the
+    * F partition WITH a new `priority_class` column while carrying the
+    * other partitions' files — which lack the column — forward
+    * untouched. The contract gated here is the add-column evolution
+    * every table format sells: v1 stays readable exactly as written
+    * (no phantom column — the gate pads it with NULL itself and
+    * `n_classified` must be 0 everywhere), and the v2 read null-fills
+    * the column for every carried file (classified rows appear ONLY in
+    * the rewritten F partition). The mechanics live in
+    * [[operators.Snapshots.read]]'s `allowMissingColumns` union — at
+    * 1000 executors this is metadata-only schema reconciliation, no
+    * data rewrite of old files ever happens.
+    */
+  private val evoTbl = scala.collection.mutable.Map[String, String]()
+  private def evoOrders(s: org.apache.spark.sql.SparkSession,
+                        dir: String): String = synchronized {
+    evoTbl.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = s"${Scratch.dir}/graft_lake_evo_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+      val base = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      operators.Snapshots.commit(s, root, base, "o_orderstatus")
+      val updates = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
+        .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+          $"o_orderstatus")
+      val merged = operators.Upsert.lastWins(
+        operators.Snapshots.read(s, root, 1)
+          .filter($"o_orderstatus" === "F").withColumn("seq", lit(0L))
+          .unionByName(updates.withColumn("seq", lit(1L))),
+        Seq("o_orderkey"), col("seq")).drop("seq")
+        // the evolved column, computed for every row the merge rewrites
+        .withColumn("priority_class",
+          when($"o_orderkey" % 4 === 0, "high").otherwise("std"))
+      operators.Snapshots.commit(s, root, merged, "o_orderstatus",
+        carry = !_.contains("o_orderstatus=F/"))
+      root
+    })
+  }
+
+  val schemaEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val root = evoOrders(s, dir)
+    def stateAt(v: Int) = {
+      val raw = operators.Snapshots.read(s, root, v)
+      // v1 predates the column: the READ must not invent it (that is
+      // the assertion) — the gate pads it so both versions aggregate
+      // through one shape, and n_classified pins where values exist
+      val df =
+        if (raw.columns.contains("priority_class")) raw
+        else raw.withColumn("priority_class", lit(null).cast("string"))
+      df.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"priority_class").as("n_classified"),
+          sum(($"priority_class" === "high").cast("long")).as("n_high"),
+          dsum($"o_totalprice").as("total"))
+        .withColumn("version", lit(v))
+    }
+    stateAt(1).unionByName(stateAt(2))
+      .select($"version", $"o_orderstatus", $"n_rows", $"n_classified",
+        coalesce($"n_high", lit(0L)).as("n_high"), $"total")
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  val schemaEvolutionSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |upd AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       |    1 AS seq
+       |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'),
+       |fmerged AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |    CASE WHEN o_orderkey % 4 = 0 THEN 'high' ELSE 'std' END AS pc
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq
+       |          FROM base WHERE o_orderstatus = 'F'
+       |          UNION ALL SELECT * FROM upd))
+       |  WHERE rn = 1),
+       |states AS (
+       |  SELECT 1 AS version, o_orderstatus, o_totalprice,
+       |    CAST(NULL AS VARCHAR) AS pc FROM base
+       |  UNION ALL
+       |  SELECT 2, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR)
+       |  FROM base WHERE o_orderstatus <> 'F'
+       |  UNION ALL
+       |  SELECT 2, o_orderstatus, o_totalprice, pc FROM fmerged)
+       |SELECT version, o_orderstatus, COUNT(*) AS n_rows,
+       |  COUNT(pc) AS n_classified,
+       |  CAST(SUM(CASE WHEN pc = 'high' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_high,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM states GROUP BY version, o_orderstatus
+       |ORDER BY version, o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_schema_evolution" -> (schemaEvolution, Some(schemaEvolutionSql)),
     "lake_snapshot_diff" -> (snapshotDiff, Some(snapshotDiffSql)),
     "lake_snapshot_read" -> (snapshotRead, Some(snapshotReadSql)),
     "lake_compact_small_files" -> (compactSmallFiles, Some(compactSmallFilesSql)),

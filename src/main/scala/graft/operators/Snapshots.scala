@@ -113,6 +113,14 @@ object Snapshots {
   /** Read one version: the manifest's files, grouped per commit dir so
     * each group's `basePath` lets Spark parse the hive partition column
     * out of the path segment, unioned by name.
+    *
+    * `allowMissingColumns = true` is the SCHEMA-EVOLUTION seam: a later
+    * commit may add a column the carried-forward files never had (or a
+    * full-history read may union commits from before and after the
+    * addition), and the union null-fills the absent side — exactly the
+    * add-column evolution contract of the production table formats.
+    * Files within ONE commit dir always share a schema (single write),
+    * so the fill only ever happens at commit granularity.
     */
   def read(spark: SparkSession, root: String, v: Int): DataFrame = {
     val base = dataDir(root)
@@ -124,7 +132,7 @@ object Snapshots {
           .option("basePath", base.resolve(commitName).toString)
           .parquet(files.map(f => base.resolve(f).toString): _*)
       }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Retention: delete every data file not referenced by any manifest

@@ -593,7 +593,133 @@ object StreamQueries {
        |GROUP BY 1, 2 ORDER BY w_start, category""".stripMargin
   }
 
+  /** STREAMING MERGE INTO THE LAKE TABLE under the gate — the path a
+    * production pipeline runs as "readStream → foreachBatch → MERGE
+    * INTO versioned table" (Delta/Iceberg streaming upsert), composed
+    * here from the two surfaces that already gate separately: the
+    * file-stream source and [[graft.operators.Snapshots]]. Each
+    * micro-batch becomes ONE atomic, partition-scoped commit: read the
+    * latest version, last-wins-merge the batch into only the partitions
+    * the batch touches, carry every other partition's files forward,
+    * publish the next manifest. Batch 1 updates only the F partition
+    * (seq 1), batch 2 touches every partition (seq 2) and inserts new
+    * keys; `maxFilesPerTrigger=1` + mtime ordering make the commit
+    * sequence deterministic (v2 then v3). The gate then reads ALL THREE
+    * versions — the streaming writer must leave the same history a
+    * batch writer would: v1 the base load, v2 exactly base+batch1, v3
+    * the full fold. Stored rows keep their winning `seq`, so a key
+    * re-updated across batches resolves by data order, not arrival
+    * luck, and replaying a batch is idempotent.
+    *
+    * Driver-side calls inside foreachBatch (`isEmpty`, the 3-value
+    * `touched` collect) mirror Delta's dynamic-partition-overwrite
+    * planning step: per-batch metadata, bounded by the partition-value
+    * cardinality, never by corpus size.
+    */
+  val streamLakeUpsert: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (in, _, ck) = streamDirs()
+    val root = s"${graft.Scratch.dir}/graft_lake_stream_" +
+      s"${RefQueries.runToken}_${invocation.incrementAndGet()}"
+    val orders = graft.Tables(s, dir, "orders")
+    val base = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
+        lit(0L).as("seq"), $"o_orderstatus")
+    graft.operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val u1 = orders.filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
+      .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+        lit("u1").as("src"), lit(1L).as("seq"), $"o_orderstatus")
+    val u2 = orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", ($"o_totalprice" * 3).as("o_totalprice"),
+        lit("u2").as("src"), lit(2L).as("seq"), $"o_orderstatus")
+    stageCsv(u1, in, "b1")
+    stageCsv(u2, in, "b2")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000),
+      s"could not order staged batch files by mtime under $in")
+    val csvSchema = "o_orderkey BIGINT, o_totalprice DOUBLE, src STRING, " +
+      "seq BIGINT, o_orderstatus STRING"
+    withStatePartitions(s)(s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // AvailableNow can fire a trailing no-data batch; committing it
+        // would publish a duplicate version — skip, don't commit empty
+        if (!batch.isEmpty) {
+          val touched = batch.select($"o_orderstatus").distinct()
+            .collect().map(_.getString(0)).toSet
+          val latest = graft.operators.Snapshots.latestVersion(root)
+          val live = graft.operators.Snapshots.read(s, root, latest)
+            .filter($"o_orderstatus".isin(touched.toSeq: _*))
+          val merged = graft.operators.Upsert.lastWins(
+            live.unionByName(batch), Seq("o_orderkey"), col("seq"))
+          graft.operators.Snapshots.commit(s, root, merged, "o_orderstatus",
+            carry = rel =>
+              !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination())
+    val latest = graft.operators.Snapshots.latestVersion(root)
+    require(latest == 3, s"expected 3 committed versions, found $latest")
+    def stateAt(v: Int) = graft.operators.Snapshots.read(s, root, v)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("total"),
+        sum(($"src" === "u1").cast("long")).as("n_u1"),
+        sum(($"src" === "u2").cast("long")).as("n_u2"))
+      .withColumn("version", lit(v))
+    (1 to 3).map(stateAt).reduce(_ unionByName _)
+      .select($"version", $"o_orderstatus", $"n_rows", $"total",
+        $"n_u1", $"n_u2")
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  val streamLakeUpsertSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src, 0 AS seq
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |u1 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       |    'u1' AS src, 1 AS seq
+       |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'),
+       |u2 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 3 AS o_totalprice,
+       |    'u2' AS src, 2 AS seq
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |v2 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, src, seq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT * FROM base UNION ALL SELECT * FROM u1))
+       |  WHERE rn = 1),
+       |v3 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, src, seq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT * FROM v2 UNION ALL SELECT * FROM u2))
+       |  WHERE rn = 1),
+       |states AS (
+       |  SELECT 1 AS version, o_orderstatus, o_totalprice, src FROM base
+       |  UNION ALL SELECT 2, o_orderstatus, o_totalprice, src FROM v2
+       |  UNION ALL SELECT 3, o_orderstatus, o_totalprice, src FROM v3)
+       |SELECT version, o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(SUM(CASE WHEN src = 'u1' THEN 1 ELSE 0 END) AS BIGINT) AS n_u1,
+       |  CAST(SUM(CASE WHEN src = 'u2' THEN 1 ELSE 0 END) AS BIGINT) AS n_u2
+       |FROM states GROUP BY version, o_orderstatus
+       |ORDER BY version, o_orderstatus""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "stream_lake_upsert" -> (streamLakeUpsert, Some(streamLakeUpsertSql)),
     // the batch twin's oracle IS the contract: stream result == batch result
     "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql)),
     "stream_static_join" -> (streamStaticJoin, Some(streamStaticJoinSql)),

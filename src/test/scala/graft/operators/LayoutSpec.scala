@@ -136,4 +136,40 @@ class LayoutSpec extends SparkSpec {
     assert(stamp(2) == v2State && stamp(3) == v2State,
       "retained versions must read identically after vacuum")
   }
+
+  test("schema evolution: added column null-fills carried files only") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_evo_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    val orders = graft.Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    assert(Snapshots.commit(spark, root, orders, "o_orderstatus") == 1)
+
+    // v2 rewrites only the F partition WITH a column v1 never had
+    val evolved = Snapshots.read(spark, root, 1)
+      .filter($"o_orderstatus" === "F")
+      .withColumn("priority_class",
+        when($"o_orderkey" % 4 === 0, "high").otherwise("std"))
+    assert(Snapshots.commit(spark, root, evolved, "o_orderstatus",
+      carry = !_.contains("o_orderstatus=F/")) == 2)
+
+    // the RAW v1 read must not invent the column — old versions keep
+    // exactly the schema they were written with
+    assert(!Snapshots.read(spark, root, 1).columns.contains("priority_class"),
+      "pre-evolution version must not grow the new column")
+
+    // the v2 read reconciles schemas: carried (non-F) files null-fill,
+    // the rewritten partition is fully populated — no old-file rewrite
+    val v2 = Snapshots.read(spark, root, 2)
+    assert(v2.columns.contains("priority_class"))
+    val byStatus = v2.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), count($"priority_class").as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byStatus("F")._1 == byStatus("F")._2,
+      "rewritten partition must be fully classified")
+    byStatus.filterNot(_._1 == "F").foreach { case (st, (_, nc)) =>
+      assert(nc == 0L, s"carried partition $st must null-fill, got $nc")
+    }
+  }
 }
