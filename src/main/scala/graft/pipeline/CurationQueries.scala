@@ -428,6 +428,46 @@ object CurationQueries {
     * eager localCheckpoints like ConnectedComponents. The web-scale
     * curation signal (page quality from link structure) in miniature.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    * draw k=100 documents with inclusion probability proportional to a
+    * weight (here document length — stand-in for any quality score),
+    * deterministically. Each row's sampling key is ln(u)/w where u is
+    * the md5-derived uniform in (0,1) — u = (h + 0.5)/2^48 from the
+    * first 12 hex chars, exactly representable in a double — and the
+    * sample is the top-k by key. This is the one sampling design where
+    * "top-k by a per-row score" IS an exact weighted draw, which makes
+    * it the scan-local, shuffle-free-until-top-k way to subsample a
+    * 100 TB corpus by quality: no global normalizer pass (contrast
+    * `curate_mixture_sample`, which needs per-source rates first), and
+    * the draw is reproducible on any engine and stable per row.
+    *
+    * Determinism discipline: both engines take ln() of the SAME double,
+    * so they differ by ≤1 ulp; the key rounds to 9 decimals and the
+    * rank orders on the ROUNDED key with doc_id as total tiebreak (the
+    * `sim_hybrid_search` rule — never let raw libm output pick a rank).
+    * Plan shape: TakeOrderedAndProject — per-partition top-k, then a
+    * k-row merge on the driver side of the exchange; no full sort.
+    */
+  val weightedSample: Q = (s, dir) => {
+    import s.implicits._
+    val k = 100
+    val u = (conv(substring(md5(concat(lit("ws|"),
+        $"doc_id".cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(math.pow(2.0, 48))
+    Tables(s, dir, "documents")
+      .select($"doc_id", length($"text").cast("long").as("weight"))
+      .withColumn("skey", round(log(u) / $"weight".cast("double"), 9))
+      .orderBy($"skey".desc, $"doc_id").limit(k)
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+       |  round(ln((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+       |      1, 12)) AS BIGINT) + 0.5) / 281474976710656.0)
+       |    / length(text), 9) AS skey
+       |FROM documents
+       |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+
   val pagerankLinks: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
@@ -647,6 +687,7 @@ object CurationQueries {
     "curate_validate_constraints" ->
       (validateConstraints, Some(validateConstraintsSql)),
     "pipeline_end_to_end" -> (pipelineEndToEnd, Some(pipelineEndToEndSql)),
+    "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),

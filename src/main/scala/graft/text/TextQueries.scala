@@ -492,7 +492,73 @@ object TextQueries {
        |    THEN 'filter' ELSE 'keep' END AS verdict
        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Two-pass heavy hitters: a bounded-memory Misra-Gries sketch
+    * ([[graft.operators.MisraGries]], capacity 16) proposes the
+    * candidate set, then an exact count pass over ONLY the candidates
+    * (broadcast ≤16-row join) picks the tokens whose true frequency
+    * exceeds n/16 — integer arithmetic (`cnt·16 > n`), no float
+    * threshold. The corpus vocabulary is near-uniform (31 words at
+    * ~3%), so the gate PLANTS the skew it detects, the
+    * `dedup_lsh_hot_band` discipline: tokens whose md5 bucket < 10
+    * ('part' and 'window' on this corpus) are replicated ×41 in the
+    * stream, making them ~37% each while everything else drops below
+    * 1%. The oracle knows nothing about the sketch — it exact-counts
+    * the same planted stream and applies the same threshold — which is
+    * precisely the claim: the MG guarantee (every token with true
+    * freq > n/(m+1) survives ANY partitioning/combine tree, error
+    * ≤ n/(m+1)) makes the two-pass output equal the exact answer. A
+    * missed candidate in the sketch would drop a row and fail the
+    * hash. Guarantee property-tested under random repartitionings in
+    * HeavyHittersSpec.
+    *
+    * Scale shape: pass 1 reduces each scan partition to one ≤16-entry
+    * summary (map-side partial agg, shuffle moves ≤16 rows per
+    * partition); pass 2 is a broadcast semi-join + group-by on ≤16
+    * keys — the plan that survives a 100 TB token stream where the
+    * exact full-vocabulary group-by (`text_top_terms`) would shuffle
+    * the whole term universe.
+    */
+  val heavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val m = 16
+    val toks = Tables(s, dir, "documents")
+      .select(explode(tokens($"text")).as("w"))
+      .withColumn("rep",
+        when(graft.functions.KeyHash.bucket100("hh|", $"w") < 10, lit(41L))
+          .otherwise(lit(1L)))
+      .select($"w", explode(sequence(lit(1L), $"rep")).as("i"))
+      .select($"w")
+    val tr = graft.CacheTracker.persistTracked(toks)
+    // one global group: map-side partials still reduce each partition
+    // to a single ≤m-entry summary before the 1-group merge
+    val cand = tr.as[String].groupByKey(_ => 0)
+      .agg(new graft.operators.MisraGries(m).toColumn.name("mg"))
+      .toDF("g", "mg")
+      .select(explode($"mg.words").as("w"))
+    val tot = tr.agg(count(lit(1)).as("n_total"))
+    tr.join(broadcast(cand), Seq("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter($"cnt" * m > $"n_total")
+      .select($"w", $"cnt", $"n_total")
+      .orderBy($"cnt".desc, $"w")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+       |b AS (
+       |  SELECT w, unnest(range(0, CASE
+       |    WHEN ${graft.functions.KeyHash.sqlBucket100("hh|", "w")} < 10
+       |    THEN 41 ELSE 1 END)) AS i
+       |  FROM toks),
+       |counts AS (SELECT w, COUNT(*) AS cnt FROM b GROUP BY w),
+       |tot AS (SELECT COUNT(*) AS n_total FROM b)
+       |SELECT w, cnt, n_total FROM counts CROSS JOIN tot
+       |WHERE cnt * 16 > n_total ORDER BY cnt DESC, w""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_heavy_hitters" -> (heavyHitters, Some(heavyHittersSql)),
     "text_lm_perplexity" -> (lmPerplexity, Some(lmPerplexitySql)),
     "text_chunk_windows" -> (chunkWindows, Some(chunkWindowsSql)),
     "text_repetition_quality" -> (repetitionQuality, Some(repetitionQualitySql)),
