@@ -188,16 +188,64 @@ object Queries {
       |       md5(string_agg(CAST(e AS VARCHAR), ',' ORDER BY f)) AS energy_digest
       |FROM fe GROUP BY id ORDER BY media_id""".stripMargin
 
+  /** Video leg: uniform-stride frame sampling (stride 2) + per-frame
+    * byte-sum/digest features over the synthetic corpus's video rows
+    * (every `id % 3 == 2`). Hash-gates the slice arithmetic itself:
+    * frameLen = len div n_frames, frame f covers bytes
+    * [f·frameLen, (f+1)·frameLen) — a boundary drift of one byte
+    * changes every digest.
+    */
+  val multimodalVideo: Q = (s, _) =>
+    graft.multimodal.Multimodal
+      .analyzeFrames(graft.multimodal.Multimodal.syntheticCorpus(s, 200), 2)
+      .toDF().orderBy("media_id", "frame_idx")
+
+  /** DuckDB mirror: the recursive-CTE LCG again; frames by integer
+    * division of the byte index, sampled frames are the even ones.
+    */
+  val multimodalVideoSql: String =
+    """WITH RECURSIVE ids AS (
+      |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 = 2
+      |),
+      |lcg AS (
+      |  SELECT id, 0 AS i,
+      |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+      |         (256 + id % 512) AS len
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT id, i + 1,
+      |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+      |         len
+      |  FROM lcg WHERE i < len - 1
+      |),
+      |vals AS (
+      |  SELECT id, i, len, (s // 72057594037927936)::INT AS b,
+      |         (8 + id % 8) AS n_frames,
+      |         len // (8 + id % 8) AS frame_len
+      |  FROM lcg
+      |)
+      |SELECT id AS media_id, CAST(i // frame_len AS INT) AS frame_idx,
+      |       CAST(COUNT(*) AS INT) AS n_frame_bytes,
+      |       CAST(SUM(b) AS BIGINT) AS frame_sum,
+      |       md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY i)) AS frame_digest
+      |FROM vals
+      |WHERE i < n_frames * frame_len AND (i // frame_len) % 2 = 0
+      |GROUP BY id, i // frame_len
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = {
     val modules: Seq[Map[String, (Q, Option[String])]] = Seq(
       Map(
         "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
         "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql)),
+        "multimodal_video_frames" -> (multimodalVideo, Some(multimodalVideoSql)),
         "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
-      graft.text.BpeQueries.all, graft.text.DedupQueries.all,
+      graft.text.BpeQueries.all, graft.text.ClassifierQueries.all,
+      graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,
       graft.pipeline.CurationQueries.all,
       graft.streaming.StreamQueries.all)
