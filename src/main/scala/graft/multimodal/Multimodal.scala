@@ -241,6 +241,33 @@ object Multimodal {
     }
   }
 
+  /** Per-sampled-frame features — the video leg of the surface. */
+  final case class FrameFeatures(media_id: Long, frame_idx: Int,
+                                 n_frame_bytes: Int, frame_sum: Long,
+                                 frame_digest: String)
+
+  /** Video path: [[sampleFrames]] (uniform stride over the n_frames
+    * payload slices) followed by per-frame featurization — unsigned
+    * byte sum plus an md5 fingerprint of the exact byte sequence, the
+    * frame-level analog of the raster histogram digest. Pure integer
+    * arithmetic over the synthetic corpus's LCG bytes, so the gate
+    * hash-checks the whole sample→slice→digest chain (frame boundaries
+    * included) against a DuckDB replay. Same lazy flatMap/map shape:
+    * constant memory per task, non-video rows produce nothing.
+    */
+  def analyzeFrames(ds: Dataset[MediaFile], stride: Int): Dataset[FrameFeatures] = {
+    import ds.sparkSession.implicits._
+    sampleFrames(ds, stride).map { fr =>
+      val u = fr.data.map(b => b & 0xFF)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(u.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      FrameFeatures(fr.media_id, fr.frame_idx, fr.data.length,
+        u.foldLeft(0L)(_ + _), digest)
+    }
+  }
+
   /** The query-surface entry: synthetic corpus → features, projected to
     * stable scalar columns (rows-only checked — the decode stub is JVM
     * code, not SQL-expressible).

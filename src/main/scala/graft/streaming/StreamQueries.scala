@@ -320,6 +320,99 @@ object StreamQueries {
        |ORDER BY user_id, session_n""".stripMargin
   }
 
+  /** CUSTOM-STATE sessionization under the gate: the same 30-minute-gap
+    * sessions as [[streamSessions]], but computed by the user-written
+    * `flatMapGroupsWithState` operator ([[Streams.sessionizeEventTime]]
+    * — explicit per-user GroupState, event-time timeouts) instead of
+    * the native `session_window`. Three formulations of one semantics
+    * now share one oracle: batch SQL ≡ native session_window stream ≡
+    * hand-rolled GroupState stream — the strongest claim available for
+    * the custom-state escape hatch, because the state machine's every
+    * branch (extend/close/timeout) must agree with the declarative
+    * form to hash-match. Sessions held in state emit via EventTime
+    * TIMEOUT here (not window eviction), so the two sentinel batches
+    * drive: first advances the watermark past every real session's
+    * `end + gap`, second fires the timeout branch that flushes them.
+    *
+    * [[Streams.Session]] tracks epoch MILLIS (`Timestamp.getTime`);
+    * the corpus carries microsecond timestamps, so the gate feeds the
+    * stream ms-TRUNCATED event times and the oracle sessionizes the
+    * identically truncated stream — resolution is a staging choice,
+    * the state machine is what's under test.
+    */
+  val streamCustomStateSessions: Q = (s, dir) => {
+    import s.implicits._
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", $"user_id",
+        // ms-truncate in pure integer math (um − um mod 1000)
+        (unix_micros($"ts".cast("timestamp")) -
+          pmod(unix_micros($"ts".cast("timestamp")), lit(1000L))).as("us"),
+        $"value")
+    stageCsv(ev, in, "b1")
+    val csvSchema = "event_id BIGINT, user_id BIGINT, us BIGINT, value DOUBLE"
+    val maxUs = s.read.schema(csvSchema).option("header", "true")
+      .csv(s"$in/b1.csv").agg(max($"us")).head().getLong(0)
+    stageCsv(Seq((-1L, -1L, maxUs + 86400L * 1000000, 0.0))
+      .toDF("event_id", "user_id", "us", "value"), in, "b2")
+    stageCsv(Seq((-2L, -1L, maxUs + 2 * 86400L * 1000000, 0.0))
+      .toDF("event_id", "user_id", "us", "value"), in, "b3")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
+    val events = s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        lit("e").as("event_type"), $"value")
+      .as[Streams.Event]
+    withStatePartitions(s)(
+      Streams.sessionizeEventTime(events, gapMs = 30L * 60 * 1000,
+          watermark = "30 minutes")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"sess_start")
+    s.read.parquet(out)
+      .filter($"user_id" >= 0)
+      .withColumn("session_n", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_n",
+        $"sess_start".cast("timestamp_ntz").as("sess_start"),
+        $"sess_end".cast("timestamp_ntz").as("sess_end"), $"n_events")
+      .orderBy($"user_id", $"session_n")
+  }
+
+  val streamCustomStateSessionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) // 1000 * 1000 AS us
+       |  FROM events WHERE user_id <= 300),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > ${30L * 60 * 1000000}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM (SELECT *, lag(us, 1) OVER (PARTITION BY user_id
+       |          ORDER BY us, event_id) AS prev_us FROM e)),
+       |sess AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       |  make_timestamp(MIN(us)) AS sess_start,
+       |  make_timestamp(MAX(us)) AS sess_end,
+       |  COUNT(*) AS n_events
+       |FROM sess GROUP BY user_id, session_n
+       |ORDER BY user_id, session_n""".stripMargin
+
   /** STREAM-STREAM interval join under the gate: clicks and purchases
     * replayed as two independent file streams, inner-joined on user
     * with `purchase.ts ∈ [click.ts, click.ts + 30 min]`. Each side is
@@ -726,6 +819,8 @@ object StreamQueries {
     "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql)),
     "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
     "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql)),
+    "stream_custom_state_sessions" ->
+      (streamCustomStateSessions, Some(streamCustomStateSessionsSql)),
     "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql)),
     "stream_outer_interval_join" ->
       (streamOuterIntervalJoin, Some(streamOuterIntervalJoinSql)),
