@@ -428,6 +428,101 @@ object CurationQueries {
     * eager localCheckpoints like ConnectedComponents. The web-scale
     * curation signal (page quality from link structure) in miniature.
     */
+  /** Distribution-drift monitor (PSI — population stability index):
+    * the check a production pipeline runs between a reference window
+    * and each new batch before letting it into the corpus. Reference =
+    * days 1-15 of the events feed, current = the rest; `value` is
+    * binned into 10 fixed-width buckets (least(9, floor(v/50))), both
+    * periods Laplace-smoothed ((n_bin+1)/(N+10)) over the FULL 10-bin
+    * grid (absent bins materialized — skipping them would silently
+    * drop the p≠q mass of empty-vs-nonempty bins), and
+    * PSI = Σ (q−p)·ln(q/p) per event type. The gate PLANTS the
+    * regression it detects: current-period 'error' values are tripled
+    * (an upstream unit change — the classic silent failure), so 'error'
+    * reads PSI ≫ 0.1/'shift' while every other type stays ~1e-2/'stable'
+    * with an order-of-magnitude margin to the threshold.
+    *
+    * Determinism: counts are integers, shares are single IEEE divisions
+    * of identical doubles, the one libm call (ln of an identical
+    * double) is absorbed by the decimal-detoured 10-term sum. Scale
+    * shape: one scan → (type, period, bin) partial counts (50 rows per
+    * partition max), broadcast grid/totals — the monitor costs one
+    * pass over the batch at any size.
+    */
+  val driftPsi: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_type", $"value",
+        dayofmonth($"ts".cast("timestamp")).as("dom"))
+      .withColumn("period", when($"dom" <= 15, "ref").otherwise("cur"))
+      .withColumn("v",
+        when($"period" === "cur" && $"event_type" === "error", $"value" * 3)
+          .otherwise($"value"))
+      .withColumn("bin", least(lit(9L), floor($"v" / 50)).cast("long"))
+    val counts = ev.groupBy($"event_type", $"bin").agg(
+      sum(($"period" === "ref").cast("long")).as("nr"),
+      sum(($"period" === "cur").cast("long")).as("nc"))
+    val totals = ev.groupBy($"event_type").agg(
+      sum(($"period" === "ref").cast("long")).as("n_ref"),
+      sum(($"period" === "cur").cast("long")).as("n_cur"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(s.range(10).select($"id".as("bin"))))
+    val p = ($"nr" + lit(1.0)) / ($"n_ref" + lit(10.0))
+    val q = ($"nc" + lit(1.0)) / ($"n_cur" + lit(10.0))
+    grid.join(counts, Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        coalesce($"nr", lit(0L)).as("nr"), coalesce($"nc", lit(0L)).as("nc"))
+      .join(broadcast(totals), Seq("event_type"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        ((q - p) * log(q / p)).as("term"))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        dsum($"term").as("psi"))
+      .withColumn("verdict",
+        when($"psi" > 0.1, "shift").otherwise("stable"))
+      .orderBy($"event_type")
+  }
+
+  val driftPsiSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS period,
+       |    CASE WHEN day(ts) > 15 AND event_type = 'error' THEN value * 3
+       |         ELSE value END AS v
+       |  FROM events),
+       |binned AS (
+       |  SELECT event_type, period,
+       |    CAST(least(9, floor(v / 50)) AS BIGINT) AS bin FROM ev),
+       |counts AS (
+       |  SELECT event_type, bin,
+       |    CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+       |    CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM binned GROUP BY event_type, bin),
+       |totals AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ref,
+       |    CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cur
+       |  FROM binned GROUP BY event_type),
+       |grid AS (
+       |  SELECT t.event_type, r.range AS bin
+       |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN range(10) r),
+       |terms AS (
+       |  SELECT g.event_type, t.n_ref, t.n_cur,
+       |    ((COALESCE(c.nc, 0) + 1.0) / (t.n_cur + 10.0)
+       |      - (COALESCE(c.nr, 0) + 1.0) / (t.n_ref + 10.0))
+       |    * ln(((COALESCE(c.nc, 0) + 1.0) / (t.n_cur + 10.0))
+       |      / ((COALESCE(c.nr, 0) + 1.0) / (t.n_ref + 10.0))) AS term
+       |  FROM grid g
+       |  LEFT JOIN counts c ON g.event_type = c.event_type AND g.bin = c.bin
+       |  JOIN totals t ON g.event_type = t.event_type)
+       |SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+       |  ${sqlDsum("term")} AS psi,
+       |  CASE WHEN ${sqlDsum("term")} > 0.1 THEN 'shift' ELSE 'stable' END
+       |    AS verdict
+       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
     * draw k=100 documents with inclusion probability proportional to a
     * weight (here document length — stand-in for any quality score),
@@ -687,6 +782,7 @@ object CurationQueries {
     "curate_validate_constraints" ->
       (validateConstraints, Some(validateConstraintsSql)),
     "pipeline_end_to_end" -> (pipelineEndToEnd, Some(pipelineEndToEndSql)),
+    "curate_drift_psi" -> (driftPsi, Some(driftPsiSql)),
     "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),

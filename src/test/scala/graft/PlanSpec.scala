@@ -361,4 +361,45 @@ class PlanSpec extends SparkSpec {
     assert(regexpCount("text_quality_score") == 2,
       "text_quality_score must evaluate each of its two regexps once")
   }
+
+  test("heavy hitters: sketch partials per partition, candidates broadcast") {
+    val p = plan("text_heavy_hitters").split("== Initial Plan ==")(0)
+    // the MG typed Aggregator must partial-aggregate (each partition →
+    // one ≤m-entry summary BEFORE the exchange) — ObjectHashAggregate
+    // appears in both partial and final roles
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "MG sketch must map-side partial-aggregate:\n" + p)
+    // the ≤16-row candidate set joins broadcast; the token stream is
+    // never on the build side and never cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("weighted sample is a top-k, not a global sort") {
+    val p = plan("curate_weighted_sample").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES sampling must run per-partition top-k + k-row merge:\n" + p)
+    assert(!p.contains("Sort ["),
+      "no global sort may appear — top-k only:\n" + p)
+  }
+
+  test("drift monitor broadcasts grid and totals, no cartesian") {
+    val p = plan("curate_drift_psi").split("== Initial Plan ==")(0)
+    // the 10-bin grid and the per-type totals ride broadcast joins; the
+    // events scan feeds exactly the partial count aggregates
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quality classifier: persisted features, broadcast 1-row weights") {
+    val p = plan("text_quality_classifier").split("== Initial Plan ==")(0)
+    // every GD round cross-joins the broadcast weight row against the
+    // persisted feature matrix — the corpus itself must never shuffle
+    // (the only exchange feeds the 5-number gradient/metric aggregate)
+    assert(p.contains("InMemoryTableScan"),
+      "feature matrix must be persisted across rounds:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "weights must broadcast to the scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
