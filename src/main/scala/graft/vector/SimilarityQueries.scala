@@ -822,13 +822,14 @@ object SimilarityQueries {
       .parquet(path)
 
   private def pqTrain(s: org.apache.spark.sql.SparkSession, dir: String,
-      subs: org.apache.spark.sql.DataFrame): String = synchronized {
+      subs: org.apache.spark.sql.DataFrame,
+      tag: String = ""): String = synchronized {
     import s.implicits._
     import org.apache.spark.sql.DataFrame
-    pqCbPath.getOrElseUpdate(dir, {
+    pqCbPath.getOrElseUpdate(s"$dir|$tag", {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       def matPath(name: String) = s"${graft.Scratch.dir}/graft_pq_cb_" +
-        s"${graft.RefQueries.runToken}_${dirKey}_$name"
+        s"${graft.RefQueries.runToken}_${dirKey}_$tag$name"
       // (c_code, m, pos, val) cells -> per-(code, subspace) mean arrays,
       // each carrying its exact |c|² so assignment needs no zip_with diff
       def rollup(cells: DataFrame): DataFrame =
@@ -911,55 +912,64 @@ object SimilarityQueries {
     * per-query LUT (`lut`). Codebook CTEs are named pqcb* so the chain
     * composes with [[sqlIvfCtes]] (cb*) inside one WITH.
     */
-  private def sqlPqCtes: String = {
+  /** The PQ training+encode CTE chain, parameterized so the raw-vector
+    * gates and the residual IVF-PQ gate share one definition: every CTE
+    * name is `$p`-prefixed and the slice source is the caller-provided
+    * `${p}sub` CTE (columns vec_id, label, pos, m, val — pos 0-based).
+    * Emits `${p}pqcb0..N` codebooks and `${p}enc` (vec_id, m, code).
+    */
+  private def sqlPqChain(p: String): String = {
     def mean(src: String): String =
       s"CAST(SUM(CAST($src.val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
     // assignment score mirrors the Spark side exactly: |c|² - 2·v·c with
     // both components exact-decimal doubles, combined by two IEEE ops
     def assignCtes(tag: String, cbName: String): String =
-      s"""cbn$tag AS (
+      s"""${p}cbn$tag AS (
          |  SELECT c_code, m,
          |    CAST(SUM(CAST(c * c AS DECIMAL(30,15))) AS DOUBLE) AS nc
          |  FROM $cbName GROUP BY c_code, m),
-         |dots$tag AS (
+         |${p}dots$tag AS (
          |  SELECT s.vec_id, s.m, cb.c_code,
          |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dot
-         |  FROM sub s JOIN $cbName cb ON s.pos = cb.pos AND s.m = cb.m
+         |  FROM ${p}sub s JOIN $cbName cb ON s.pos = cb.pos AND s.m = cb.m
          |  GROUP BY s.vec_id, s.m, cb.c_code),
-         |a$tag AS (
+         |${p}a$tag AS (
          |  SELECT vec_id, m, c_code FROM (
          |    SELECT d.vec_id, d.m, d.c_code,
          |      row_number() OVER (PARTITION BY d.vec_id, d.m
          |        ORDER BY n.nc - 2.0 * d.dot, d.c_code) AS rn
-         |    FROM dots$tag d
-         |      JOIN cbn$tag n ON d.c_code = n.c_code AND d.m = n.m)
+         |    FROM ${p}dots$tag d
+         |      JOIN ${p}cbn$tag n ON d.c_code = n.c_code AND d.m = n.m)
          |  WHERE rn = 1),""".stripMargin
     def lloyd(i: Int): String =
-      s"""${assignCtes(i.toString, s"pqcb$i")}
-         |pqcb${i + 1} AS (
+      s"""${assignCtes(i.toString, s"${p}pqcb$i")}
+         |${p}pqcb${i + 1} AS (
          |  SELECT a.c_code, s.m, s.pos, ${mean("s")} AS c
-         |  FROM sub s JOIN a$i a ON s.vec_id = a.vec_id AND s.m = a.m
+         |  FROM ${p}sub s JOIN ${p}a$i a ON s.vec_id = a.vec_id AND s.m = a.m
          |  GROUP BY a.c_code, s.m, s.pos),""".stripMargin
     val iters = (0 until PqLloyd).map(lloyd).mkString("\n")
+    s"""${p}pqcb0 AS (
+       |  SELECT label * $PqG + vec_id % $PqG AS c_code, m, pos,
+       |    ${mean(s"${p}sub")} AS c
+       |  FROM ${p}sub GROUP BY 1, m, pos),
+       |$iters
+       |${assignCtes("F", s"${p}pqcb$PqLloyd")}
+       |${p}enc AS (SELECT vec_id, m, c_code AS code FROM ${p}aF)""".stripMargin
+  }
+
+  private def sqlPqCtes: String =
     s"""sub AS (
        |  SELECT vec_id, label, d - 1 AS pos,
        |    CAST(floor((d - 1) / $PqSub) AS INT) AS m,
        |    CAST(embedding[d] AS DOUBLE) AS val
        |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
-       |pqcb0 AS (
-       |  SELECT label * $PqG + vec_id % $PqG AS c_code, m, pos,
-       |    ${mean("sub")} AS c
-       |  FROM sub GROUP BY 1, m, pos),
-       |$iters
-       |${assignCtes("F", s"pqcb$PqLloyd")}
-       |enc AS (SELECT vec_id, m, c_code AS code FROM aF),
+       |${sqlPqChain("")},
        |lut AS (
        |  SELECT s.vec_id AS q_id, cb.m, cb.c_code AS code,
        |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dp
        |  FROM sub s JOIN pqcb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
        |  WHERE s.vec_id < 5
        |  GROUP BY s.vec_id, cb.m, cb.c_code)""".stripMargin
-  }
 
   val pqAdcKnnSql: String = {
     import graft.functions.Exact.sqlDsum
@@ -1059,6 +1069,172 @@ object SimilarityQueries {
        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
        |      ORDER BY pq_dot DESC, vec_id) AS srn
        |    FROM adc)
+       |  WHERE srn <= ${graft.Tuning.ivfpqRerank}),
+       |rescored AS (
+       |  SELECT sl.q_id, sl.vec_id,
+       |    ${sqlCosine("e.embedding", "qe.embedding")} AS cosine
+       |  FROM shortlist sl JOIN embeddings e ON sl.vec_id = e.vec_id
+       |                    JOIN embeddings qe ON sl.q_id = qe.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Residual subspace slices: each vector minus its HOME (rank-1) cell
+    * centroid, cut into the same [[PqM]]×[[PqSub]] shape as [[pqSubs]].
+    * The residual field is what production IVF-PQ quantizes — residual
+    * norms are a fraction of vector norms, so the same 16-byte code
+    * budget spends its resolution on the part the coarse quantizer
+    * didn't explain.
+    */
+  private def residualSubs(s: org.apache.spark.sql.SparkSession,
+      vectors: org.apache.spark.sql.DataFrame,
+      assigned: org.apache.spark.sql.DataFrame,
+      centroidArr: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val home = assigned.filter($"rn" === 1)
+      .select($"vec_id", $"nearest_label".as("h"))
+    val res = vectors.join(home, "vec_id")
+      .join(broadcast(centroidArr.select($"c_label".as("h"), $"cv")), "h")
+      .select($"vec_id", $"label",
+        zip_with($"v", $"cv", (a, b) => a - b).as("rv"))
+    graft.CacheTracker.persistTracked(
+      res.select($"vec_id", $"label",
+          posexplode(array((0 until PqM).map(m =>
+            slice($"rv", m * PqSub + 1, PqSub)): _*)))
+        .toDF("vec_id", "label", "m", "sub")
+        .repartition(s.sparkContext.defaultParallelism, $"vec_id"))
+  }
+
+  /** RESIDUAL IVF-PQ — the encoding FAISS's IVFPQ actually defaults to:
+    * PQ is trained on and encodes r = v − c_home(v) (the rank-1 coarse
+    * cell's centroid), not the raw vector, so the 16-byte code spends
+    * its resolution on what the coarse quantizer didn't explain. The
+    * ADC approximation decomposes the inner product accordingly:
+    *
+    *   q·v  ≈  q·c_home(v)  +  (q − c_home(v)) · r̂(v)
+    *
+    * so the LUT is PER (query, HOME cell): dot of the query's residual
+    * against that cell against every codebook entry. A candidate from a
+    * probed cell may be HOMED elsewhere (replicated assignment) — the
+    * score always uses the candidate's home, because that is what its
+    * code was encoded against. The q·c term and every LUT entry are
+    * exact-decimal; the shortlist rank adds them with one IEEE op and
+    * breaks ties on vec_id, so shortlist membership is engine-identical
+    * with no rounding anywhere before the final cosine.
+    *
+    * Scale shape: identical to [[ivfpqSearch]] (codes-only candidate
+    * scan, k-bounded broadcast LUT — at production k the LUT covers
+    * only the homes reachable from probed cells, probes·replicas-ish),
+    * plus one zip_with subtraction per vector at encode time —
+    * scan-local. Recall floor pinned in AnnRecallSpec alongside the
+    * raw-vector composition.
+    */
+  val ivfpqResidual: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val cand = assigned.select($"vec_id", $"nearest_label")
+      .join(broadcast(probes), $"nearest_label" === $"probe_label")
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val rsubs = residualSubs(s, vectors, assigned, centroidArr)
+    val rcb = pqCbRead(s, pqTrain(s, dir, rsubs, "res"))
+    val home = assigned.filter($"rn" === 1)
+      .select($"vec_id", $"nearest_label".as("h"))
+    val renc = pqAssign(rsubs, rcb).withColumnRenamed("c_code", "code")
+      .join(home, "vec_id")
+    // query residual against EVERY cell (k-bounded): the LUT key is the
+    // candidate's home cell, not the probed cell
+    val qslices = vectors.filter($"vec_id" < 5)
+      .crossJoin(broadcast(centroidArr.select($"c_label".as("h"), $"cv")))
+      .select($"vec_id".as("q_id"), $"h",
+        zip_with($"v", $"cv", (a, b) => a - b).as("qr"))
+      .select($"q_id", $"h",
+        posexplode(array((0 until PqM).map(m =>
+          slice($"qr", m * PqSub + 1, PqSub)): _*)))
+      .toDF("q_id", "h", "m", "qsub")
+    val rlut = qslices.join(broadcast(rcb), Seq("m"))
+      .select($"q_id", $"h", $"m", $"c_code".as("code"),
+        dotExact($"qsub", $"cbv").as("dp"))
+    val qc = vectors.filter($"vec_id" < 5)
+      .crossJoin(broadcast(centroidArr.select($"c_label".as("h"), $"cv")))
+      .select($"vec_id".as("q_id"), $"h", dotExact($"v", $"cv").as("qc"))
+    val wAdc = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val shortlist = cand.join(renc, "vec_id")
+      .join(broadcast(rlut), Seq("q_id", "h", "m", "code"))
+      .groupBy($"q_id", $"vec_id", $"h")
+      .agg(dsum($"dp").as("adcsum"))
+      .join(broadcast(qc), Seq("q_id", "h"))
+      .withColumn("score", $"qc" + $"adcsum")
+      .withColumn("srn", row_number().over(wAdc))
+      .filter($"srn" <= graft.Tuning.ivfpqRerank)
+      .select($"q_id", $"vec_id")
+    val q = vectors.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    shortlist.join(vectors.select($"vec_id", $"v", $"xn"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id",
+        (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .withColumn("cosine", round($"cosine", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ivfpqResidualSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH $sqlIvfCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS prn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE prn <= $IvfProbes),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |  WHERE a.vec_id <> p.q_id),
+       |home AS (SELECT vec_id, c_label AS h FROM assign WHERE rn = 1),
+       |rsub AS (
+       |  SELECT s.vec_id, s.label, s.pos - 1 AS pos,
+       |    CAST(floor((s.pos - 1) / $PqSub) AS INT) AS m,
+       |    s.val - cb.c AS val
+       |  FROM cells s JOIN home hm ON s.vec_id = hm.vec_id
+       |    JOIN centroids cb ON cb.c_label = hm.h AND cb.pos = s.pos),
+       |${sqlPqChain("r")},
+       |qr AS (
+       |  SELECT q.vec_id AS q_id, cb2.c_label AS h, q.pos - 1 AS pos,
+       |    CAST(floor((q.pos - 1) / $PqSub) AS INT) AS m,
+       |    q.val - cb2.c AS val
+       |  FROM cells q JOIN centroids cb2 ON cb2.pos = q.pos
+       |  WHERE q.vec_id < 5),
+       |rlut AS (
+       |  SELECT qr.q_id, qr.h, cb.m, cb.c_code AS code,
+       |    CAST(SUM(CAST(qr.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dp
+       |  FROM qr JOIN rpqcb$PqLloyd cb ON qr.pos = cb.pos AND qr.m = cb.m
+       |  GROUP BY qr.q_id, qr.h, cb.m, cb.c_code),
+       |qc AS (
+       |  SELECT vec_id AS q_id, c_label AS h, dot AS qc
+       |  FROM adots WHERE vec_id < 5),
+       |rhome AS (
+       |  SELECT e.vec_id, hm.h, e.m, e.code
+       |  FROM renc e JOIN home hm ON e.vec_id = hm.vec_id),
+       |adcr AS (
+       |  SELECT c.q_id, c.vec_id, r.h, ${sqlDsum("l.dp")} AS adcsum
+       |  FROM cand c JOIN rhome r ON c.vec_id = r.vec_id
+       |    JOIN rlut l ON l.q_id = c.q_id AND l.h = r.h
+       |      AND l.m = r.m AND l.code = r.code
+       |  GROUP BY c.q_id, c.vec_id, r.h),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.q_id, a.vec_id, row_number() OVER (PARTITION BY a.q_id
+       |      ORDER BY (q.qc + a.adcsum) DESC, a.vec_id) AS srn
+       |    FROM adcr a JOIN qc q ON a.q_id = q.q_id AND a.h = q.h)
        |  WHERE srn <= ${graft.Tuning.ivfpqRerank}),
        |rescored AS (
        |  SELECT sl.q_id, sl.vec_id,
@@ -1257,6 +1433,7 @@ object SimilarityQueries {
     "sim_ivf_pruned_read" -> (ivfPrunedRead, Some(ivfPrunedReadSql)),
     "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql)),
     "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql)),
-    "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql))
+    "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql)),
+    "sim_ivfpq_residual" -> (ivfpqResidual, Some(ivfpqResidualSql))
   )
 }

@@ -76,6 +76,27 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF-PQ recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("residual IVF-PQ recalls at least as much as the raw-vector composition") {
+    val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
+      .select("q_id", "vec_id", "rank").collect()
+      .filter(_.getInt(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = pairs("sim_ivfpq_search")
+    val res = pairs("sim_ivfpq_residual")
+    graft.CacheTracker.releaseAll()
+    assert(res.nonEmpty, "the residual path must produce results")
+    val rawR = raw.intersect(exact).size.toDouble / exact.size
+    val resR = res.intersect(exact).size.toDouble / exact.size
+    // residual codes spend the same 16-byte budget on the part the
+    // coarse quantizer didn't explain — the compressed-domain shortlist
+    // can only get tighter, so the rescored recall must not regress
+    // (both paths share probes/rerank; deterministic on this corpus)
+    info(f"raw recall@5: $rawR%.2f, residual recall@5: $resR%.2f")
+    assert(resR >= rawR,
+      f"residual encoding must not lose recall: $resR%.2f < $rawR%.2f")
+    assert(resR >= 0.85, f"residual IVF-PQ recall collapsed: $resR%.2f")
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
