@@ -172,6 +172,21 @@ class PlanSpec extends SparkSpec {
       "the cell-partitioned index scan must prune to the probed cells:\n" + p)
   }
 
+  test("composed IVF-PQ paths never go quadratic and broadcast the LUT side") {
+    // the scale contract of the composition: candidates come from the
+    // probe/assignment equi-join (never an all-pairs product), and every
+    // k-bounded side (probes, LUT, query vectors) ships by broadcast —
+    // a regression to a shuffled LUT join would put a corpus-sized
+    // exchange on the ADC path
+    for (name <- Seq("sim_ivfpq_search", "sim_ivfpq_residual")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name must broadcast its k-bounded sides:\n$p")
+    }
+  }
+
   test("gated bucketed join plans without any exchange when broadcast is off") {
     // pin the at-scale case (both sides too big to broadcast, bucketed
     // scan forced) — the layout the bucketing exists for
