@@ -576,6 +576,64 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Filtered ANN — the vector-store feature RAG deployments lean on:
+    * a metadata predicate (here `label % 2 = 0`) combined with ANN
+    * search, as PRE-filtering: the predicate prunes the candidate set
+    * BEFORE any kernel work, so the top-k is guaranteed to hold k
+    * qualifying results. The alternative (post-filtering a fixed-k
+    * unfiltered shortlist) starves — a query whose unfiltered top-5
+    * were all odd-labeled would return nothing — which is exactly the
+    * production failure mode this shape exists to avoid. The predicate
+    * rides the candidate equi-join; at scale, with metadata stored
+    * alongside the cell-partitioned index (as [[ivfPrunedRead]] lays it
+    * out), it prunes inside the probe-cell scan via row-group stats —
+    * never a second pass over the corpus.
+    */
+  val ivfFilteredSearch: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val cand = assigned.select($"vec_id", $"label", $"nearest_label")
+      .filter($"label" % 2 === 0)
+      .join(broadcast(probes), $"nearest_label" === $"probe_label")
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"label").distinct()
+    val q = vectors.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    cand.join(vectors.select($"vec_id", $"v", $"xn"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id", $"label",
+        (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .withColumn("cosine", round($"cosine", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ivfFilteredSearchSql: String =
+    s"""WITH $sqlIvfCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS prn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE prn <= $IvfProbes),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id, e.label
+       |  FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |    JOIN embeddings e ON a.vec_id = e.vec_id
+       |  WHERE a.vec_id <> p.q_id AND e.label % 2 = 0),
+       |rescored AS (
+       |  SELECT c.q_id, c.vec_id, c.label,
+       |    ${sqlCosine("e.embedding", "qe.embedding")} AS cosine
+       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+       |              JOIN embeddings qe ON c.q_id = qe.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
+       |SELECT q_id, vec_id, label, round(cosine, 9) AS cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** The IVF index AS A LAYOUT, and its pruned read — what "a query
     * reads just its probe cells' files" means on disk: the replicated
     * assignment is written hive-partitioned by cell, the probe list is
@@ -1434,6 +1492,7 @@ object SimilarityQueries {
     "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql)),
     "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql)),
     "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql)),
-    "sim_ivfpq_residual" -> (ivfpqResidual, Some(ivfpqResidualSql))
+    "sim_ivfpq_residual" -> (ivfpqResidual, Some(ivfpqResidualSql)),
+    "sim_ivf_filtered_search" -> (ivfFilteredSearch, Some(ivfFilteredSearchSql))
   )
 }
