@@ -76,11 +76,23 @@ object Bench {
     val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val duckTotal = duck.values.flatten.sum
-    val ratioMedian =
-      if (ratios.isEmpty) 0.0
-      else ratios.values.toSeq.sorted.apply(ratios.size / 2)
+    // oracles with no timing (timeout/error) would otherwise silently skew
+    // duckdb_total vs the all-query Spark total — count them explicitly
+    val duckNulls =
+      if (duck.isEmpty) 0
+      else results.keys.count(k => duck.getOrElse(k, None).isEmpty)
+    val ratioMedian = {
+      val s = ratios.values.toSeq.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // the aggregate the throughput contract is graded on: total wall-clock
+    // ratio (ratio_median is dominated by per-query fixed overhead on the
+    // many sub-0.2s queries; the totals weight by real work)
+    val ratioTotal = if (duckTotal > 0) total / duckTotal else 0.0
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"ratio_median":${fmt(ratioMedian)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"queries":$qs,"errors":$errs,"sf":"$sfDir","duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)}}"""
     println(full)
     // Driver log capture keeps the TAIL of stdout: two rounds of per-query
     // timings were lost when the head of the (long) JSON line was cut. The
@@ -91,7 +103,7 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":${errors.size},"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}""")
     spark.stop()
   }
 
@@ -121,10 +133,22 @@ object Bench {
         SparkEntry.oracleSql.map { case (k, v) => jstr(k) + ":" + jstr(v) }
           .mkString("{", ",", "}").getBytes("UTF-8"))
       val timeout = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_TIMEOUT", "120")
+      // stderr is INHERITed (not piped): verbose DuckDB binder errors could
+      // otherwise fill the ~64KB pipe buffer and deadlock the child before
+      // it prints its stdout line. The wait is bounded (the script's own
+      // per-query interrupt timeout caps real runtime well below this) and
+      // a hung child is killed — the bench then degrades to spark-only.
       val p = new ProcessBuilder("python3", script.toString, sfDir,
-        oraclePath.toString, timeout).start()
+        oraclePath.toString, timeout)
+        .redirectError(ProcessBuilder.Redirect.INHERIT)
+        .start()
+      val bound = timeout.toLong * (SparkEntry.oracleSql.size + 2)
+      if (!p.waitFor(bound, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        System.err.println(s"[bench] duckdb baseline killed after ${bound}s")
+        return Map.empty
+      }
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor()
       // flat {"name": 1.23 | null, ...} — our own script's output
       "\"([A-Za-z0-9_]+)\"\\s*:\\s*(null|[0-9.]+)".r.findAllMatchIn(out).map { m =>
         m.group(1) -> (if (m.group(2) == "null") None else Some(m.group(2).toDouble))

@@ -24,11 +24,12 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's timestamp type
-    * (µs) cannot represent directly ([PARQUET_TYPE_ILLEGAL]). Read the
-    * column as raw nanos and truncate to µs — exactly what µs-native
-    * engines (DuckDB included) do when reading the same file, so oracle
-    * comparisons agree.
+  /** `events.ts` has shipped as two parquet physical types across corpus
+    * generations: TIMESTAMP(MICROS) (read natively) and TIMESTAMP(NANOS),
+    * which Spark's µs timestamp type cannot represent directly
+    * ([PARQUET_TYPE_ILLEGAL]). For the nanos generation, read the column as
+    * raw nanos and truncate to µs — exactly what µs-native engines (DuckDB
+    * included) do when reading the same file, so oracle comparisons agree.
     *
     * Truncation uses integer `div`, not `/`: nanosecond epochs (~1.7e18)
     * exceed double's 53-bit mantissa, so float division would round by up
@@ -36,6 +37,9 @@ object Tables {
     *
     * The `nanosAsLong` legacy flag is restored after the eager schema read
     * so it does not leak into unrelated parquet reads on the shared session.
+    * Either way the result is timestamp_ntz: wall-clock equals the file's
+    * naive value (session is UTC), and parquet dumps stay NTZ so oracle
+    * engines read them naive rather than as UTC-adjusted instants.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -43,11 +47,13 @@ object Tables {
     spark.conf.set(key, "true")
     try {
       val df = spark.read.parquet(s"$dir/events.parquet")
-      df.schema // force schema resolution while the flag is set
-      // timestamp_ntz: wall-clock equals the file's naive nanos (session is
-      // UTC), and parquet dumps stay NTZ so oracle engines read them naive
-      // rather than as UTC-adjusted instants.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos generation
+          df.withColumn(
+            "ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => // µs generation: already a timestamp; just normalize to NTZ
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

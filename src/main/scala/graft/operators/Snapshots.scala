@@ -124,7 +124,15 @@ object Snapshots {
     */
   def read(spark: SparkSession, root: String, v: Int): DataFrame = {
     val base = dataDir(root)
-    manifest(root, v)
+    val files = manifest(root, v)
+    // a commit of an empty DataFrame writes no parquet files and can carry
+    // nothing — fail as loudly as the missing-manifest case instead of
+    // letting the reduce below throw an opaque UnsupportedOperationException
+    if (files.isEmpty)
+      throw new IllegalStateException(
+        s"snapshot version $v of $root has an empty manifest (no data files);" +
+          " cannot infer a schema for an empty-version read")
+    files
       .groupBy(_.takeWhile(_ != '/'))
       .toSeq.sortBy(_._1)
       .map { case (commitName, files) =>

@@ -137,6 +137,23 @@ class LayoutSpec extends SparkSpec {
       "retained versions must read identically after vacuum")
   }
 
+  test("empty-manifest version fails loudly, like a missing manifest") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_empty_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    val orders = graft.Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+    // v1: an EMPTY DataFrame writes no parquet files -> empty manifest
+    assert(Snapshots.commit(spark, root,
+      orders.filter($"o_orderkey" < 0), "o_orderstatus") == 1)
+    val e = intercept[IllegalStateException](Snapshots.read(spark, root, 1))
+    assert(e.getMessage.contains("empty manifest"),
+      s"want the deliberate empty-manifest error, got: ${e.getMessage}")
+    // a later real commit is unaffected
+    assert(Snapshots.commit(spark, root, orders, "o_orderstatus") == 2)
+    assert(Snapshots.read(spark, root, 2).count() == orders.count())
+  }
+
   test("schema evolution: added column null-fills carried files only") {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_evo_spec"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
