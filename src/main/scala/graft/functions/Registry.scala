@@ -25,11 +25,14 @@ object Registry {
     * synchronized writes per Tables() call.
     */
   def registerAll(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(WordShingles.ident)) {
+    if (!spark.sessionState.functionRegistry.functionExists(DotDouble.ident)) {
       RollingHash64.register(spark)
       MinHashMd5.register(spark)
       SignBits.register(spark)
       DotExactDec.register(spark)
       WordShingles.register(spark)
+      // newest last: the guard probes this one, so a session registered
+      // by older code re-registers the full (grown) surface
+      DotDouble.register(spark)
     }
 }

@@ -98,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((MinHashMd5.ident, MinHashMd5.info, MinHashMd5.builder))
     ext.injectFunction((SignBits.ident, SignBits.info, SignBits.builder))
     ext.injectFunction((DotExactDec.ident, DotExactDec.info, DotExactDec.builder))
+    ext.injectFunction((DotDouble.ident, DotDouble.info, DotDouble.builder))
     ext.injectFunction((WordShingles.ident, WordShingles.info, WordShingles.builder))
   }
 }

@@ -704,7 +704,106 @@ object DedupQueries {
        |FROM gsz GROUP BY band ORDER BY band""".stripMargin
   }
 
+  /** Exact duplicated-substring detection at fixed k-token resolution —
+    * the dedup pass exact-hash and MinHash both miss: a document that
+    * QUOTES a span of another (boilerplate, license blocks, copied
+    * paragraphs) is neither byte-identical nor high-Jaccard, yet the
+    * span itself is verbatim training-data duplication. The
+    * suffix-array formulation of this op (find all substrings ≥ k
+    * repeated across the corpus) is inherently sequential; the
+    * distributed re-expression is positional k-gram fingerprints — it
+    * finds exactly the duplicated spans of length ≥ k, with start/end
+    * resolution k−1 tokens (spans shorter than k are invisible; that is
+    * the same k cutoff the sequential algorithm uses as its minimum
+    * match length).
+    *
+    * Plan (corpus-size-proportional, three exchanges): positional gram
+    * keys in the scan (one md5 per window, no distinct) → ONE shuffle on
+    * the gram key to find keys in ≥2 distinct docs → equi-join back to
+    * positions → per-doc sort-window merges overlapping [p, p+k) spans
+    * into covered-token counts (LEAST(k, next−p) telescopes the interval
+    * union, no gaps double-counted). Never materializes pairs — cost is
+    * windows + duplicated windows, not candidates².
+    *
+    * The gate corpus plants two OVERLAPPING 20-token excerpts (offsets
+    * 6 and 16) of each selected doc as standalone docs: the original's
+    * covered region [5, 35) must merge across the two spans' partners,
+    * the excerpts read back fully covered (frac 1.0), and docs outside
+    * the planted set stay at whatever organic 8-gram overlap the corpus
+    * carries.
+    */
+  private val SubK = 8
+
+  val exactSubstring: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    val quoted = base
+      .filter(graft.functions.KeyHash.bucket100("sub|", $"doc_id") < 20 &&
+        size($"toks") >= 35)
+    val corpus = graft.CacheTracker.persistTracked(base
+      .unionByName(quoted.select(($"doc_id" + 20000).as("doc_id"),
+        slice($"toks", lit(6), lit(20)).as("toks")))
+      .unionByName(quoted.select(($"doc_id" + 40000).as("doc_id"),
+        slice($"toks", lit(16), lit(20)).as("toks"))))
+    // one md5 per window in the scan; persisted because both the
+    // duplicated-key aggregation and the position join read it
+    val grams = graft.CacheTracker.persistTracked(
+      corpus.select($"doc_id", posexplode(posGramKeys($"toks", SubK)))
+        .toDF("doc_id", "pos", "g"))
+    val dup = grams.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val covered = grams.join(dup, "g")
+      .withColumn("c", least(lit(SubK),
+        coalesce(lead($"pos", 1).over(w) - $"pos", lit(SubK))))
+      .groupBy($"doc_id").agg(sum($"c").as("dup_toks"))
+    corpus.select($"doc_id", size($"toks").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"dup_toks", lit(0L)).as("dup_toks"),
+        round(coalesce($"dup_toks", lit(0L)).cast("double") /
+          $"n_toks".cast("double"), 9).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val exactSubstringSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("sub|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |quoted AS (SELECT * FROM base WHERE $b < 20 AND len(toks) >= 35),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL SELECT doc_id + 20000, list_slice(toks, 6, 25) FROM quoted
+       |  UNION ALL SELECT doc_id + 40000, list_slice(toks, 16, 35) FROM quoted),
+       |gr AS (
+       |  SELECT doc_id, unnest(${sqlPosGramStructs("toks", SubK)}) AS u
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, struct_extract(u, 'p') AS pos, struct_extract(u, 'g') AS g
+       |  FROM gr),
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |starts AS (
+       |  SELECT doc_id, pos, LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM grams JOIN dup USING (g)),
+       |cov AS (
+       |  SELECT doc_id, CAST(SUM(LEAST($SubK, COALESCE(nxt - pos, $SubK))) AS BIGINT)
+       |    AS dup_toks
+       |  FROM starts GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(len(c.toks) AS INT) AS n_toks,
+       |  CAST(COALESCE(v.dup_toks, 0) AS BIGINT) AS dup_toks,
+       |  round(CAST(COALESCE(v.dup_toks, 0) AS DOUBLE) / CAST(len(c.toks) AS DOUBLE), 9)
+       |    AS dup_frac
+       |FROM corpus c LEFT JOIN cov v ON c.doc_id = v.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_exact_substring" -> (exactSubstring, Some(exactSubstringSql)),
     "dedup_lsh_hot_band" -> (lshHotBand, Some(lshHotBandSql)),
     "dedup_contamination_check" -> (contaminationCheck, Some(contaminationCheckSql)),
     "dedup_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),

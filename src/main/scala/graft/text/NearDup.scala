@@ -66,6 +66,27 @@ object NearDup {
     s"list_transform(range(0, $k), i -> list_min(list_transform($sh, " +
       "x -> md5(CAST(i AS VARCHAR) || '|' || x))))"
 
+  /** POSITIONAL k-gram md5 keys — window i (0-based) of the token array,
+    * NOT distinct: the exact-substring dedup primitive. Unlike
+    * [[wordShingles]] (a set, for Jaccard), position survives here so
+    * duplicated windows can be merged back into maximal covered spans.
+    * One definition, two dialects (the SQL side carries the position in a
+    * named struct, the Spark side recovers it with posexplode).
+    */
+  def posGramKeys(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => md5(array_join(slice(toks, i + 1, lit(k)), " ").cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB mirror of [[posGramKeys]] + position: a list of
+    * `{'p': start, 'g': md5(window)}` structs to unnest.
+    */
+  def sqlPosGramStructs(toks: String, k: Int): String =
+    s"list_transform(range(1, len($toks) - ${k - 2}), " +
+      s"i -> {'p': i - 1, 'g': md5(array_to_string(" +
+      s"list_slice($toks, i, i + ${k - 1}), ' '))})"
+
   /** Distinct character n-grams of normalized text. */
   def charNgrams(c: Column, n: Int): Column = {
     val norm = TextAnalysis.normText(c)

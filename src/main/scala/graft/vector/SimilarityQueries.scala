@@ -1478,7 +1478,123 @@ object SimilarityQueries {
        |FROM pairs ORDER BY a_id""".stripMargin
   }
 
+  /** SemDeDup-style semantic deduplication: k-means clusters bound the
+    * quadratic, pairwise cosine INSIDE each cluster decides the drops —
+    * the embedding-space dedup layer that catches paraphrases and
+    * re-encodings exact/MinHash text dedup cannot see.
+    *
+    * Plan: the corpus (originals ∪ one-dimension-perturbed twins, the
+    * [[cosineNearDup]] fixture) is assigned to the Lloyd-trained IVF
+    * centroids ([[ivfTrain]] — trained once, shared with every IVF
+    * gate) by exact-decimal argmin; within each cell the pair screen is
+    * the native [[graft.functions.DotDouble]] double kernel (margin
+    * 0.9 ≪ the 0.98 verdict, covering cross-engine double drift), and
+    * only screened survivors pay the exact-decimal cosine that decides.
+    * A vector with a lower-id partner at cos ≥ 0.98 is dropped and
+    * points at its canonical (min) partner; single-hop by design — the
+    * transitive-closure variant is [[graft.text.DedupQueries]]'
+    * cluster-canonical gate's job.
+    *
+    * Scale shape: cluster count k is the parallelism AND the pair
+    * bound — n²/k pairs total (k=10 on the gate corpus ⇒ ~800k screened
+    * pairs at sf0.1, ~2k paying the exact kernel). A production run
+    * sizes k ∝ n (SemDeDup used 50k clusters for 100M+ docs) so
+    * per-cell membership, and with it the per-task pair work, stays
+    * constant as the corpus grows. Output is all-integer (vec_id, cell,
+    * kept, canon) — no float ever reaches the hash.
+    */
+  val semanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, _, _) = ivfStructure(s, dir)
+    val corpus = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "embeddings").select(explode(array(
+          struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
+          struct(($"vec_id" + 10000).as("vec_id"),
+            transform($"embedding", (x, d) =>
+              when(d === 0, x.cast("double") + lit(0.05))
+                .otherwise(x.cast("double"))).as("v")))).as("r"))
+        .select($"r.vec_id", $"r.v")
+        .withColumn("fn", sqrt(dotFast($"v", $"v")))
+        .withColumn("xn", normExact($"v")))
+    // exact-decimal argmin over the k broadcast cells — the same
+    // assignment rule the trainer used, so cells are reproducible
+    val cells = corpus
+      .crossJoin(broadcast(centroidArr.select($"c_label", $"cv", $"cc")))
+      .select($"vec_id", $"c_label",
+        ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score"))
+      .groupBy($"vec_id")
+      .agg(min_by($"c_label", struct($"score", $"c_label")).as("cell"))
+    // read three times (both sides of the pair screen + final output)
+    val members = graft.CacheTracker.persistTracked(corpus.join(cells, "vec_id"))
+    // cluster-scoped pair screen: ONE shuffle on the cell id; the
+    // persist below is the cosineNearDup barrier — without it the
+    // exact kernel would be re-evaluated through the pushed filter
+    val pre = graft.CacheTracker.persistTracked(
+      members.alias("a").join(members.alias("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .filter(dotFast($"a.v", $"b.v") / ($"a.fn" * $"b.fn") >= 0.9)
+        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+          $"a.v".as("av"), $"b.v".as("bv"),
+          $"a.xn".as("axn"), $"b.xn".as("bxn")))
+    val drops = pre
+      .select($"va", $"vb",
+        (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("cos"))
+      .filter($"cos" >= 0.98)
+      .groupBy($"vb".as("vec_id")).agg(min($"va").as("canon"))
+    members.select($"vec_id", $"cell")
+      .join(drops, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("int").as("cell"),
+        when($"canon".isNull, lit(1)).otherwise(lit(0)).as("kept"),
+        coalesce($"canon", $"vec_id").as("canon"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $sqlIvfCtes,
+       |sd_corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |         ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings),
+       |sd_cells AS (
+       |  SELECT vec_id, d AS pos, v[d] AS val
+       |  FROM sd_corpus CROSS JOIN range(1, 65) t(d)),
+       |sd_dots AS (
+       |  SELECT s.vec_id, cb.c_label,
+       |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |  FROM sd_cells s JOIN centroids cb ON s.pos = cb.pos
+       |  GROUP BY s.vec_id, cb.c_label),
+       |sd_assign AS (
+       |  SELECT vec_id, c_label AS cell FROM (
+       |    SELECT d.vec_id, d.c_label,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY n.cc - 2.0 * d.dot, d.c_label) AS rn
+       |    FROM sd_dots d JOIN cnorm n ON d.c_label = n.c_label)
+       |  WHERE rn = 1),
+       |sd_m AS (
+       |  SELECT a.vec_id, a.cell, c.v,
+       |    sqrt(list_reduce(list_transform(range(1, 65), d -> c.v[d] * c.v[d]),
+       |      (x, y) -> x + y)) AS fn
+       |  FROM sd_assign a JOIN sd_corpus c ON a.vec_id = c.vec_id),
+       |sd_pre AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.v AS av, b.v AS bv
+       |  FROM sd_m a JOIN sd_m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_reduce(list_transform(range(1, 65), d -> a.v[d] * b.v[d]),
+       |      (x, y) -> x + y) / (a.fn * b.fn) >= 0.9),
+       |sd_pairs AS (
+       |  SELECT va, vb FROM sd_pre WHERE ${sqlCosine("av", "bv")} >= 0.98),
+       |sd_drop AS (SELECT vb AS vec_id, MIN(va) AS canon FROM sd_pairs GROUP BY vb)
+       |SELECT m.vec_id, CAST(m.cell AS INT) AS cell,
+       |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept,
+       |  CAST(COALESCE(d.canon, m.vec_id) AS BIGINT) AS canon
+       |FROM sd_m m LEFT JOIN sd_drop d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_semantic" -> (semanticDedup, Some(semanticDedupSql)),
     "sim_random_projection" -> (randomProjection, Some(randomProjectionSql)),
     "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
     "sim_hybrid_search" -> (hybridSearch, Some(hybridSearchSql)),

@@ -42,6 +42,20 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
 
+  /** Fast all-double dot for PRE-FILTERING only — the native
+    * [[graft.functions.DotDouble]] expression: a strict left-to-right
+    * IEEE fold, value-identical to [[dotFastHof]] (the executable spec
+    * in NativeExprProps). Deterministic within Spark, NOT engine-
+    * portable: any cross-engine threshold built on it needs a margin
+    * covering <1e-12 drift, with [[dotExact]] making the real decision.
+    */
+  def dotFast(a: Column, b: Column): Column = call_function("dot_double", a, b)
+
+  /** HOF formulation of [[dotFast]] — kept as the executable spec. */
+  def dotFastHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Fast all-double cosine for PRE-FILTERING only: plain sequential fold,
     * ~20× cheaper than the decimal path but not engine-portable. Within
     * Spark it is still deterministic (array fold order is fixed), and it

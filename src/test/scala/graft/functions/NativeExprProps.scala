@@ -55,6 +55,16 @@ object NativeExprProps extends Properties("native-expressions") {
       df.collect().forall(r => r.getDouble(0) == r.getDouble(1))
     }
 
+  property("dot_double == HOF double fold on arbitrary double vectors") =
+    forAll(Gen.listOfN(20, vecGen)) { vecs =>
+      val df = vecs.map(v => (v, v.reverse)).toDF("a", "b").select(
+        VectorOps.dotFast($"a", $"b").as("n"),
+        VectorOps.dotFastHof($"a", $"b").as("h"))
+      // bit-identical, not approximately equal: same element order, same
+      // IEEE ops — the fold IS the spec
+      df.collect().forall(r => r.getDouble(0) == r.getDouble(1))
+    }
+
   property("sign_bits is invariant under positive scaling of the hyperplane family") =
     forAll(Gen.listOfN(10, vecGen.suchThat(_.nonEmpty))) { vecs =>
       // scaling the INPUT is not sign-preserving (fixed-point floor), but
