@@ -607,6 +607,100 @@ object StreamQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** `dropDuplicatesWithinWatermark` state-EVICTION semantics under the
+    * gate — the production-correctness difference from the unbounded
+    * [[streamDedup]]: dedup state for a key is released once the
+    * watermark passes its event time + delay, so the operator runs with
+    * BOUNDED state on unbounded key spaces — at the price that a
+    * re-delivery arriving after eviction is emitted AGAIN. This gate
+    * pins all three outcomes a re-delivered event can have.
+    *
+    * b1 stages the corpus (watermark after it: wm₁ = max(ts) − 1 h).
+    * b2 and b3 re-deliver the last 6 h of events at +3 h and +8 h
+    * ingest timestamps (the at-least-once-with-fresh-ingest-time shape
+    * the operator was built for). The measured semantics the oracle
+    * encodes — expiry is swept at each batch's END, with that batch's
+    * own watermark, AFTER the batch's lookups ran:
+    *   - b2 emits NOTHING: no key was swept at b1's end (wm₀ = 0), so
+    *     every non-late b2 row still finds its key live and dedups;
+    *     rows with ts′ < wm₁ are dropped as late before the lookup;
+    *   - after b2, keys with ts + 1 h < wm₁ are swept;
+    *   - b3 re-emits exactly those swept keys (`src='b3'` rows — the
+    *     bounded-state trade made visible) and dedups the still-live
+    *     rest; nothing in b3 is late against wm₂ = max(b2 ts′) − 1 h.
+    * Boundary strictness never decides a row: event times are
+    * µs-grained and no row sits at the exact watermark instants.
+    */
+  val streamDedupEvict: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .filter($"user_id" <= 300)
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", $"value")
+    // the corpus max drives both staging (the 6 h re-delivery slice)
+    // and the oracle's watermark arithmetic; 1-row driver read, the
+    // documented sentinel-parameterization pattern
+    val maxUs = ev.agg(max($"us")).head().getLong(0)
+    val H = 3600000000L // one hour of microseconds
+    stageCsv(ev.select(lit("b1").as("src"), $"event_id", $"us",
+      $"event_type", $"value"), in, "b1")
+    stageCsv(ev.filter($"us" >= maxUs - 6 * H)
+      .select(lit("b2").as("src"), $"event_id", ($"us" + 3 * H).as("us"),
+        $"event_type", $"value"), in, "b2")
+    stageCsv(ev.filter($"us" >= maxUs - 6 * H)
+      .select(lit("b3").as("src"), $"event_id", ($"us" + 8 * H).as("us"),
+        $"event_type", $"value"), in, "b3")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000),
+      s"could not order staged batch files by mtime under $in")
+    require(new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
+    withStatePartitions(s)(s.readStream
+      .schema("src STRING, event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination())
+    s.read.parquet(out)
+      .groupBy($"event_type", $"src")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"event_type", $"src")
+  }
+
+  val streamDedupEvictSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH ev AS (
+       |  SELECT event_id, ts, event_type, value FROM events WHERE user_id <= 300),
+       |mx AS (SELECT max(ts) AS mt FROM ev),
+       |emitted AS (
+       |  SELECT 'b1' AS src, event_type, value FROM ev
+       |  UNION ALL
+       |  -- b2 contributes nothing (state is swept at batch END, after
+       |  -- its lookups); b3 re-emits the keys swept after b2
+       |  -- (ts + 1h < wm1 = mt - 1h) -- none of b3 is late against
+       |  -- wm2 = mt + 2h since the slice floor mt - 6h lands exactly on
+       |  -- (wm2 - 8h)
+       |  SELECT 'b3', event_type, value FROM ev, mx
+       |  WHERE ts >= mt - INTERVAL 6 HOUR
+       |    AND ts + INTERVAL 1 HOUR < mt - INTERVAL 1 HOUR
+       |    AND ts + INTERVAL 8 HOUR >= mt + INTERVAL 2 HOUR)
+       |SELECT event_type, src, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM emitted GROUP BY event_type, src ORDER BY event_type, src""".stripMargin
+  }
+
   val streamIntervalJoinSql: String =
     s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
        |  c.user_id,
@@ -824,6 +918,7 @@ object StreamQueries {
     "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql)),
     "stream_outer_interval_join" ->
       (streamOuterIntervalJoin, Some(streamOuterIntervalJoinSql)),
-    "stream_dedup_watermark" -> (streamDedup, Some(streamDedupSql))
+    "stream_dedup_watermark" -> (streamDedup, Some(streamDedupSql)),
+    "stream_dedup_state_evict" -> (streamDedupEvict, Some(streamDedupEvictSql))
   )
 }

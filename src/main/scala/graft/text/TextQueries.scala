@@ -557,7 +557,80 @@ object TextQueries {
        |SELECT w, cnt, n_total FROM counts CROSS JOIN tot
        |WHERE cnt * 16 > n_total ORDER BY cnt DESC, w""".stripMargin
 
+  /** Line-level boilerplate removal (the CCNet/C4 pass): hash every
+    * "line", count how many DOCS each line appears in across the whole
+    * corpus, and drop lines above the document-frequency threshold —
+    * navigation chrome, license blocks, cookie banners fall out while
+    * each doc's unique prose survives. Differs from
+    * [[DedupQueries.exactSubstring]] in unit and verdict: fixed
+    * segmentation (no positional overlap) and a GLOBAL df threshold
+    * (df ≥ 3), vs positional grams and any-cross-doc duplication.
+    *
+    * The corpus has no newlines, so the "line" segmenter is fixed
+    * 10-token chunks (the same stand-in [[chunkWindows]] uses); the
+    * boilerplate is planted — a 10-token header prepended to the
+    * [[KeyHash]]-selected ~30% of docs, which lands exactly on chunk 0
+    * and must be the one chunk dropped (df ≈ 150 ≫ 3) while every
+    * other chunk's df stays 1.
+    *
+    * Scale shape: chunk hashes are scan-local; ONE shuffle on the
+    * 32-char hash builds the df table; the join back rides the same
+    * hash partitioning (exchange reuse), and the per-doc rollup is the
+    * only other exchange. No pairs, no windows — cost is chunks, which
+    * is tokens/10.
+    */
+  private val LineHeader =
+    "this document is provided as is without warranty of any"
+
+  val lineDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("t0"))
+      .withColumn("toks",
+        when(graft.functions.KeyHash.bucket100("hdr|", $"doc_id") < 30,
+          concat(split(lit(LineHeader), " "), $"t0")).otherwise($"t0"))
+    val chunks = graft.CacheTracker.persistTracked(base
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), expr("(size(toks) + 9) div 10 - 1")),
+          i => struct(
+            md5(array_join(slice($"toks", i * 10 + 1, lit(10)), " ")
+              .cast("binary")).as("h"),
+            least(lit(10), size($"toks") - i * 10).as("sz")))))
+      .select($"doc_id", $"col.h".as("h"), $"col.sz".as("sz")))
+    val freq = chunks.groupBy($"h").agg(count_distinct($"doc_id").as("df"))
+    chunks.join(freq, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"df" >= 3, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"df" < 3, $"sz".cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val lineDedupSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("hdr|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS t0 FROM documents),
+       |base AS (SELECT doc_id,
+       |  CASE WHEN $b < 30 THEN list_cat(string_split('$LineHeader', ' '), t0)
+       |       ELSE t0 END AS toks
+       |  FROM docs),
+       |ch AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks) + 9) // 10),
+       |    i -> {'h': md5(array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')),
+       |          'sz': least(10, len(toks) - i * 10)})) AS u
+       |  FROM base),
+       |chunks AS (
+       |  SELECT doc_id, struct_extract(u, 'h') AS h, struct_extract(u, 'sz') AS sz
+       |  FROM ch),
+       |freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY h)
+       |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN f.df < 3 THEN c.sz ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM chunks c JOIN freq f ON c.h = f.h
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_line_dedup" -> (lineDedup, Some(lineDedupSql)),
     "text_heavy_hitters" -> (heavyHitters, Some(heavyHittersSql)),
     "text_lm_perplexity" -> (lmPerplexity, Some(lmPerplexitySql)),
     "text_chunk_windows" -> (chunkWindows, Some(chunkWindowsSql)),

@@ -417,4 +417,39 @@ class PlanSpec extends SparkSpec {
       "weights must broadcast to the scan:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("exact-substring dedup: cached grams, doc-keyed merge window, no cartesian") {
+    val p = plan("dedup_exact_substring")
+    assert(!p.contains("CartesianProduct"),
+      "duplicated spans must come from the gram equi-join:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the gram table is read by both the dup-agg and the join-back — " +
+        "it must be cached:\n" + p)
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "the interval union must merge via a doc_id-keyed window:\n" + p)
+  }
+
+  test("line dedup: chunk hashes scan-local, df join rides the hash exchange") {
+    val p = plan("text_line_dedup").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"),
+      "chunk table feeds both the df aggregate and the join-back:\n" + p)
+    // df groupBy and join-back both hash on the chunk fingerprint; a
+    // regression to a separately-keyed pre-count would add exchanges
+    val hEx = "hashpartitioning\\(h#".r.findAllIn(p).size
+    assert(hEx <= 2, s"expected <=2 chunk-hash exchanges, got $hEx:\n$p")
+  }
+
+  test("semantic dedup: native kernels at both stages, no cartesian pair blowup") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("dot_double"),
+      "the pair screen must use the native double kernel:\n" + p)
+    assert(p.contains("dot_exact_dec"),
+      "the verdict must use the exact decimal kernel:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the cell equi-join (broadcast centroid " +
+        "cross-joins plan as BroadcastNestedLoopJoin):\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "members and screened pairs must be cached:\n" + p)
+  }
 }
