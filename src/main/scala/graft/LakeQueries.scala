@@ -485,7 +485,138 @@ object LakeQueries {
        |FROM states GROUP BY version, o_orderstatus
        |ORDER BY version, o_orderstatus""".stripMargin
 
+  /** Per-file BLOOM index + point-lookup file skipping — the data-
+    * skipping layer BEYOND min/max footer stats (which cannot prune
+    * point lookups on a high-cardinality key scattered across every
+    * file): each file of a 16-way hash layout carries a sidecar bloom
+    * bitset over its keys (M = 65536 positions — the raw 16-bit md5
+    * prefix, no modulo bias — k = 3 salted hashes), and a point lookup
+    * consults ONLY the manifest to pick candidate files, then reads
+    * just those partition directories (dynamic pruning off the
+    * file-backed candidate table, the `lake_dpp_join` mechanism).
+    *
+    * The gate probes 5 present and 5 absent keys and reports, per
+    * (probe, candidate file), the manifest fill and the EXACT hit count
+    * from the pruned read: present keys must surface their home file
+    * with hits=1 (blooms cannot false-negative — the md5 bit positions
+    * are deterministic), absent keys appear only on false-positive
+    * files with hits=0 (fill at the gate corpus: ~3·n/16/65536 ≈ 3% at
+    * sf0.1 → fp ≈ 2e-5). At 100 TB the manifest is rows ∝ files and
+    * the lookup reads 1 file instead of all of them — the skipping is
+    * in the PLAN (PlanSpec pins the dynamicpruning subquery), not a
+    * post-hoc filter.
+    */
+  private def bloomBits(key: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    array((0 until 3).map(i =>
+      graft.functions.KeyHash.bucket(s"$i|blf|", key, 65536).cast("int")): _*)
+
+  private val bloomTbl = scala.collection.mutable.Map[String, (String, String)]()
+  private def bloomLayout(s: org.apache.spark.sql.SparkSession,
+                          dir: String): (String, String) = synchronized {
+    bloomTbl.getOrElseUpdate(dir, {
+      import s.implicits._
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lay = s"${Scratch.dir}/graft_bloom_lay_${dirKey}_${Scratch.runToken}"
+      val man = s"${Scratch.dir}/graft_bloom_man_${dirKey}_${Scratch.runToken}"
+      val ev = Tables(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .withColumn("fid",
+          graft.functions.KeyHash.bucket("blf|", $"event_id", 16).cast("int"))
+      ev.write.partitionBy("fid").mode("overwrite").parquet(lay)
+      // sidecar manifest: one row per file, the distinct bit positions
+      // its keys set — built in the same pass shape a writer would use
+      // (scan-local bit hashing, one shuffle on fid)
+      ev.select($"fid", explode(bloomBits($"event_id")).as("bit"))
+        .groupBy($"fid")
+        .agg(array_sort(collect_set($"bit")).as("bits"))
+        .write.mode("overwrite").parquet(man)
+      (lay, man)
+    })
+  }
+
+  val bloomIndex: Q = (s, dir) => {
+    import s.implicits._
+    val (lay, man) = bloomLayout(s, dir)
+    val probes = Seq(1L, 2L, 3L, 5L, 8L,
+      1000000001L, 1000000002L, 1000000003L, 1000000004L, 1000000005L)
+      .toDF("probe_key")
+    val manifest = s.read.schema("fid INT, bits ARRAY<INT>").parquet(man)
+    // manifest-only candidate selection (16 × 10 rows — no data read);
+    // candidates are materialized file-backed WITH the flag so the
+    // pruned read below has a selective predicate DPP can derive its
+    // partition list from (a local relation would constant-fold away)
+    val base = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+    val candPath = s"${Scratch.dir}/graft_bloom_cand_$base"
+    val fidPath = s"${Scratch.dir}/graft_bloom_fids_$base"
+    manifest.crossJoin(broadcast(probes))
+      .withColumn("p", bloomBits($"probe_key"))
+      .withColumn("cand",
+        (0 until 3).map(i => array_contains($"bits", element_at($"p", i + 1)))
+          .reduce(_ && _))
+      .select($"probe_key", $"fid", size($"bits").as("n_bits"), $"cand")
+      .write.mode("overwrite").parquet(candPath)
+    val candF = s.read
+      .schema("probe_key BIGINT, fid INT, n_bits INT, cand BOOLEAN")
+      .parquet(candPath).filter($"cand")
+    // the candidate-FID routing table gets its own file-backed sidecar
+    // with an INT selectivity flag compared against a literal: DPP
+    // requires a LIKELY-SELECTIVE predicate (a comparison — a bare
+    // boolean attribute does not qualify) directly above a file scan on
+    // the single-key side; an aggregate like distinct() in between
+    // defeats the detection too
+    candF.select($"fid").distinct().withColumn("sel", lit(1))
+      .write.mode("overwrite").parquet(fidPath)
+    val routing = s.read.schema("fid INT, sel INT")
+      .parquet(fidPath).filter($"sel" === 1)
+    // the pruned read: only candidate files' directories are scanned
+    val hits = s.read.parquet(lay)
+      .join(broadcast(routing.select($"fid")), Seq("fid"))
+      .join(broadcast(candF.select($"probe_key", $"fid")), Seq("fid"))
+      .where($"event_id" === $"probe_key")
+      .groupBy($"probe_key", $"fid")
+      .agg(count(lit(1)).as("hits"))
+    candF.select($"probe_key", $"fid", $"n_bits")
+      .join(hits, Seq("probe_key", "fid"), "left")
+      .select($"probe_key", $"fid", $"n_bits",
+        coalesce($"hits", lit(0L)).as("hits"))
+      .orderBy($"probe_key", $"fid")
+  }
+
+  val bloomIndexSql: String = {
+    import graft.functions.KeyHash.sqlBucket
+    def pb(i: Int, k: String) = sqlBucket(s"$i|blf|", k, 65536)
+    s"""WITH ev AS (
+       |  SELECT event_id, ${sqlBucket("blf|", "event_id", 16)} AS fid
+       |  FROM events),
+       |keybits AS (
+       |  SELECT fid, unnest([${pb(0, "event_id")}, ${pb(1, "event_id")},
+       |    ${pb(2, "event_id")}]) AS bit
+       |  FROM ev),
+       |bloom AS (
+       |  SELECT fid, list_sort(list_distinct(list(bit))) AS bits
+       |  FROM keybits GROUP BY fid),
+       |probes AS (
+       |  SELECT CAST(unnest([1, 2, 3, 5, 8, 1000000001, 1000000002,
+       |    1000000003, 1000000004, 1000000005]) AS BIGINT) AS probe_key),
+       |cand AS (
+       |  SELECT p.probe_key, b.fid, len(b.bits) AS n_bits
+       |  FROM probes p CROSS JOIN bloom b
+       |  WHERE list_contains(b.bits, ${pb(0, "p.probe_key")})
+       |    AND list_contains(b.bits, ${pb(1, "p.probe_key")})
+       |    AND list_contains(b.bits, ${pb(2, "p.probe_key")})),
+       |h AS (
+       |  SELECT e.event_id AS probe_key, e.fid, COUNT(*) AS hits
+       |  FROM ev e JOIN probes p ON e.event_id = p.probe_key
+       |  GROUP BY e.event_id, e.fid)
+       |SELECT c.probe_key, c.fid, CAST(c.n_bits AS INT) AS n_bits,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits
+       |FROM cand c LEFT JOIN h ON c.probe_key = h.probe_key AND c.fid = h.fid
+       |ORDER BY c.probe_key, c.fid""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_bloom_index" -> (bloomIndex, Some(bloomIndexSql)),
     "lake_schema_evolution" -> (schemaEvolution, Some(schemaEvolutionSql)),
     "lake_snapshot_diff" -> (snapshotDiff, Some(snapshotDiffSql)),
     "lake_snapshot_read" -> (snapshotRead, Some(snapshotReadSql)),

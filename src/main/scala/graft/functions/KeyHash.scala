@@ -13,12 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object KeyHash {
 
-  /** Hash bucket in [0,100): first 4 hex chars of md5(salt || key). */
-  def bucket100(salt: String, key: Column): Column =
+  /** Hash bucket in [0,n): first 4 hex chars of md5(salt || key) mod n.
+    * With n = 65536 this is the raw 16-bit value (no modulo bias) — the
+    * bloom-bit-position case.
+    */
+  def bucket(salt: String, key: Column, n: Int): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
-      .cast("long") % 100
+      .cast("long") % n
+
+  /** DuckDB mirror of [[bucket]]. */
+  def sqlBucket(salt: String, key: String, n: Int): String =
+    s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4)) AS INTEGER) % $n"
+
+  /** Hash bucket in [0,100): the split/quota/sampling workhorse. */
+  def bucket100(salt: String, key: Column): Column = bucket(salt, key, 100)
 
   /** DuckDB mirror of [[bucket100]]. */
-  def sqlBucket100(salt: String, key: String): String =
-    s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+  def sqlBucket100(salt: String, key: String): String = sqlBucket(salt, key, 100)
 }

@@ -418,6 +418,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bloom point lookup prunes the layout scan to candidate files at runtime") {
+    val p = plan("lake_bloom_index")
+    assert(p.contains("dynamicpruningexpression"),
+      "the fid-partitioned layout scan must take its file list from the " +
+        "bloom candidates:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("exact-substring dedup: cached grams, doc-keyed merge window, no cartesian") {
     val p = plan("dedup_exact_substring")
     assert(!p.contains("CartesianProduct"),
