@@ -234,13 +234,103 @@ object Queries {
       |GROUP BY id, i // frame_len
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Image near-duplicate search over the DECODED multimodal corpus —
+    * the media-side analogue of the text/embedding dedup gates, and the
+    * composition they imply: decode → resize → 16-bin histogram feature
+    * (pure integer, so the verdict needs no decimal detour) → block on
+    * the DOMINANT intensity bin (the cheap content key — candidates
+    * only within a block, never all-pairs) → integer L1 distance →
+    * top-3 neighbours per image. At scale the block key is the shuffle
+    * key and per-block membership is bounded by the feature-space
+    * granularity, the same shape as every banded-LSH gate.
+    */
+  val multimodalImageSim: Q = (s, _) => {
+    import s.implicits._
+    val feats = graft.multimodal.Multimodal.featurize(
+      graft.multimodal.Multimodal.syntheticCorpus(s, 200)
+        .filter(_.kind == "image"))
+    val f = graft.CacheTracker.persistTracked(feats.toDF()
+      .select($"media_id", $"histogram")
+      .withColumn("blk",
+        array_position($"histogram", array_max($"histogram")).cast("int")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"l1", $"nbr_id")
+    f.alias("a").join(f.alias("b"),
+        $"a.blk" === $"b.blk" && $"a.media_id" =!= $"b.media_id")
+      .select($"a.media_id".as("media_id"), $"b.media_id".as("nbr_id"),
+        $"a.blk".as("blk"),
+        aggregate(zip_with($"a.histogram", $"b.histogram", (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).as("l1"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"media_id", $"rank")
+  }
+
+  /** DuckDB mirror: the recursive-CTE LCG + the exact resize index
+    * arithmetic of [[multimodalPipelineSql]], restricted to image ids,
+    * histograms kept as integer lists, L1 + ranking replayed verbatim.
+    */
+  val multimodalImageSimSql: String = {
+    val bins = (0 until 16)
+      .map(i => s"COUNT(*) FILTER (WHERE b // 16 = $i)").mkString(",\n    ")
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 = 0
+       |),
+       |lcg AS (
+       |  SELECT id, 0 AS i,
+       |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+       |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+       |         (256 + id % 512) AS len
+       |  FROM ids
+       |  UNION ALL
+       |  SELECT id, i + 1,
+       |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+       |         len
+       |  FROM lcg WHERE i < len - 1
+       |),
+       |small AS (
+       |  SELECT i.id,
+       |         ((p.range // 16) * (32 + i.id % 16) // 16) * (32 + i.id % 32)
+       |           + (p.range % 16) * (32 + i.id % 32) // 16 AS big_idx,
+       |         (256 + i.id % 512) AS len
+       |  FROM ids i, range(256) p
+       |),
+       |vals AS (
+       |  SELECT sm.id, (l.s // 72057594037927936)::INT AS b
+       |  FROM small sm JOIN lcg l ON l.id = sm.id AND l.i = sm.big_idx % sm.len
+       |),
+       |hists AS (
+       |  SELECT id, list_value(
+       |    $bins) AS h
+       |  FROM vals GROUP BY id
+       |),
+       |blocks AS (
+       |  SELECT id, h, CAST(list_position(h, list_max(h)) AS INT) AS blk
+       |  FROM hists
+       |),
+       |pairs AS (
+       |  SELECT a.id AS media_id, b.id AS nbr_id, a.blk,
+       |    CAST(list_sum(list_transform(range(1, 17), i -> abs(a.h[i] - b.h[i])))
+       |      AS BIGINT) AS l1
+       |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.id <> b.id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY media_id ORDER BY l1, nbr_id) AS rank
+       |  FROM pairs
+       |)
+       |SELECT media_id, nbr_id, blk, l1, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY media_id, rank""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = {
     val modules: Seq[Map[String, (Q, Option[String])]] = Seq(
       Map(
         "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
         "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql)),
         "multimodal_video_frames" -> (multimodalVideo, Some(multimodalVideoSql)),
-        "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql))),
+        "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql)),
+        "multimodal_image_simjoin" -> (multimodalImageSim, Some(multimodalImageSimSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
