@@ -456,7 +456,49 @@ object RelationalExtras {
        |  MAX(o_totalprice) AS max_price
        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Recursive CTE hierarchy traversal (Spark 4's WITH RECURSIVE): the
+    * iterative-in-SQL surface — org charts, BOM explosions, reachable
+    * sets — that previously required a DataFrame driver loop
+    * ([[graft.operators.ConnectedComponents]] remains the operator for
+    * corpus-scale graphs; this gates the SQL-native form). The
+    * hierarchy is the deterministic binary tree parent(k) = k div 2
+    * over customer keys ≤ 127 (depth 6, complete); per-depth rollups
+    * ride the decimal detour. Both engines execute the same recursion;
+    * only `div` vs `//` differs between dialects.
+    */
+  val recursiveTree: Q = (s, dir) => {
+    Tables(s, dir, "customer").createOrReplaceTempView("graft_rec_customer")
+    s.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS node, 0 AS depth, c_acctbal
+        |  FROM graft_rec_customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+        |  FROM graft_rec_customer c JOIN tree t ON c.c_custkey div 2 = t.node
+        |  WHERE c.c_custkey <= 127 AND c.c_custkey >= 2
+        |)
+        |SELECT depth, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(22,6))) AS DOUBLE) AS total_bal,
+        |  MIN(node) AS lo, MAX(node) AS hi
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val recursiveTreeSql: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT c_custkey AS node, 0 AS depth, c_acctbal
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+      |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.node
+      |  WHERE c.c_custkey <= 127 AND c.c_custkey >= 2
+      |)
+      |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(22,6))) AS DOUBLE) AS total_bal,
+      |  MIN(node) AS lo, MAX(node) AS hi
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "rel_recursive_tree" -> (recursiveTree, Some(recursiveTreeSql)),
     "scd2_dimension_history" -> (scd2History, Some(scd2HistorySql)),
     "agg_incremental_merge" -> (incrementalMerge, Some(incrementalMergeSql)),
     "window_ntile_frames" -> (windowNtile, Some(windowNtileSql)),
