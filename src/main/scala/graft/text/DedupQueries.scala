@@ -734,23 +734,20 @@ object DedupQueries {
     */
   private val SubK = 8
 
-  val exactSubstring: Q = (s, dir) => {
+  /** The exact-substring core over any (doc_id, toks) corpus: per-doc
+    * covered-token counts for spans of ≥ k tokens appearing in ≥ 2
+    * distinct docs. Shared by the gate and ScaleStressSpec.
+    */
+  private[graft] def substringCoverage(
+      corpus0: org.apache.spark.sql.DataFrame, k: Int):
+      org.apache.spark.sql.DataFrame = {
+    val s = corpus0.sparkSession
     import s.implicits._
-    val base = Tables(s, dir, "documents")
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 15)
-    val quoted = base
-      .filter(graft.functions.KeyHash.bucket100("sub|", $"doc_id") < 20 &&
-        size($"toks") >= 35)
-    val corpus = graft.CacheTracker.persistTracked(base
-      .unionByName(quoted.select(($"doc_id" + 20000).as("doc_id"),
-        slice($"toks", lit(6), lit(20)).as("toks")))
-      .unionByName(quoted.select(($"doc_id" + 40000).as("doc_id"),
-        slice($"toks", lit(16), lit(20)).as("toks"))))
+    val corpus = graft.CacheTracker.persistTracked(corpus0)
     // one md5 per window in the scan; persisted because both the
     // duplicated-key aggregation and the position join read it
     val grams = graft.CacheTracker.persistTracked(
-      corpus.select($"doc_id", posexplode(posGramKeys($"toks", SubK)))
+      corpus.select($"doc_id", posexplode(posGramKeys($"toks", k)))
         .toDF("doc_id", "pos", "g"))
     val dup = grams.groupBy($"g")
       .agg(count_distinct($"doc_id").as("nd"))
@@ -758,8 +755,8 @@ object DedupQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
     val covered = grams.join(dup, "g")
-      .withColumn("c", least(lit(SubK),
-        coalesce(lead($"pos", 1).over(w) - $"pos", lit(SubK))))
+      .withColumn("c", least(lit(k),
+        coalesce(lead($"pos", 1).over(w) - $"pos", lit(k))))
       .groupBy($"doc_id").agg(sum($"c").as("dup_toks"))
     corpus.select($"doc_id", size($"toks").as("n_toks"))
       .join(covered, Seq("doc_id"), "left")
@@ -768,6 +765,21 @@ object DedupQueries {
         round(coalesce($"dup_toks", lit(0L)).cast("double") /
           $"n_toks".cast("double"), 9).as("dup_frac"))
       .orderBy($"doc_id")
+  }
+
+  val exactSubstring: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    val quoted = base
+      .filter(graft.functions.KeyHash.bucket100("sub|", $"doc_id") < 20 &&
+        size($"toks") >= 35)
+    substringCoverage(base
+      .unionByName(quoted.select(($"doc_id" + 20000).as("doc_id"),
+        slice($"toks", lit(6), lit(20)).as("toks")))
+      .unionByName(quoted.select(($"doc_id" + 40000).as("doc_id"),
+        slice($"toks", lit(16), lit(20)).as("toks"))), SubK)
   }
 
   val exactSubstringSql: String = {

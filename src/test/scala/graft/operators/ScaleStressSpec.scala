@@ -72,6 +72,28 @@ class ScaleStressSpec extends SparkSpec {
     info(f"PageRank 50k nodes / ${edges.count()} edges, 10 iters: $secs%.1f s")
   }
 
+  test("exact-substring coverage: 10x replicated corpus saturates to full coverage") {
+    // 10 shifted replicas of every sf0.1 doc (50k docs, ~2.7M windows):
+    // every window now appears in >= 10 docs, so the dup set is ALL
+    // grams and every doc must come back EXACTLY fully covered — a
+    // sharp invariant that exercises the gram shuffle and the interval
+    // telescope at 10x gate scale (any window merge off-by-one or
+    // double-count breaks dup_frac == 1.0 somewhere in 50k docs).
+    val docs = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    val corpus = docs.crossJoin(spark.range(10))
+      .select(($"doc_id" + $"id" * 1000000).as("doc_id"), $"toks")
+      .localCheckpoint(true)
+    val n = corpus.count()
+    val (bad, secs) = timed {
+      graft.text.DedupQueries.substringCoverage(corpus, 8)
+        .filter($"dup_frac" =!= 1.0).count()
+    }
+    assert(bad == 0, s"$bad of $n replicated docs not fully covered")
+    info(f"exact-substring coverage on $n docs: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
