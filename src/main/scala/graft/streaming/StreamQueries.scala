@@ -486,7 +486,17 @@ object StreamQueries {
     * purchase_id (Spark sorts nulls first, DuckDB last — never let a
     * NULL reach the comparator's sort).
     */
-  val streamOuterIntervalJoin: Q = (s, dir) => {
+  /** Shared body of the outer interval-join gates: identical two-sided
+    * staging and sentinel cadence, parameterized join mode. LEFT OUTER
+    * emits unmatched clicks null-padded at state expiry; FULL OUTER
+    * additionally emits unmatched purchases — the complete join-mode
+    * matrix for stream-stream interval joins. `user_id` coalesces
+    * across sides because full-outer rows may carry either side alone
+    * (for leftOuter the click side is never null, so the coalesce is
+    * the identity there and the two gates share one body).
+    */
+  private def outerIntervalGate(s: org.apache.spark.sql.SparkSession,
+      dir: String, mode: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val (in, out, ck) = streamDirs()
     val inP = s"$in/../in_p"
@@ -526,8 +536,9 @@ object StreamQueries {
         $"click_user" === $"purchase_user" &&
           $"purchase_ts" >= $"click_ts" &&
           $"purchase_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"),
-        "leftOuter")
-      .select($"click_id", $"purchase_id", $"click_user".as("user_id"),
+        mode)
+      .select($"click_id", $"purchase_id",
+        coalesce($"click_user", $"purchase_user").as("user_id"),
         (unix_micros($"purchase_ts") - unix_micros($"click_ts")).as("delta_us"))
       .writeStream
       .format("parquet")
@@ -539,8 +550,33 @@ object StreamQueries {
       .awaitTermination())
     s.read.parquet(out)
       .filter($"user_id" >= 0)
-      .orderBy($"click_id", coalesce($"purchase_id", lit(-1L)))
+      .orderBy(coalesce($"click_id", lit(-1L)),
+        coalesce($"purchase_id", lit(-1L)))
   }
+
+  val streamOuterIntervalJoin: Q = (s, dir) =>
+    outerIntervalGate(s, dir, "leftOuter")
+
+  /** FULL OUTER stream-stream interval join: unmatched rows from BOTH
+    * sides must emerge null-padded exactly once at watermark-driven
+    * state expiry. Oracle = the batch FULL JOIN with the identical
+    * interval predicate.
+    */
+  val streamFullOuterIntervalJoin: Q = (s, dir) =>
+    outerIntervalGate(s, dir, "fullOuter")
+
+  val streamFullOuterIntervalJoinSql: String =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+       |           WHERE event_type = 'click' AND user_id <= 300),
+       |p AS (SELECT event_id, user_id, ts FROM events
+       |      WHERE event_type = 'purchase' AND user_id <= 300)
+       |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |  COALESCE(c.user_id, p.user_id) AS user_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+       |FROM c FULL JOIN p
+       |  ON c.user_id = p.user_id
+       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+       |ORDER BY COALESCE(click_id, -1), COALESCE(purchase_id, -1)""".stripMargin
 
   val streamOuterIntervalJoinSql: String =
     s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
@@ -918,6 +954,8 @@ object StreamQueries {
     "stream_interval_join" -> (streamIntervalJoin, Some(streamIntervalJoinSql)),
     "stream_outer_interval_join" ->
       (streamOuterIntervalJoin, Some(streamOuterIntervalJoinSql)),
+    "stream_full_outer_interval_join" ->
+      (streamFullOuterIntervalJoin, Some(streamFullOuterIntervalJoinSql)),
     "stream_dedup_watermark" -> (streamDedup, Some(streamDedupSql)),
     "stream_dedup_state_evict" -> (streamDedupEvict, Some(streamDedupEvictSql))
   )
