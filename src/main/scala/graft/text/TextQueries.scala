@@ -409,9 +409,22 @@ object TextQueries {
     * Scale shape: unigram/V stats broadcast (vocabulary-bounded), the
     * bigram-count join shuffles on the term key exactly like the BM25
     * posting join (never broadcast — corpus-scale), per-doc mean rides
-    * the decimal detour and the output rounds to 9 so a 1-ulp
-    * ln()/libm divergence cannot flip a row (the [[sim_hybrid_search]]
-    * discipline).
+    * the decimal detour.
+    *
+    * ln() determinism (measured at sf0.1): `round(davg(lp), 9)` is NOT
+    * safe here even with identical decimal sums — a decimal(22,6) sum
+    * divided by a 2^a·5^b bigram count terminates BEYOND scale 9, and
+    * doc 2146 landed exactly on a half-point (−272.658869 / 80 =
+    * −3.4082358625): the double division then sits 1 ulp below the
+    * half, Spark's shortest-repr HALF_UP rounds down while DuckDB's
+    * `x·1e9` re-rounds ONTO the half and away from zero — a guaranteed
+    * flip wherever the exact mean ties. Two-part fix: (1) each
+    * bigram's logprob is quantized to the 1e-6 grid so both engines
+    * sum identical decimals; (2) the 9-rounded mean is computed in
+    * EXACT INTEGER arithmetic — micro-unit sum → half-away-from-zero
+    * integer division `(2·|m|·1000 + n) div (2·n)` → nano-units as
+    * double — so ties break identically by construction, no double in
+    * the decision path.
     */
   val lmPerplexity: Q = (s, dir) => {
     import s.implicits._
@@ -442,15 +455,24 @@ object TextQueries {
       .join(broadcast(uni), $"prev" === $"w", "left")
       .crossJoin(vstats)
       .select($"doc_id",
-        log((coalesce($"c2", lit(0L)) + lit(1.0)) /
-          (coalesce($"c1", lit(0L)) + $"v")).as("lp"),
+        round(log((coalesce($"c2", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + $"v")), 6).as("lp"),
         $"c1".isNull.cast("long").as("oov"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(davg($"lp"), 9).as("avg_logprob"),
+        sum($"lp".cast("decimal(22,6)")).as("sdec"),
         round(sum($"oov") / count(lit(1)), 9).as("oov_rate"))
-      .withColumn("verdict",
-        when($"oov_rate" > 0.5, "filter").otherwise("keep"))
+      // exact-integer 9-round of the mean: micro-unit total, then
+      // half-away-from-zero division to nano-units
+      .withColumn("m", ($"sdec" * 1000000).cast("long"))
+      .withColumn("r9", expr(
+        "(2 * abs(m) * 1000 + n_bigrams) div (2 * n_bigrams)"))
+      .select($"doc_id", $"n_bigrams",
+        (when($"m" < 0, -$"r9").otherwise($"r9")).cast("double")
+          ./(lit(1e9)).as("avg_logprob"),
+        $"oov_rate",
+        when($"oov_rate" > 0.5, lit("filter")).otherwise(lit("keep"))
+          .as("verdict"))
       .orderBy($"doc_id")
   }
 
@@ -480,17 +502,24 @@ object TextQueries {
        |  FROM scored),
        |lp AS (
        |  SELECT s.doc_id,
-       |    ln((COALESCE(b.c2, 0) + 1.0) / (COALESCE(u.c1, 0) + v.v)) AS lp,
+       |    round(ln((COALESCE(b.c2, 0) + 1.0) / (COALESCE(u.c1, 0) + v.v)), 6) AS lp,
        |    CASE WHEN u.c1 IS NULL THEN 1 ELSE 0 END AS oov
        |  FROM sbg s LEFT JOIN big b USING (bg)
        |  LEFT JOIN uni u ON string_split(s.bg, ' ')[1] = u.w
-       |  CROSS JOIN vstats v)
-       |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  round(${graft.functions.Exact.sqlDavg("lp")}, 9) AS avg_logprob,
-       |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 9) AS oov_rate,
-       |  CASE WHEN CAST(SUM(oov) AS DOUBLE) / COUNT(*) > 0.5
-       |    THEN 'filter' ELSE 'keep' END AS verdict
-       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  CROSS JOIN vstats v),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CAST(lp AS DECIMAL(22,6))) * 1000000 AS BIGINT) AS m,
+       |    round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 9) AS oov_rate
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  CAST(CASE WHEN m < 0
+       |    THEN -((2 * abs(m) * 1000 + n_bigrams) // (2 * n_bigrams))
+       |    ELSE (2 * abs(m) * 1000 + n_bigrams) // (2 * n_bigrams) END
+       |    AS DOUBLE) / 1e9 AS avg_logprob,
+       |  oov_rate,
+       |  CASE WHEN oov_rate > 0.5 THEN 'filter' ELSE 'keep' END AS verdict
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Two-pass heavy hitters: a bounded-memory Misra-Gries sketch
     * ([[graft.operators.MisraGries]], capacity 16) proposes the
