@@ -604,6 +604,61 @@ object CurationQueries {
     ranks
   }
 
+  /** Distributed triangle counting over the same deterministic link
+    * graph as [[pagerankLinks]] — the canonical multi-way self-join
+    * whose cost model decides whether a join engine survives graph
+    * workloads. Canonicalized undirected edges (lo < hi, distinct,
+    * persisted — three join reads), then the ordered two-hop join
+    * e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c so every triangle is
+    * found exactly once, no post-dedup. Output: top-20 nodes by
+    * triangle participation.
+    *
+    * Scale shape: both joins are equi-joins on node ids — shuffles
+    * proportional to edges × avg-degree (the path count), never n²;
+    * the skew story is the same as any power-law join (salt or AQE the
+    * hot vertex) and the candidate count is exactly the wedge count,
+    * the quantity a production system bounds by degree-ordering
+    * (directing each edge low→high degree), which the a<b<c ordering
+    * approximates here.
+    */
+  val triangleCount: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val n = docs.count()
+    val und = graft.CacheTracker.persistTracked(
+      docs.select($"doc_id".as("src"), explode(array(
+          ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+          ($"doc_id" * 29 + 3) % n)).as("dst"))
+        .filter($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .distinct())
+    und.as("e1")
+      .join(und.as("e2"), $"e1.b" === $"e2.a")
+      .join(und.as("e3"), $"e1.a" === $"e3.a" && $"e2.b" === $"e3.b")
+      .select(explode(array($"e1.a", $"e1.b", $"e2.b")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"n_triangles".desc, $"node").limit(20)
+  }
+
+  val triangleCountSql: String =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges0 WHERE src <> dst),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |       JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+       |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM nodes GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin
+
   val pagerankLinksSql: String = {
     val steps = (1 to 10).map { k =>
       s"""c$k AS (
@@ -785,6 +840,7 @@ object CurationQueries {
     "curate_drift_psi" -> (driftPsi, Some(driftPsiSql)),
     "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
+    "graph_triangle_count" -> (triangleCount, Some(triangleCountSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
