@@ -426,6 +426,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("triangle count: cached canonical edges, equi-joins only") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct"),
+      "the two-hop join must stay equi-keyed:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the canonical edge table is read three times — it must be cached:\n" + p)
+  }
+
   test("exact-substring dedup: cached grams, doc-keyed merge window, no cartesian") {
     val p = plan("dedup_exact_substring")
     assert(!p.contains("CartesianProduct"),
