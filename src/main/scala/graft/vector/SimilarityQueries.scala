@@ -385,7 +385,7 @@ object SimilarityQueries {
     * is the index the search path reads). Built once, used by both the
     * assignment query and the probe-search read path.
     */
-  private def ivfStructure(s: org.apache.spark.sql.SparkSession, dir: String):
+  private[graft] def ivfStructure(s: org.apache.spark.sql.SparkSession, dir: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     import s.implicits._
@@ -1503,19 +1503,18 @@ object SimilarityQueries {
     * constant as the corpus grows. Output is all-integer (vec_id, cell,
     * kept, canon) — no float ever reaches the hash.
     */
-  val semanticDedup: Q = (s, dir) => {
+  /** The SemDeDup core over any (vec_id, v, fn, xn) corpus against a
+    * trained centroid table: exact-decimal cell assignment, cell-scoped
+    * `dot_double` pair screen, exact-decimal verdict, lower-id
+    * canonicalization. Shared by the gate and ScaleStressSpec.
+    */
+  private[graft] def semanticDedupOn(
+      corpus0: org.apache.spark.sql.DataFrame,
+      centroidArr: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val s = corpus0.sparkSession
     import s.implicits._
-    val (centroidArr, _, _) = ivfStructure(s, dir)
-    val corpus = graft.CacheTracker.persistTracked(
-      Tables(s, dir, "embeddings").select(explode(array(
-          struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
-          struct(($"vec_id" + 10000).as("vec_id"),
-            transform($"embedding", (x, d) =>
-              when(d === 0, x.cast("double") + lit(0.05))
-                .otherwise(x.cast("double"))).as("v")))).as("r"))
-        .select($"r.vec_id", $"r.v")
-        .withColumn("fn", sqrt(dotFast($"v", $"v")))
-        .withColumn("xn", normExact($"v")))
+    val corpus = graft.CacheTracker.persistTracked(corpus0)
     // exact-decimal argmin over the k broadcast cells — the same
     // assignment rule the trainer used, so cells are reproducible
     val cells = corpus
@@ -1547,6 +1546,22 @@ object SimilarityQueries {
         when($"canon".isNull, lit(1)).otherwise(lit(0)).as("kept"),
         coalesce($"canon", $"vec_id").as("canon"))
       .orderBy($"vec_id")
+  }
+
+  val semanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, _, _) = ivfStructure(s, dir)
+    semanticDedupOn(
+      Tables(s, dir, "embeddings").select(explode(array(
+          struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
+          struct(($"vec_id" + 10000).as("vec_id"),
+            transform($"embedding", (x, d) =>
+              when(d === 0, x.cast("double") + lit(0.05))
+                .otherwise(x.cast("double"))).as("v")))).as("r"))
+        .select($"r.vec_id", $"r.v")
+        .withColumn("fn", sqrt(dotFast($"v", $"v")))
+        .withColumn("xn", normExact($"v")),
+      centroidArr)
   }
 
   val semanticDedupSql: String =

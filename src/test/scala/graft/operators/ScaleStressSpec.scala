@@ -94,6 +94,41 @@ class ScaleStressSpec extends SparkSpec {
     info(f"exact-substring coverage on $n docs: $secs%.1f s")
   }
 
+  test("semantic dedup: 5x tiled vectors, cluster-bounded screen at 10k corpus") {
+    import graft.vector.VectorOps
+    // 5 tiles of every sf0.1 embedding (10k vectors), tile j shifted by
+    // +0.05*j on dim 0: adjacent tiles sit at cos >= 0.98, so every
+    // copy (j >= 1) must drop onto a lower tile unless cell-boundary
+    // leakage separates it from ALL of its 4 partners (rarer than the
+    // single-twin gate's leakage by construction). The screen runs
+    // ~5M cell-scoped dot_double pairs — the cost shape the gate
+    // argues scales, actually executed at 5x its corpus.
+    val (centroids, _, _) =
+      graft.vector.SimilarityQueries.ivfStructure(spark, "/root/testdata/sf0.1")
+    val base = graft.Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val corpus = base.crossJoin(spark.range(5).select($"id".as("j")))
+      .select(($"vec_id" + $"j" * 10000).as("vec_id"),
+        transform($"v", (x, d) =>
+          when(d === 0, x + $"j".cast("double") * 0.05).otherwise(x)).as("v"))
+      .withColumn("fn", sqrt(VectorOps.dotFast($"v", $"v")))
+      .withColumn("xn", VectorOps.normExact($"v"))
+      .localCheckpoint(true)
+    val (out, secs) = timed {
+      graft.vector.SimilarityQueries.semanticDedupOn(corpus, centroids)
+        .localCheckpoint(true)
+    }
+    val n = out.count()
+    assert(n == 10000, s"one verdict per vector, got $n")
+    val copies = out.filter($"vec_id" >= 10000)
+    val droppedCopies = copies.filter($"kept" === 0).count()
+    assert(droppedCopies >= (copies.count() * 95) / 100,
+      s"only $droppedCopies of ${copies.count()} tiled copies dropped")
+    assert(out.filter($"vec_id" < 10000 && $"kept" === 0).count() == 0,
+      "no original may be dropped (organic pairs top out near cos 0.5)")
+    info(f"semantic dedup on $n vectors: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
