@@ -124,7 +124,10 @@ object AdvancedJoins {
     Tables(s, dir, "lineitem").agg(
       countDistinct($"l_orderkey").as("exact_orders"),
       countDistinct($"l_partkey").as("exact_parts"),
-      (abs(approx_count_distinct($"l_orderkey") - countDistinct($"l_orderkey"))
+      // rsd 0.01 on BOTH columns: the default 0.05 sketch missed the 5%
+      // assertion on the sf0.001 corpus's 1473 orderkeys (per-engine
+      // error-bound gate — DuckDB's own sketch is checked by the oracle)
+      (abs(approx_count_distinct($"l_orderkey", 0.01) - countDistinct($"l_orderkey"))
         .cast("double") / countDistinct($"l_orderkey") <= 0.05).cast("int")
         .as("orders_within_5pct"),
       (abs(approx_count_distinct($"l_partkey", 0.01) - countDistinct($"l_partkey"))
