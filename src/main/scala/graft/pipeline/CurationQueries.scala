@@ -604,6 +604,50 @@ object CurationQueries {
     ranks
   }
 
+  /** k-anonymity risk report — the re-identification audit that sits
+    * beside PII redaction in a data-governance pipeline: rows are
+    * grouped by their quasi-identifier tuple (nation × a coarse
+    * account-balance band here) and any group smaller than k is a
+    * re-identification risk whose rows a release would suppress or
+    * generalize. The report is the per-nation accounting a reviewer
+    * signs off on: group count, under-k group count, rows those
+    * groups hold, total rows.
+    *
+    * Scale shape: one shuffle on the quasi-identifier tuple, one
+    * rollup on its prefix — the same two-level aggregation as any
+    * grouped count; integer-only output. At the gate SF the corpus
+    * sits in the interesting regime (14 under-k groups holding 39 of
+    * 1500 rows at sf0.01); the extremes degenerate sensibly
+    * (everything under-k at sf0.001's 150 rows, nothing at sf0.1) and
+    * the oracle replays each exactly.
+    */
+  val kAnonymity: Q = (s, dir) => {
+    import s.implicits._
+    val k = 5
+    val groups = Tables(s, dir, "customer")
+      .select($"c_nationkey".as("nation"),
+        floor($"c_acctbal" / 2000.0).cast("long").as("bal_band"))
+      .groupBy($"nation", $"bal_band").agg(count(lit(1)).as("n"))
+    groups.groupBy($"nation")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"n" < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when($"n" < k, $"n").otherwise(0L)).as("n_suppressed"),
+        sum($"n").as("n_rows"))
+      .orderBy($"nation")
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH q AS (
+       |  SELECT c_nationkey AS nation,
+       |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+       |  FROM customer),
+       |g AS (SELECT nation, bal_band, COUNT(*) AS n FROM q GROUP BY nation, bal_band)
+       |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows
+       |FROM g GROUP BY nation ORDER BY nation""".stripMargin
+
   /** Distributed triangle counting over the same deterministic link
     * graph as [[pagerankLinks]] — the canonical multi-way self-join
     * whose cost model decides whether a join engine survives graph
@@ -841,6 +885,7 @@ object CurationQueries {
     "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "graph_triangle_count" -> (triangleCount, Some(triangleCountSql)),
+    "curate_k_anonymity" -> (kAnonymity, Some(kAnonymitySql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),
