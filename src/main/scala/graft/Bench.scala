@@ -142,13 +142,24 @@ object Bench {
         oraclePath.toString, timeout)
         .redirectError(ProcessBuilder.Redirect.INHERIT)
         .start()
+      // Drain stdout on a background thread BEFORE the bounded wait: once the
+      // per-query JSON grows past the ~64KB pipe buffer the child would block
+      // on write and the waitFor below would burn the whole bound.
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val pump = new Thread(() => {
+        try p.getInputStream.transferTo(outBuf)
+        catch { case _: java.io.IOException => () }
+      }, "duckdb-stdout-pump")
+      pump.setDaemon(true)
+      pump.start()
       val bound = timeout.toLong * (SparkEntry.oracleSql.size + 2)
       if (!p.waitFor(bound, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly()
         System.err.println(s"[bench] duckdb baseline killed after ${bound}s")
         return Map.empty
       }
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      pump.join(10000)
+      val out = outBuf.toString("UTF-8")
       // flat {"name": 1.23 | null, ...} — our own script's output
       "\"([A-Za-z0-9_]+)\"\\s*:\\s*(null|[0-9.]+)".r.findAllMatchIn(out).map { m =>
         m.group(1) -> (if (m.group(2) == "null") None else Some(m.group(2).toDouble))

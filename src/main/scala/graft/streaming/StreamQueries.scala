@@ -664,8 +664,10 @@ object StreamQueries {
     *   - b3 re-emits exactly those swept keys (`src='b3'` rows — the
     *     bounded-state trade made visible) and dedups the still-live
     *     rest; nothing in b3 is late against wm₂ = max(b2 ts′) − 1 h.
-    * Boundary strictness never decides a row: event times are
-    * µs-grained and no row sits at the exact watermark instants.
+    * Boundary strictness never decides a row BY CONSTRUCTION: the
+    * re-delivery slice is strictly inside (mt−6h, mt] and excludes the
+    * exact eviction-equality instant mt−2h, so no staged row can land
+    * on a watermark or sweep boundary even if the corpus regenerates.
     */
   val streamDedupEvict: Q = (s, dir) => {
     import s.implicits._
@@ -682,10 +684,15 @@ object StreamQueries {
     val H = 3600000000L // one hour of microseconds
     stageCsv(ev.select(lit("b1").as("src"), $"event_id", $"us",
       $"event_type", $"value"), in, "b1")
-    stageCsv(ev.filter($"us" >= maxUs - 6 * H)
+    // The re-delivery slice is STRICTLY inside (mt-6h, mt] and excludes the
+    // exact eviction-boundary instant mt-2h (where ts+1h = wm1): no staged
+    // row can ever sit on a watermark or sweep equality, so neither Spark's
+    // late-drop strictness nor eviction <=-vs-< can decide an emitted row.
+    val slice = ev.filter($"us" > maxUs - 6 * H && $"us" =!= maxUs - 2 * H)
+    stageCsv(slice
       .select(lit("b2").as("src"), $"event_id", ($"us" + 3 * H).as("us"),
         $"event_type", $"value"), in, "b2")
-    stageCsv(ev.filter($"us" >= maxUs - 6 * H)
+    stageCsv(slice
       .select(lit("b3").as("src"), $"event_id", ($"us" + 8 * H).as("us"),
         $"event_type", $"value"), in, "b3")
     val t0 = new java.io.File(s"$in/b1.csv").lastModified()
@@ -726,12 +733,14 @@ object StreamQueries {
        |  -- b2 contributes nothing (state is swept at batch END, after
        |  -- its lookups); b3 re-emits the keys swept after b2
        |  -- (ts + 1h < wm1 = mt - 1h) -- none of b3 is late against
-       |  -- wm2 = mt + 2h since the slice floor mt - 6h lands exactly on
-       |  -- (wm2 - 8h)
+       |  -- wm2 = mt + 2h since the slice floor is STRICTLY above mt - 6h
+       |  -- (= wm2 - 8h), and the eviction-equality instant mt - 2h is
+       |  -- excluded from the slice
        |  SELECT 'b3', event_type, value FROM ev, mx
-       |  WHERE ts >= mt - INTERVAL 6 HOUR
+       |  WHERE ts > mt - INTERVAL 6 HOUR
+       |    AND ts <> mt - INTERVAL 2 HOUR
        |    AND ts + INTERVAL 1 HOUR < mt - INTERVAL 1 HOUR
-       |    AND ts + INTERVAL 8 HOUR >= mt + INTERVAL 2 HOUR)
+       |    AND ts + INTERVAL 8 HOUR > mt + INTERVAL 2 HOUR)
        |SELECT event_type, src, CAST(COUNT(*) AS BIGINT) AS n,
        |  ${sqlDsum("value")} AS total_value
        |FROM emitted GROUP BY event_type, src ORDER BY event_type, src""".stripMargin

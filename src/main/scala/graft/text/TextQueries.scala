@@ -620,7 +620,15 @@ object TextQueries {
           concat(split(lit(LineHeader), " "), $"t0")).otherwise($"t0"))
     val chunks = graft.CacheTracker.persistTracked(base
       .select($"doc_id", posexplode(
-        transform(sequence(lit(0), expr("(size(toks) + 9) div 10 - 1")),
+        // Guard the degenerate size=0 case: sequence(0,-1) would yield the
+        // DESCENDING [0,-1] (two phantom chunks) where DuckDB's range(0,0)
+        // yields none. split() never returns an empty array today, but
+        // corpora regenerate with drift (CLAUDE.md) — same guard class as
+        // NearDup.posGramKeys.
+        transform(
+          when(size($"toks") >= 1,
+            sequence(lit(0), expr("(size(toks) + 9) div 10 - 1")))
+            .otherwise(array().cast("array<int>")),
           i => struct(
             md5(array_join(slice($"toks", i * 10 + 1, lit(10)), " ")
               .cast("binary")).as("h"),
