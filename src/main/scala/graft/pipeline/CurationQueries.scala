@@ -567,10 +567,7 @@ object CurationQueries {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val n = docs.count()
-    val edges = docs.select($"doc_id".as("src"), explode(array(
-        ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
-        ($"doc_id" * 29 + 3) % n)).as("dst"))
-      .filter($"src" =!= $"dst").distinct()
+    val edges = linkEdges(docs, n).distinct()
     pagerankLoop(docs, edges, n, iters = 10)
       .orderBy($"r".desc, $"node").limit(50)
   }
@@ -658,31 +655,93 @@ object CurationQueries {
     * triangle participation.
     *
     * Scale shape: both joins are equi-joins on node ids — shuffles
-    * proportional to edges × avg-degree (the path count), never n²;
-    * the skew story is the same as any power-law join (salt or AQE the
-    * hot vertex) and the candidate count is exactly the wedge count,
-    * the quantity a production system bounds by degree-ordering
-    * (directing each edge low→high degree), which the a<b<c ordering
-    * approximates here.
+    * proportional to the wedge count, never n². The wedge count is
+    * BOUNDED BY DEGREE ORIENTATION: each undirected edge is directed
+    * low-degree → high-degree (tie-break on id), so a triangle x,y,z
+    * (by that rank) is enumerated exactly once from its lowest-rank
+    * corner and the candidate count is Σ outdeg(v)² with
+    * outdeg(v) ≤ O(√m) — on a power-law graph the hub's d² wedge
+    * explosion never happens (the id-ordered variant this replaced
+    * would put a low-id hub on the small side of every edge).
+    * Degrees are computed once (eager localCheckpoint) and broadcast
+    * to both sides of the orientation join; above broadcast threshold
+    * the same plan degrades gracefully to a shuffled equi-join.
     */
   val triangleCount: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
     val n = docs.count()
     val und = graft.CacheTracker.persistTracked(
-      docs.select($"doc_id".as("src"), explode(array(
-          ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
-          ($"doc_id" * 29 + 3) % n)).as("dst"))
-        .filter($"src" =!= $"dst")
+      linkEdges(docs, n)
         .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
         .distinct())
-    und.as("e1")
-      .join(und.as("e2"), $"e1.b" === $"e2.a")
-      .join(und.as("e3"), $"e1.a" === $"e3.a" && $"e2.b" === $"e3.b")
-      .select(explode(array($"e1.a", $"e1.b", $"e2.b")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+    triangleNodes(s, und)
       .orderBy($"n_triangles".desc, $"node").limit(20)
   }
+
+  /** The deterministic 3-out link generator shared by [[pagerankLinks]]
+    * and both triangle gates. */
+  private def linkEdges(docs: org.apache.spark.sql.DataFrame,
+      n: Long): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id").as("src"), explode(array(
+        (col("doc_id") * 7 + 1) % n, (col("doc_id") * 13 + 2) % n,
+        (col("doc_id") * 29 + 3) % n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Degree-orient a canonical undirected edge table (a < b, distinct):
+    * each edge is directed from its lower-(degree, id) endpoint to the
+    * higher. The degree table is computed ONCE (eager localCheckpoint —
+    * the two orientation joins would otherwise each re-aggregate it)
+    * and broadcast. Exposed for PlanSpec's broadcast pin.
+    */
+  private[graft] def orientByDegree(
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("s"),
+        when(lower, col("b")).otherwise(col("a")).as("t"))
+  }
+
+  /** Per-node triangle participation over degree-oriented edges: the
+    * two-hop join e1(x,y) ⋈ e2(y,z) ⋈ e3(x,z) on the oriented table
+    * finds each triangle exactly once at its lowest-rank corner.
+    */
+  private[graft] def triangleNodes(s: org.apache.spark.sql.SparkSession,
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val oriented = graft.CacheTracker.persistTracked(orientByDegree(und))
+    oriented.as("e1")
+      .join(oriented.as("e2"), $"e1.t" === $"e2.s")
+      .join(oriented.as("e3"), $"e1.s" === $"e3.s" && $"e2.t" === $"e3.t")
+      .select(explode(array($"e1.s", $"e1.t", $"e2.t")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // Shared oracle chain: und (canonical edges) must already be defined
+  // by the caller's CTE prefix. deg avoids unnest (a re-referenced
+  // unnest CTE trips DuckDB's binder — CLAUDE.md) via UNION ALL.
+  private def sqlTriangleChain: String =
+    s"""deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+       |ori AS (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS s,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS t
+       |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+       |tri AS (
+       |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+       |  FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+       |       JOIN ori e3 ON e1.s = e3.s AND e2.t = e3.t),
+       |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM nodes GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin
 
   val triangleCountSql: String =
     s"""WITH docs AS (SELECT doc_id FROM documents),
@@ -695,13 +754,48 @@ object CurationQueries {
        |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |        FROM edges0 WHERE src <> dst),
-       |tri AS (
-       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
-       |       JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
-       |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
-       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-       |FROM nodes GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin
+       |$sqlTriangleChain""".stripMargin
+
+  /** Planted-hub triangle gate — the skew case the degree orientation
+    * exists for: node 0 is additionally connected to ~30% of all nodes
+    * (md5-deterministic selection), giving it ~9% of all edges. Under
+    * id-orientation the hub (lowest id) would anchor Θ(d_hub²) wedges;
+    * under degree-orientation every hub edge points INTO the hub, the
+    * hub's out-degree is 0 wedge-side, and the join stays bounded.
+    */
+  val triangleCountHub: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val n = docs.count()
+    val hub = docs
+      .filter(bucket100("hub|", $"doc_id") < 30 && $"doc_id" =!= 0)
+      .select(lit(0L).as("src"), $"doc_id".as("dst"))
+    val und = graft.CacheTracker.persistTracked(
+      linkEdges(docs, n).unionByName(hub)
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .distinct())
+    triangleNodes(s, und)
+      .orderBy($"n_triangles".desc, $"node").limit(20)
+  }
+
+  val triangleCountHubSql: String =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)
+       |  WHERE doc_id <> CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), doc_id FROM docs
+       |  WHERE ${sqlBucket100("hub|", "doc_id")} < 30 AND doc_id <> 0),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges0),
+       |$sqlTriangleChain""".stripMargin
 
   val pagerankLinksSql: String = {
     val steps = (1 to 10).map { k =>
@@ -885,6 +979,7 @@ object CurationQueries {
     "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "graph_triangle_count" -> (triangleCount, Some(triangleCountSql)),
+    "graph_triangle_count_hub" -> (triangleCountHub, Some(triangleCountHubSql)),
     "curate_k_anonymity" -> (kAnonymity, Some(kAnonymitySql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),

@@ -426,12 +426,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("triangle count: cached canonical edges, equi-joins only") {
+  test("triangle count: cached oriented edges, equi-joins only") {
     val p = plan("graph_triangle_count")
     assert(!p.contains("CartesianProduct"),
       "the two-hop join must stay equi-keyed:\n" + p)
     assert(p.contains("InMemoryTableScan"),
-      "the canonical edge table is read three times — it must be cached:\n" + p)
+      "the oriented edge table is read three times — it must be cached:\n" + p)
+  }
+
+  test("triangle orientation: degree table checkpointed once and broadcast") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val df = graft.pipeline.CurationQueries.orientByDegree(und)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 2,
+      s"both degree lookups must be broadcast joins (got $bhj):\n$p")
+    // eager localCheckpoint materializes the degree agg exactly once; the
+    // second lookup reuses the first's broadcast, nothing re-aggregates
+    assert(p.contains("ReusedExchange") && !p.contains("HashAggregate"),
+      "degree table must be computed once (localCheckpoint + reused " +
+        "broadcast), not re-aggregated per join:\n" + p)
   }
 
   test("exact-substring dedup: cached grams, doc-keyed merge window, no cartesian") {
