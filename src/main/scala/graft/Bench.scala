@@ -36,8 +36,18 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).schema catch { case _: Throwable => }
     }
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=prefix[,prefix...] times just the
+    // matching queries and skips the DuckDB baseline — for profiling one
+    // query without paying the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val errors = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -67,7 +77,8 @@ object Bench {
     // sandbox's python (a bench-harness concern, like check_oracle.py —
     // the library itself never touches it); absent python/duckdb the
     // bench degrades to spark-only output.
-    val duck: Map[String, Option[Double]] = duckdbBaseline(sfDir)
+    val duck: Map[String, Option[Double]] =
+      if (only.isDefined) Map.empty else duckdbBaseline(sfDir)
     val ratios = results.flatMap { case (k, v) =>
       duck.getOrElse(k, None).collect { case d if d > 0 => k -> v / d } }
     val duckJson = results.keys.map { k =>

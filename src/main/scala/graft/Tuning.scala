@@ -44,6 +44,26 @@ object Tuning {
     */
   val lshBandCap: Int = envInt("SPARK_GRAFT_LSH_BAND_CAP", 32)
 
+  /** Hot-cell pair window for semantic dedup: within each k-means cell,
+    * members are ranked by exact distance-to-centroid and only pairs
+    * within this many RANKS of each other are screened (the classic
+    * sorted-neighborhood blocking key — near-dup twins sit at
+    * near-identical distance to their cell's centroid, so they are
+    * rank-adjacent by construction). For a cell at or under the window
+    * this is EXACTLY the all-pairs screen (every pair is within the
+    * window); past it, candidates are hard-bounded at 2·|cell|·window —
+    * the `lshBandCap` analogue for the embedding-space dedup layer,
+    * closing the |cell|²/2 blow-up one skewed cell would otherwise cost
+    * (one dense boilerplate region at 100 TB ⇒ a cell with millions of
+    * members). The occupancy-scaled-k alternative (k ∝ n/target) only
+    * bounds the EXPECTED cell size; this bounds the worst case. Size to
+    * the largest cluster whose internal pairs you must rank exhaustively
+    * (default 512 ≫ the ~400-member cells the sf0.1 gate produces, so
+    * the driver gate runs the all-pairs-identical regime; the planted
+    * hot-cell gate pins the capped regime at an explicit window of 64).
+    */
+  val semCellCap: Int = envInt("SPARK_GRAFT_SEM_CELL_CAP", 512)
+
   /** Sign-LSH near-dup banding (embedding twins). */
   val ndBands: Int = envInt("SPARK_GRAFT_ND_BANDS", 4)
   val ndR: Int = envInt("SPARK_GRAFT_ND_R", 24)

@@ -1495,52 +1495,106 @@ object SimilarityQueries {
     * transitive-closure variant is [[graft.text.DedupQueries]]'
     * cluster-canonical gate's job.
     *
-    * Scale shape: cluster count k is the parallelism AND the pair
-    * bound — n²/k pairs total (k=10 on the gate corpus ⇒ ~800k screened
-    * pairs at sf0.1, ~2k paying the exact kernel). A production run
-    * sizes k ∝ n (SemDeDup used 50k clusters for 100M+ docs) so
-    * per-cell membership, and with it the per-task pair work, stays
-    * constant as the corpus grows. Output is all-integer (vec_id, cell,
-    * kept, canon) — no float ever reaches the hash.
+    * Scale shape: cluster count k is the parallelism and sets the
+    * EXPECTED per-cell pair work (n²/k across all cells; k=10 on the
+    * gate corpus ⇒ ~800k screened pairs at sf0.1, ~2k paying the exact
+    * kernel — every cell is under [[graft.Tuning.semCellCap]], so the
+    * window is the identity here). A production run sizes k ∝ n
+    * (SemDeDup used 50k clusters for 100M+ docs) so per-cell membership
+    * stays constant as the corpus grows — but that only bounds the
+    * AVERAGE; the per-cell rank window ([[windowCandidates]]) bounds
+    * the worst case at 2·|cell|·cap candidates even when one dense
+    * region swallows half the corpus (the planted-hot-cell gate's
+    * regime). Output is all-integer (vec_id, cell, kept, canon) — no
+    * float ever reaches the hash.
     */
-  /** The SemDeDup core over any (vec_id, v, fn, xn) corpus against a
-    * trained centroid table: exact-decimal cell assignment, cell-scoped
-    * `dot_double` pair screen, exact-decimal verdict, lower-id
-    * canonicalization. Shared by the gate and ScaleStressSpec.
+  /** Corpus members with their exact-decimal cell assignment AND the
+    * per-cell sorted-neighborhood rank: the winning cell's L2 score
+    * (|c|² − 2·v·c, the argmin key itself) doubles as the rank key, so
+    * near-identical vectors — which sit at near-identical distance to
+    * their shared centroid — are rank-adjacent by construction. One
+    * broadcast join + one shuffle on the cell id.
     */
-  private[graft] def semanticDedupOn(
-      corpus0: org.apache.spark.sql.DataFrame,
+  private[graft] def semRanked(
+      corpus: org.apache.spark.sql.DataFrame,
       centroidArr: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
-    val s = corpus0.sparkSession
+    val s = corpus.sparkSession
     import s.implicits._
-    val corpus = graft.CacheTracker.persistTracked(corpus0)
-    // exact-decimal argmin over the k broadcast cells — the same
-    // assignment rule the trainer used, so cells are reproducible
     val cells = corpus
       .crossJoin(broadcast(centroidArr.select($"c_label", $"cv", $"cc")))
       .select($"vec_id", $"c_label",
         ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score"))
       .groupBy($"vec_id")
-      .agg(min_by($"c_label", struct($"score", $"c_label")).as("cell"))
+      .agg(min(struct($"score", $"c_label")).as("best"))
+      .select($"vec_id", $"best.c_label".as("cell"), $"best.score".as("score"))
+    corpus.join(cells, "vec_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cell").orderBy($"score", $"vec_id")))
+  }
+
+  /** Rank-window candidate pairs inside each cell: (a, b) with
+    * 0 < b.rk − a.rk ≤ cap, produced by joining on (cell, rank-bucket)
+    * with the higher-rank side exploded under its own bucket and the
+    * one below, so the JOIN ITSELF emits at most 2·cap rows per member
+    * — the candidate bound holds BEFORE any filter runs, which is the
+    * whole point of the cap (a plain cell-equi-join with a rank filter
+    * on top would still build the |cell|²/2 intermediate a hot cell
+    * explodes). Exposed for ScaleStressSpec's pair-count bound and the
+    * SemWindowProps in-memory equivalence property.
+    */
+  private[graft] def windowCandidates(
+      ranked: org.apache.spark.sql.DataFrame, cap: Int):
+      org.apache.spark.sql.DataFrame = {
+    val s = ranked.sparkSession
+    import s.implicits._
+    val g = expr(s"(rk - 1) div $cap")
+    val aS = ranked.select($"cell", g.as("g"), $"vec_id".as("ia"),
+      $"rk".as("ra"), $"v".as("ua"), $"fn".as("fa"), $"xn".as("na"))
+    val bS = ranked.select($"cell", explode(array(g, g - 1)).as("g"),
+      $"vec_id".as("ib"), $"rk".as("rb"), $"v".as("ub"), $"fn".as("fb"),
+      $"xn".as("nb"))
+    aS.join(bS, Seq("cell", "g"))
+      .filter($"rb" > $"ra" && $"rb" <= $"ra" + cap)
+  }
+
+  /** The SemDeDup core over any (vec_id, v, fn, xn) corpus against a
+    * trained centroid table: exact-decimal cell assignment, a
+    * sorted-neighborhood pair screen INSIDE each cell ([[semRanked]] +
+    * [[windowCandidates]] at `cap` — candidates hard-bounded at
+    * 2·n·cap), `dot_double` prefilter, exact-decimal verdict, lower-id
+    * canonicalization. For every cell at or under `cap` members the
+    * window covers ALL of its pairs, so this is EXACTLY the unwindowed
+    * all-pairs screen there — the cap only changes behavior where that
+    * screen was quadratic (the planted-hot-cell regime). Shared by the
+    * two gates and ScaleStressSpec.
+    */
+  private[graft] def semanticDedupOn(
+      corpus0: org.apache.spark.sql.DataFrame,
+      centroidArr: org.apache.spark.sql.DataFrame,
+      cap: Int = graft.Tuning.semCellCap):
+      org.apache.spark.sql.DataFrame = {
+    val s = corpus0.sparkSession
+    import s.implicits._
+    val corpus = graft.CacheTracker.persistTracked(corpus0)
     // read three times (both sides of the pair screen + final output)
-    val members = graft.CacheTracker.persistTracked(corpus.join(cells, "vec_id"))
-    // cluster-scoped pair screen: ONE shuffle on the cell id; the
-    // persist below is the cosineNearDup barrier — without it the
-    // exact kernel would be re-evaluated through the pushed filter
+    val ranked = graft.CacheTracker.persistTracked(
+      semRanked(corpus, centroidArr))
+    // the persist below is the cosineNearDup barrier — without it the
+    // exact kernel would be re-evaluated through the pushed filter.
+    // Pairs are generated in rank order but ORIENTED by id (cos is
+    // symmetric), preserving the drop-onto-lower-id semantics.
     val pre = graft.CacheTracker.persistTracked(
-      members.alias("a").join(members.alias("b"),
-          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
-        .filter(dotFast($"a.v", $"b.v") / ($"a.fn" * $"b.fn") >= 0.9)
-        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
-          $"a.v".as("av"), $"b.v".as("bv"),
-          $"a.xn".as("axn"), $"b.xn".as("bxn")))
+      windowCandidates(ranked, cap)
+        .filter(dotFast($"ua", $"ub") / ($"fa" * $"fb") >= 0.9)
+        .select(least($"ia", $"ib").as("va"), greatest($"ia", $"ib").as("vb"),
+          $"ua".as("av"), $"ub".as("bv"), $"na".as("axn"), $"nb".as("bxn")))
     val drops = pre
       .select($"va", $"vb",
         (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("cos"))
       .filter($"cos" >= 0.98)
       .groupBy($"vb".as("vec_id")).agg(min($"va").as("canon"))
-    members.select($"vec_id", $"cell")
+    ranked.select($"vec_id", $"cell")
       .join(drops, Seq("vec_id"), "left")
       .select($"vec_id", $"cell".cast("int").as("cell"),
         when($"canon".isNull, lit(1)).otherwise(lit(0)).as("kept"),
@@ -1564,17 +1618,18 @@ object SimilarityQueries {
       centroidArr)
   }
 
-  val semanticDedupSql: String =
-    s"""WITH $sqlIvfCtes,
-       |sd_corpus AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 10000, list_transform(range(1, 65),
-       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
-       |         ELSE CAST(embedding[d] AS DOUBLE) END)
-       |  FROM embeddings),
-       |sd_cells AS (
+  /** DuckDB mirror of [[semanticDedupOn]] downstream of a `sd_corpus`
+    * CTE (vec_id, v): cell assignment keeping the winning L2 score,
+    * per-cell distance rank, the rank-window pair screen at `cap`,
+    * exact verdict, lower-id canonicalization. Appended after
+    * [[sqlIvfCtes]] + a corpus CTE so both semantic-dedup gates share
+    * one definition (the [[graft.text.NearDup]] fragment pattern). The
+    * oracle's window join is the plain band predicate — DuckDB's
+    * optimizer handles oracle scale; the Spark side's bucketed join is
+    * what carries the bound at corpus scale.
+    */
+  private def sqlSemChain(cap: Int): String =
+    s"""sd_cells AS (
        |  SELECT vec_id, d AS pos, v[d] AS val
        |  FROM sd_corpus CROSS JOIN range(1, 65) t(d)),
        |sd_dots AS (
@@ -1583,8 +1638,8 @@ object SimilarityQueries {
        |  FROM sd_cells s JOIN centroids cb ON s.pos = cb.pos
        |  GROUP BY s.vec_id, cb.c_label),
        |sd_assign AS (
-       |  SELECT vec_id, c_label AS cell FROM (
-       |    SELECT d.vec_id, d.c_label,
+       |  SELECT vec_id, c_label AS cell, score FROM (
+       |    SELECT d.vec_id, d.c_label, n.cc - 2.0 * d.dot AS score,
        |      row_number() OVER (PARTITION BY d.vec_id
        |        ORDER BY n.cc - 2.0 * d.dot, d.c_label) AS rn
        |    FROM sd_dots d JOIN cnorm n ON d.c_label = n.c_label)
@@ -1592,11 +1647,15 @@ object SimilarityQueries {
        |sd_m AS (
        |  SELECT a.vec_id, a.cell, c.v,
        |    sqrt(list_reduce(list_transform(range(1, 65), d -> c.v[d] * c.v[d]),
-       |      (x, y) -> x + y)) AS fn
+       |      (x, y) -> x + y)) AS fn,
+       |    row_number() OVER (PARTITION BY a.cell
+       |      ORDER BY a.score, a.vec_id) AS rk
        |  FROM sd_assign a JOIN sd_corpus c ON a.vec_id = c.vec_id),
        |sd_pre AS (
-       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.v AS av, b.v AS bv
-       |  FROM sd_m a JOIN sd_m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  SELECT LEAST(a.vec_id, b.vec_id) AS va,
+       |    GREATEST(a.vec_id, b.vec_id) AS vb, a.v AS av, b.v AS bv
+       |  FROM sd_m a JOIN sd_m b
+       |    ON a.cell = b.cell AND b.rk > a.rk AND b.rk <= a.rk + $cap
        |  WHERE list_reduce(list_transform(range(1, 65), d -> a.v[d] * b.v[d]),
        |      (x, y) -> x + y) / (a.fn * b.fn) >= 0.9),
        |sd_pairs AS (
@@ -1608,8 +1667,105 @@ object SimilarityQueries {
        |FROM sd_m m LEFT JOIN sd_drop d ON m.vec_id = d.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  val semanticDedupSql: String =
+    s"""WITH $sqlIvfCtes,
+       |sd_corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |         ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings),
+       |${sqlSemChain(graft.Tuning.semCellCap)}""".stripMargin
+
+  /** Rank window for the planted-hot-cell gate: far under the
+    * production [[graft.Tuning.semCellCap]] so the CAPPED regime is
+    * what the hash pins (the planted colinear run spans ~2× this many
+    * ranks, so an oracle without the window would canonicalize the run
+    * differently — the cap is IN the hash, not just asserted).
+    */
+  private val HotCellCap = 64
+
+  /** Planted hot-cell semantic dedup: HALF the corpus is one dense
+    * region — every original is cloned into a member near 2·e₀ (e₀ =
+    * vec 0's embedding), so one Lloyd cell carries ~50% of the mass,
+    * the skew that makes an uncapped cell-scoped pair screen quadratic.
+    * Three planted populations exercise the window's three behaviors:
+    * ids < 128 form a colinear run (pairwise cosine 1 — mutual dupes
+    * whose canonicalization CHAINS at the window boundary, pinning the
+    * cap itself in the output hash); the rest carry a ±0.3/dim
+    * deterministic jitter (the [[randomProjection]] no-RNG ramp) so
+    * typical pairs sit near cosine 0.68 — inside the window but
+    * screened out by the cheap double prefilter; and each odd id is a
+    * +0.001-on-one-dim twin of its even partner (cosine ≈ 1,
+    * rank-adjacent, must drop onto the even id). Candidates stay ≤
+    * 2·n·[[HotCellCap]] by construction — ScaleStressSpec runs the same
+    * core at 10× and asserts the bound.
+    */
+  val semanticDedupHotCell: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, _, _) = ivfStructure(s, dir)
+    val e0 = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
+      .select(transform($"embedding", x => x.cast("double")).as("e0"))
+    // `src` (not `vec_id`): the output re-aliases vec_id in the same
+    // projection, and a lambda-captured $"vec_id" would resolve against
+    // the shifted output id, silently changing every formula below
+    val hot = Tables(s, dir, "embeddings").select($"vec_id".as("src"))
+      .crossJoin(broadcast(e0))
+      .select(($"src" + 1000000).as("vec_id"),
+        when($"src" < 128,
+          transform($"e0", x =>
+            x * (lit(2.0) + $"src".cast("double") * lit(0.001))))
+        .otherwise(transform($"e0", (x, d0) => {
+          val d = d0 + 1
+          val base = $"src" - ($"src" % 2)
+          // md5 jitter (KeyHash), not a linear-congruential ramp: an
+          // affine (base·a + d·b) mod p pattern makes every member's
+          // jitter a SHIFT of the same sawtooth, so some id pairs land
+          // at cosine ≥ 0.98 and become accidental planted dupes
+          // (measured: 127 of the 186 twin canons rerouted)
+          x * lit(2.0) +
+            (graft.functions.KeyHash.bucket("semjit", base * 1000 + d, 997)
+              .cast("double") - lit(498.0)) / lit(498.0) * lit(0.3) +
+            when(d === 2, ($"src" % 2).cast("double") * lit(0.001))
+              .otherwise(lit(0.0))
+        })).as("v"))
+    val corpus = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .unionByName(hot)
+      .withColumn("fn", sqrt(dotFast($"v", $"v")))
+      .withColumn("xn", normExact($"v"))
+    semanticDedupOn(corpus, centroidArr, HotCellCap)
+  }
+
+  val semanticDedupHotCellSql: String =
+    s"""WITH $sqlIvfCtes,
+       |e0t AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+       |  FROM embeddings WHERE vec_id = 0),
+       |sd_corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + 1000000,
+       |    CASE WHEN e.vec_id < 128 THEN
+       |      list_transform(z.e0, x -> x * (2.0 + e.vec_id * 0.001))
+       |    ELSE
+       |      list_transform(range(1, 65), d ->
+       |        z.e0[d] * 2.0 +
+       |        (CAST(${graft.functions.KeyHash.sqlBucket("semjit",
+                  "(e.vec_id - e.vec_id % 2) * 1000 + d", 997)}
+       |           AS DOUBLE) - 498.0) / 498.0 * 0.3 +
+       |        CASE WHEN d = 2 THEN (e.vec_id % 2) * 0.001 ELSE 0.0 END)
+       |    END
+       |  FROM embeddings e CROSS JOIN e0t z),
+       |${sqlSemChain(HotCellCap)}""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "dedup_semantic" -> (semanticDedup, Some(semanticDedupSql)),
+    "dedup_semantic_hot_cell" ->
+      (semanticDedupHotCell, Some(semanticDedupHotCellSql)),
     "sim_random_projection" -> (randomProjection, Some(randomProjectionSql)),
     "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
     "sim_hybrid_search" -> (hybridSearch, Some(hybridSearchSql)),

@@ -484,5 +484,15 @@ class PlanSpec extends SparkSpec {
         "cross-joins plan as BroadcastNestedLoopJoin):\n" + p)
     assert(p.contains("InMemoryTableScan"),
       "members and screened pairs must be cached:\n" + p)
+    // the pair join must key on (cell, rank-bucket), with the bucket
+    // pairs generated by the explode — a regression to a bare cell
+    // equi-join would rebuild the |cell|^2/2 intermediate the hot-cell
+    // gate exists to prevent (the window filter alone is NOT the bound;
+    // the join key is)
+    assert("""hashpartitioning\(cell#\d+, g#""".r.findFirstIn(p).nonEmpty ||
+        """\[cell#\d+, g#\d+""".r.findFirstIn(p).nonEmpty,
+      "pair join must key on (cell, g):\n" + p)
+    assert(p.contains("explode"),
+      "the rank-bucket side must double via explode:\n" + p)
   }
 }

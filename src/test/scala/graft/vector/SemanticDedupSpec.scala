@@ -28,4 +28,46 @@ class SemanticDedupSpec extends SparkSpec {
     assert(originals.forall(_.getAs[Int]("kept") == 1),
       "no original may be dropped")
   }
+
+  test("hot-cell gate: skewed cell is capped, twins still drop, cap is load-bearing") {
+    val out = Queries.queries("dedup_semantic_hot_cell")(spark, sf0001).collect()
+    val hot = out.filter(_.getAs[Long]("vec_id") >= 1000000L)
+    assert(hot.length == 500, s"expected 500 hot members, got ${hot.length}")
+    // the planted region concentrates: the modal cell must dwarf the
+    // 64-rank window (measured 424/500 at sf0.001 — the capped regime)
+    val modal = hot.groupBy(_.getAs[Int]("cell")).values.map(_.size).max
+    assert(modal >= 5 * 64,
+      s"dominant hot cell has $modal members, not >> the 64 window")
+    // every odd jittered member is a +0.001 twin of its even partner:
+    // rank-adjacent by construction, must drop onto exactly that id
+    val twins = hot.filter(r => r.getAs[Long]("vec_id") >= 1000128L &&
+      r.getAs[Long]("vec_id") % 2 == 1)
+    assert(twins.nonEmpty && twins.forall(r =>
+        r.getAs[Int]("kept") == 0 &&
+          r.getAs[Long]("canon") == r.getAs[Long]("vec_id") - 1),
+      "every planted twin must drop onto its even partner")
+    // jitter keeps non-twin pairs far under the verdict: no even
+    // jittered member and no original may be dropped
+    assert(hot.filter(r => r.getAs[Long]("vec_id") >= 1000128L &&
+        r.getAs[Long]("vec_id") % 2 == 0)
+      .forall(_.getAs[Int]("kept") == 1), "even jittered members all kept")
+    assert(out.filter(_.getAs[Long]("vec_id") < 1000000L)
+      .forall(_.getAs[Int]("kept") == 1), "no original may be dropped")
+    // the cap is IN the output, not just in the plan: the colinear run
+    // (128 mutual dupes at cosine 1, spanning ~2x the 64-rank window)
+    // must CHAIN its canonicalization at the window boundary — an
+    // uncapped screen pairs every run member with colinear vec 0 and
+    // collapses the run onto ONE canonical, so an oracle that dropped
+    // the window term would hash-mismatch on these rows
+    val run = hot.filter(r => r.getAs[Long]("vec_id") < 1000128L)
+    assert(run.count(_.getAs[Int]("kept") == 0) >= 127,
+      "the colinear run is mutual dupes: every member except at most " +
+        "the rank-extreme one must find a lower-id window partner")
+    val runCanons = run.filter(_.getAs[Int]("kept") == 0)
+      .map(_.getAs[Long]("canon")).distinct
+    assert(runCanons.length > 10,
+      s"run canonicalization must CHAIN at the window boundary " +
+        s"(got ${runCanons.length} distinct canons; an uncapped screen " +
+        "would collapse the run onto a single canonical)")
+  }
 }
