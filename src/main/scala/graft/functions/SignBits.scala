@@ -16,19 +16,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine-portable with no decimal detour:
   *
   *   xi_d  = floor(x_d * 2^20)                        (fixed-point input)
-  *   w_jd  = ((j*1009 + d*9176) % 97) - 48            (1-based dim d)
+  *   w_jd  = [[SignBits.weight]](j, d)                (1-based dim d)
   *   bit_j = [ Σ_d w_jd * xi_d  >= 0 ]
   *
-  * Scaling the deterministic weights by any positive constant cannot
-  * change the projection's sign, so this is the same hyperplane family
-  * as [[graft.vector.VectorOps.signBucket]] — minus that version's
-  * interpreted DECIMAL(30,15) folds, which made signatures the dominant
-  * per-row cost of the similarity queries. Overflow bound: |w| <= 48,
+  * The weights are md5-derived (the KeyHash recipe), NOT an affine
+  * (j·a + d·b) mod p ramp: an affine family makes every hyperplane a
+  * SHIFT of one periodic sawtooth, so planes within a band correlate
+  * and banded LSH loses its selectivity exactly when the data has
+  * structure — measured on the round-7 corpus: the old ramp's band 3
+  * put 271k of 292k candidate pairs into a handful of periodic-key
+  * buckets, 65× the pair mass md5 weights produce, which is the
+  * difference between sub-linear and quadratic at 100 TB. Scaling the
+  * deterministic weights by any positive constant cannot change the
+  * projection's sign, so this is the same hyperplane family as
+  * [[graft.vector.VectorOps.signBucket]] — minus that version's
+  * interpreted DECIMAL(30,15) folds. Overflow bound: |w| <= 48,
   * |xi| <= 2^20·|x|, so 64 dims of unit-scale values stay under 2^34 —
   * nowhere near Long range.
   *
-  * The DuckDB mirror is [[graft.vector.VectorOps.sqlSignBits]]; both
-  * engines compute identical BIGINTs in any summation order.
+  * The DuckDB mirror is [[graft.vector.VectorOps.sqlSignBits]] (fed by
+  * the hoisted [[graft.vector.VectorOps.sqlSignWeightsCte]] weight
+  * matrix — per-row md5 in a lambda would cost the oracle h·dims
+  * digests per vector); both engines compute identical BIGINTs in any
+  * summation order.
   */
 case class SignBits(child: Expression, h: Int) extends UnaryExpression {
 
@@ -62,9 +72,30 @@ case class SignBits(child: Expression, h: Int) extends UnaryExpression {
 
 object SignBits {
 
+  /** md5-derived hyperplane weight for (plane j, 1-based dim d), in
+    * [-48, 48]: first 4 hex chars of md5("signw" ++ (j·1000 + d)) mod
+    * 97, minus 48 — exactly [[KeyHash.bucket]]("signw", j·1000+d, 97)
+    * − 48, which is what the SQL-side weight CTE computes.
+    */
+  def weight(j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest(s"signw${j * 1000 + d}".getBytes("UTF-8"))
+    ((((b(0) & 0xff) << 8) | (b(1) & 0xff)) % 97) - 48
+  }
+
+  /** Weight matrices cached per (h, dims): h·dims md5 digests once per
+    * JVM per shape, then plain array loads in the per-row kernel.
+    */
+  private val wcache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Long]]]()
+  private def weights(h: Int, n: Int): Array[Array[Long]] =
+    wcache.computeIfAbsent((h.toLong << 32) | n.toLong, _ =>
+      Array.tabulate(h, n)((j, d0) => weight(j, d0 + 1).toLong))
+
   /** Shared eval/codegen kernel. Null elements contribute 0. */
   def compute(arr: ArrayData, h: Int, isFloat: Boolean): UTF8String = {
     val n = arr.numElements()
+    val w = weights(h, n)
     val xi = new Array[Long](n)
     var d = 0
     while (d < n) {
@@ -79,9 +110,10 @@ object SignBits {
     var j = 0
     while (j < h) {
       var p = 0L
+      val wj = w(j)
       d = 0
       while (d < n) {
-        p += (((j * 1009 + (d + 1) * 9176) % 97) - 48).toLong * xi(d)
+        p += wj(d) * xi(d)
         d += 1
       }
       out(j) = if (p >= 0L) '1'.toByte else '0'.toByte

@@ -38,12 +38,13 @@ object SimilarityQueries {
     *
     * Band length is set by the CORPUS's similarity floor, not just the
     * target: this corpus's random pairs sit near cosine 0.5 (bit
-    * agreement p₀ ≈ 0.67), so candidates ≈ b·(n²/2)·p₀^r. Measured at
-    * sf0.1 (n=4000): r=12 → ~200k background pairs (p₀¹² ≈ 8e-3 — the
-    * prefilter, not the banding, was doing the work); r=24 → ~2k
-    * (p₀²⁴ ≈ 7e-5). The planted twins agree per bit with p ≈ 0.984
-    * (measured via the old H=6 single bucket: 453/500 survivors), so
-    * per-band survival is 0.984²⁴ ≈ 0.68 and 4 bands put twin recall at
+    * agreement p₀ ≈ 0.67), so candidates ≈ b·(n²/2)·p₀^r — r=12 would
+    * leave p₀¹² ≈ 8e-3 of the n²/2 background (the prefilter, not the
+    * banding, doing the work); r=24 kills it (p₀²⁴ ≈ 7e-5; measured
+    * with the md5 weight family at sf0.1, n=4000: ~5.4k total band
+    * pair mass ≈ the ~2k planted twins + band overlap + residue). The
+    * planted twins agree per bit with p ≈ 0.984, so per-band survival
+    * is 0.984²⁴ ≈ 0.68 and 4 bands put twin recall at
     * 1-(1-0.68)⁴ ≈ 0.99.
     */
   private val NdB = graft.Tuning.ndBands // near-dup bands
@@ -159,8 +160,10 @@ object SimilarityQueries {
   val annLshSql: String = annLshSqlWith(AnnB, AnnR)
 
   def annLshSqlWith(annB: Int, annR: Int): String =
-    s"""WITH sigs AS (SELECT vec_id,
-       |    ${sqlSignBits("embedding", annB * annR)} AS sig FROM embeddings),
+    s"""WITH ${sqlSignWeightsCte(annB * annR)},
+       |sigs AS (SELECT vec_id,
+       |    ${sqlSignBits("embedding", annB * annR)} AS sig
+       |  FROM embeddings CROSS JOIN swt),
        |bands AS (
        |  SELECT vec_id, bi AS band, substr(sig, CAST(bi * $annR AS INT) + 1, $annR) AS bkey
        |  FROM sigs CROSS JOIN range(0, $annB) t(bi)),
@@ -196,13 +199,16 @@ object SimilarityQueries {
             when(d === 0, x.cast("double") + lit(0.05))
               .otherwise(x.cast("double"))).as("v")))).as("r"))
       .select($"r.vec_id", $"r.v")
-    // mean-center before hashing: this corpus's dims have a common
-    // positive offset, so uncentered hyperplane projections share one
-    // sign across most vectors — the bits carry almost no entropy and
-    // band buckets go near-quadratic (measured: 292k candidate pairs at
-    // r=24 vs ~2k planted twins). Subtracting the per-dim mean restores
-    // ~p=0.5 background bit agreement, which makes 24-bit bands kill the
-    // background (0.5²⁴ ≈ 6e-8) while twins keep p ≈ 0.98 per bit.
+    // mean-center before hashing: a corpus with a common per-dim offset
+    // pushes uncentered hyperplane projections toward one shared sign —
+    // the bits lose entropy and band buckets inflate. With the md5
+    // weight family this corpus measures ~5.4k pair mass centered OR
+    // raw (the old 292k blow-up was the affine weight family's band
+    // collapse, not offset bias — see the SignBits scaladoc), but the
+    // centering stays: it is one tiny aggregation + broadcast, and it
+    // is what keeps p≈0.5 background bit agreement on corpora that DO
+    // carry an offset, which 24-bit bands then kill (0.5²⁴ ≈ 6e-8)
+    // while twins keep p ≈ 0.98 per bit.
     // The mean is an exact decimal sum cast to double — both engines
     // compute bit-identical centered values in any row order.
     val mu = raw.select(posexplode($"v")).toDF("pos", "val")
@@ -272,11 +278,12 @@ object SimilarityQueries {
        |  SELECT pos, CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
        |  FROM cells GROUP BY pos),
        |muarr AS (SELECT list(m ORDER BY pos) AS mu FROM mu0),
+       |${sqlSignWeightsCte(NdH)},
        |b AS (
        |  SELECT vec_id, v, ${sqlSignBits("vc", NdH)} AS sig
        |  FROM (SELECT vec_id, v,
        |          list_transform(range(1, 65), d -> v[d] - mu[d]) AS vc
-       |        FROM corpus CROSS JOIN muarr)),
+       |        FROM corpus CROSS JOIN muarr) CROSS JOIN swt),
        |bands AS (
        |  SELECT vec_id, bi AS band, substr(sig, CAST(bi * $NdR AS INT) + 1, $NdR) AS bkey
        |  FROM b CROSS JOIN range(0, $NdB) t(bi)),

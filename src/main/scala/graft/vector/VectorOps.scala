@@ -82,11 +82,14 @@ object VectorOps {
   // ------------------------------------------------ sign-random-hyperplane LSH
 
   /** Deterministic pseudo-random hyperplane weight for (plane j, 1-based
-    * dim d): integer arithmetic then one double division — bit-identical
-    * everywhere, no RNG state to ship.
+    * dim d): the md5 KeyHash recipe scaled into [-1, 1] — bit-identical
+    * everywhere, no RNG state to ship, and (unlike an affine mod-p ramp)
+    * no shift-structure correlating the planes (see the SignBits
+    * scaladoc for the measured band collapse the ramp caused).
     */
   private def weight(j: Column, d: Column): Column =
-    (((j * 1009 + d * 9176) % 97) - 48).cast("double") / lit(48.0)
+    (graft.functions.KeyHash.bucket("signw", j * 1000 + d, 97) - 48)
+      .cast("double") / lit(48.0)
 
   /** Sign-LSH bucket key: one bit per hyperplane ('1' iff the exact
     * decimal projection is >= 0), concatenated into an `h`-char string.
@@ -104,9 +107,29 @@ object VectorOps {
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }), "")
 
-  /** DuckDB mirror of [[signBucket]] (1-based dims via range). */
+  /** One-row weight-matrix CTE feeding [[sqlSignBits]]: `wm` is a list
+    * of `h` 64-weight BIGINT lists, md5-derived exactly as
+    * [[graft.functions.SignBits.weight]]. Hoisted because DuckDB
+    * neither folds literals nor allows subqueries inside lambdas — the
+    * inline alternatives cost either h·64 md5 digests per ROW or a
+    * rebuilt 6k-element literal per element evaluation (measured 22 s
+    * for 4 000 rows). CROSS JOIN this CTE into any SELECT that calls
+    * the mirror (one row — a free broadcast in any engine).
+    */
+  def sqlSignWeightsCte(h: Int): String =
+    s"""swt AS (
+       |  SELECT list(wrow ORDER BY j) AS wm FROM (
+       |    SELECT j, list(w ORDER BY d) AS wrow FROM (
+       |      SELECT j, d, (CAST(('0x' || substr(md5('signw' ||
+       |          CAST(j * 1000 + d AS VARCHAR)), 1, 4)) AS INTEGER) % 97) - 48 AS w
+       |      FROM range(0, $h) t(j) CROSS JOIN range(1, 65) u(d))
+       |    GROUP BY j))""".stripMargin
+
+  /** DuckDB mirror of [[signBucket]] (1-based dims via range); requires
+    * [[sqlSignWeightsCte]]'s `wm` in scope.
+    */
   def sqlSignBucket(v: String, h: Int): String = {
-    val w = "(CAST((((j * 1009 + d * 9176) % 97) - 48) AS DOUBLE) / CAST(48.0 AS DOUBLE))"
+    val w = "(CAST(wm[j+1][d] AS DOUBLE) / CAST(48.0 AS DOUBLE))"
     val proj = s"list_sum(list_transform(range(1, 65), " +
       s"d -> CAST($w * CAST($v[d] AS DOUBLE) AS DECIMAL(30,15))))"
     s"array_to_string(list_transform(range(0, $h), " +
@@ -117,11 +140,11 @@ object VectorOps {
     * (64-dim, 1-based dims): pure BIGINT arithmetic — fixed-point inputs
     * `floor(x * 2^20)` times the integer hyperplane weights — so any
     * summation order in any engine produces the identical signature.
+    * Requires [[sqlSignWeightsCte]]'s `wm` column in scope.
     */
   def sqlSignBits(v: String, h: Int): String = {
-    val w = "(((j * 1009 + d * 9176) % 97) - 48)"
     val proj = s"list_sum(list_transform(range(1, 65), " +
-      s"d -> $w * CAST(floor(CAST($v[d] AS DOUBLE) * 1048576) AS BIGINT)))"
+      s"d -> wm[j+1][d] * CAST(floor(CAST($v[d] AS DOUBLE) * 1048576) AS BIGINT)))"
     s"array_to_string(list_transform(range(0, $h), " +
       s"j -> CASE WHEN $proj >= 0 THEN '1' ELSE '0' END), '')"
   }

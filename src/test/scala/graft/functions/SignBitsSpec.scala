@@ -9,7 +9,13 @@ class SignBitsSpec extends SparkSpec {
   private def refBits(v: Seq[Double], h: Int): String =
     (0 until h).map { j =>
       val p = v.indices.map { d0 =>
-        val w = ((j * 1009 + (d0 + 1) * 9176) % 97) - 48
+        // independent md5 weight: first 4 hex chars of
+        // md5("signw" ++ (j*1000 + d)) mod 97, minus 48
+        val key = s"signw${j * 1000 + d0 + 1}"
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        val w = (Integer.parseInt(hex, 16) % 97) - 48
         w.toLong * math.floor(v(d0) * 1048576.0).toLong
       }.sum
       if (p >= 0) '1' else '0'
