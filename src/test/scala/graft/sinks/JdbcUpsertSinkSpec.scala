@@ -25,6 +25,26 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
     assert(!sql.contains("id ="))
   }
 
+  test("golden SQL: the Postgres upsert text matches the reference field-for-field") {
+    // the one dialect no sandbox database can execute (db.go:63-72
+    // targets a live Postgres) is pinned as text instead, whitespace-
+    // normalized, so it cannot drift silently: same column order, same
+    // row-major $n placeholder layout, same conflict target, and the
+    // same four EXCLUDED assignments in the reference's order
+    def norm(s: String): String = s.trim.split("\\s+").mkString(" ")
+    assert(norm(JdbcUpsertSink.upsertSql(3)) == norm(
+      """INSERT INTO locations (locid, loctimezone, country, locname, business)
+        |VALUES
+        |($1, $2, $3, $4, $5),
+        |($6, $7, $8, $9, $10),
+        |($11, $12, $13, $14, $15)
+        |ON CONFLICT (locid) DO UPDATE SET
+        |  loctimezone = EXCLUDED.loctimezone,
+        |  country = EXCLUDED.country,
+        |  locname = EXCLUDED.locname,
+        |  business = EXCLUDED.business""".stripMargin))
+  }
+
   test("DDL creates the table plus the reference's five secondary indexes") {
     assert(JdbcUpsertSink.ddl.length == 6)
     assert(JdbcUpsertSink.ddl.head.contains("CREATE TABLE IF NOT EXISTS locations"))

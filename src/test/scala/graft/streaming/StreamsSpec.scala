@@ -206,6 +206,113 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == Set((1L, Some(101L)), (2L, None)))
   }
 
+  test("skewed state: a hot user with ~50% of events keeps session state key-bounded") {
+    // The driver gates run a near-uniform corpus; this is the 100x-scale
+    // risk they never exercise: one user carrying half of all events.
+    // AQE cannot rebalance streaming state, so the bound must come from
+    // the OPERATOR shape — sessionization state is one aggregate per
+    // USER (start, end, n), never per event, so 12 000 events across
+    // 501 users must hold ~501 state rows, and the hot user's 6 000
+    // events collapse into ONE session row.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionizeEventTime(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("skew_sess")
+      .outputMode("append").start()
+    try {
+      var id = 0L
+      for (b <- 0 until 3) {
+        val t0 = base + b * 120000L // 2 min apart: one hot session
+        val evs = (0 until 2000).map { i =>
+          id += 1
+          Streams.Event(id, new Timestamp(t0 + (i % 110) * 1000L), 0L, "click", 1.0)
+        } ++ (0 until 2000).map { i =>
+          id += 1
+          Streams.Event(id, new Timestamp(t0 + (i % 110) * 1000L),
+            1L + i % 500, "click", 1.0)
+        }
+        mem.addData(evs: _*)
+        q.processAllAvailable()
+      }
+      val peakState = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      assert(peakState >= 501,
+        s"expected one state row per user, saw only $peakState")
+      assert(peakState <= 1100,
+        s"state rows $peakState track EVENTS, not users — skew unbounded")
+      // close everything: sentinel advances the watermark 3h, next batch
+      // fires the event-time timeouts
+      for (h <- Seq(3, 4)) {
+        mem.addData(Streams.Event(-h.toLong,
+          Timestamp.valueOf(f"2024-01-01 0$h%d:00:00"), 999L, "view", 1.0))
+        q.processAllAvailable()
+      }
+      val hot = s.table("skew_sess").as[Streams.Session].collect()
+        .filter(_.user_id == 0L)
+      assert(hot.map(_.n_events).sum == 6000,
+        s"hot user's 6000 events must land in closed sessions, got $hot")
+      assert(hot.length == 1, s"one contiguous hot session, got ${hot.length}")
+    } finally q.stop()
+  }
+
+  test("skewed state: interval-join state on a hot key drains at watermark passage") {
+    // One user on BOTH join sides with ~75% of clicks: the output is
+    // legitimately large (every purchase matches every hot click in its
+    // interval — that is the join's semantics), but the STATE must not
+    // outlive the watermark: after two sentinel rounds the stores hold
+    // only the sentinels, hot key or not.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val clickMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchMem = MemoryStream[(Long, Long, Timestamp)]
+    def side(mem: MemoryStream[(Long, Long, Timestamp)], p: String) =
+      mem.toDF().toDF(s"${p}_id", s"${p}_user", s"${p}_ts")
+        .withWatermark(s"${p}_ts", "10 minutes")
+    val cond = expr("""click_user = purchase_user AND
+                      |purchase_ts >= click_ts AND
+                      |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin)
+    val q = side(clickMem, "click").join(side(purchMem, "purchase"), cond)
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("skew_oij")
+      .outputMode("append").start()
+    val clicks = (0 until 3000).map(i =>
+      (i.toLong, 0L, new Timestamp(base + (i % 300) * 1000L))) ++
+      (0 until 1000).map(i =>
+        (3000L + i, 1L + i % 500, new Timestamp(base + (i % 300) * 1000L)))
+    val purchases = (0 until 10).map(i =>
+      (100000L + i, 0L, new Timestamp(base + 300000L + i * 1000L)))
+    try {
+      clickMem.addData(clicks: _*)
+      purchMem.addData(purchases: _*)
+      q.processAllAvailable()
+      val peak = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      assert(peak >= 4000, s"join state must hold the batch's rows, saw $peak")
+      for (h <- Seq(2, 3)) {
+        clickMem.addData((-h.toLong, -1L, Timestamp.valueOf(f"2024-01-01 0$h%d:00:00")))
+        purchMem.addData((-10L * h, -1L, Timestamp.valueOf(f"2024-01-01 0$h%d:00:00")))
+        q.processAllAvailable()
+      }
+      val finalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalState <= 16,
+        s"hot-key state must drain after the watermark passes, $finalState rows left")
+      // correctness under skew: streamed matches the batch inner join
+      val streamed = s.table("skew_oij").filter($"click_id" >= 0).count()
+      val batchCount = clicks.toDF("click_id", "click_user", "click_ts")
+        .join(purchases.toDF("purchase_id", "purchase_user", "purchase_ts"), cond)
+        .count()
+      assert(streamed == batchCount && streamed > 25000,
+        s"streamed $streamed vs batch $batchCount")
+    } finally q.stop()
+  }
+
   test("csvIngestStream dedups per key within each micro-batch") {
     val s = spark
     import s.implicits._
