@@ -797,6 +797,87 @@ object CurationQueries {
        |        FROM edges0),
        |$sqlTriangleChain""".stripMargin
 
+  /** k-core decomposition via the h-index fixpoint (Lü et al. 2016,
+    * "Vital nodes identification in complex networks"): start from
+    * c⁰(v) = deg(v); each round sets c^{t+1}(v) to the h-index of v's
+    * neighbors' current estimates — the max h such that ≥ h neighbors
+    * hold value ≥ h, computed as max(min(rank, c)) over the neighbor
+    * values sorted descending. The sequence is monotone non-increasing
+    * and converges to the exact coreness. BOTH engines run a FIXED 10
+    * rounds (fixpoint measured at ≤ 6 on this corpus; KcoreSpec pins
+    * convergence-by-8 so corpus drift is caught before the oracle
+    * could diverge, and extra rounds past the fixpoint are no-ops).
+    *
+    * Scale shape: per round ONE shuffle of neighbor estimates on the
+    * edge key + a per-node window — never materializing anything
+    * super-linear in edges; rounds are O(max coreness) in theory and
+    * single digits in practice. Lineage cut per round with an eager
+    * localCheckpoint (the CLAUDE.md iterative-loop discipline); the
+    * peeling alternative deletes vertices round by round and needs a
+    * mutating frontier, while h-index iteration is a pure bulk map the
+    * shuffle machinery wants. Output is all-integer (node, core).
+    */
+  val kcore: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    val und = linkEdges(docs, n)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val adj = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    val wN = Window.partitionBy($"src").orderBy($"c".desc)
+    var est = docs
+      .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
+        $"doc_id" === $"src", "left")
+      .select($"doc_id".as("node"), coalesce($"c", lit(0L)).as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 10) {
+      val h = adj
+        .join(est.select($"node".as("dst"), $"c"), "dst")
+        .withColumn("rk", row_number().over(wN).cast("long"))
+        .groupBy($"src").agg(max(least($"rk", $"c")).as("hc"))
+      est = docs.join(h, $"doc_id" === $"src", "left")
+        .select($"doc_id".as("node"), coalesce($"hc", lit(0L)).as("c"))
+        .localCheckpoint(true)
+    }
+    est.select($"node", $"c".as("core")).orderBy($"node")
+  }
+
+  val kcoreSql: String = {
+    val steps = (1 to 10).map { k =>
+      s"""h$k AS (
+         |  SELECT src, MAX(LEAST(rk, c)) AS c FROM (
+         |    SELECT a.src, e.c,
+         |      row_number() OVER (PARTITION BY a.src ORDER BY e.c DESC) AS rk
+         |    FROM adj a JOIN e${k - 1} e ON a.dst = e.node)
+         |  GROUP BY src),
+         |e$k AS (SELECT d.doc_id AS node, COALESCE(h.c, 0) AS c
+         |        FROM docs d LEFT JOIN h$k h ON d.doc_id = h.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges0 WHERE src <> dst),
+       |adj AS (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |e0 AS (SELECT d.doc_id AS node, COALESCE(g.c, 0) AS c
+       |       FROM docs d LEFT JOIN
+       |         (SELECT src, COUNT(*) AS c FROM adj GROUP BY src) g
+       |         ON d.doc_id = g.src),
+       |$steps
+       |SELECT node, CAST(c AS BIGINT) AS core FROM e10 ORDER BY node""".stripMargin
+  }
+
   val pagerankLinksSql: String = {
     val steps = (1 to 10).map { k =>
       s"""c$k AS (
@@ -979,6 +1060,7 @@ object CurationQueries {
     "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "graph_triangle_count" -> (triangleCount, Some(triangleCountSql)),
+    "graph_kcore" -> (kcore, Some(kcoreSql)),
     "graph_triangle_count_hub" -> (triangleCountHub, Some(triangleCountHubSql)),
     "curate_k_anonymity" -> (kAnonymity, Some(kAnonymitySql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),

@@ -836,18 +836,80 @@ object SimilarityQueries {
     * task (measured: 5 s single-task stages; the whole query sat at
     * ~12 s regardless of kernel cost until this).
     */
-  private def pqSubs(s: org.apache.spark.sql.SparkSession, dir: String):
+  private def slicedSubs(emb: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("v"))
     graft.CacheTracker.persistTracked(
       emb.select($"vec_id", $"label",
           posexplode(array((0 until PqM).map(m =>
             slice($"v", m * PqSub + 1, PqSub)): _*)))
         .toDF("vec_id", "label", "m", "sub")
         .repartition(s.sparkContext.defaultParallelism, $"vec_id"))
+  }
+
+  private def pqSubs(s: org.apache.spark.sql.SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    slicedSubs(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v")))
+  }
+
+  /** Dimension permutation for the OPQ-style PQ variant — parametric
+    * OPQ's balanced allocation, not a random rotation: rank the 64 dims
+    * by corpus variance (exact-decimal moments, so the ranking is
+    * engine-identical) and DEAL them round-robin into the [[PqM]]
+    * subspaces, so every subspace holds one dim from each variance
+    * stratum instead of whatever storage order grouped together. A
+    * permutation is exactly orthogonal — inner products are preserved —
+    * and this is the one rotation family whose oracle replay is a
+    * 64-row CTE rather than an eigendecomposition. (An md5-random
+    * signed permutation was measured FIRST and dropped: recall@5 0.44
+    * vs plain PQ's 0.52 — random re-dealing splits the correlated
+    * adjacent dims plain slicing happens to keep together, exactly the
+    * structure learned OPQ preserves on purpose.)
+    *
+    * Returns srcOf: new position (1-based index) -> source dim. The
+    * 64-double collect is a model artifact like the Lloyd codebooks —
+    * a per-dim moment aggregation, not a data collect.
+    */
+  private val opqPermCache = scala.collection.mutable.Map[String, Array[Int]]()
+  private def opqPerm(s: org.apache.spark.sql.SparkSession, dir: String):
+      Array[Int] = synchronized {
+    opqPermCache.getOrElseUpdate(dir, {
+      import s.implicits._
+      val stats = Tables(s, dir, "embeddings")
+        .select(posexplode(transform($"embedding", x => x.cast("double"))))
+        .toDF("pos0", "val")
+        .groupBy($"pos0")
+        .agg(
+          (sum($"val".cast("decimal(30,15)")).cast("double") /
+            count(lit(1))).as("mu"),
+          (sum(($"val" * $"val").cast("decimal(30,15)")).cast("double") /
+            count(lit(1))).as("m2"))
+        .select($"pos0", ($"m2" - $"mu" * $"mu").as("v"))
+        .as[(Int, Double)].collect()
+      // sorted index i (0-based) -> subspace i % M, slot i / M
+      val sorted = stats.sortBy { case (p, v) => (-v, p) }.map(_._1 + 1)
+      val src = new Array[Int](64)
+      sorted.zipWithIndex.foreach { case (d, i) =>
+        src((i % PqM) * PqSub + i / PqM) = d
+      }
+      src
+    })
+  }
+
+  private def opqSubs(s: org.apache.spark.sql.SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val srcLit = typedLit(opqPerm(s, dir).toSeq)
+    slicedSubs(Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v0"))
+      .select($"vec_id", $"label",
+        transform(sequence(lit(1), lit(64)), d =>
+          element_at($"v0", element_at(srcLit, d))).as("v")))
   }
 
   /** Exact-decimal nearest-code assignment (ties by code id).
@@ -1042,6 +1104,81 @@ object SimilarityQueries {
        |adc AS (
        |  SELECT l.q_id, e.vec_id, ${sqlDsum("l.dp")} AS pq_dot
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY pq_dot DESC, vec_id) AS rank FROM adc)
+       |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** OPQ-style rotated PQ: identical ADC pipeline to [[pqAdcKnn]], but
+    * corpus AND queries pass through the [[opqPerm]] variance-balanced
+    * dimension permutation before slicing, so the 16 one-byte codes
+    * quantize subspaces holding one dim per variance stratum on the
+    * same byte budget — parametric OPQ's allocation step. Trains its
+    * own codebook (tag "opq") through the shared [[pqTrain]].
+    *
+    * Measured on THIS corpus: recall@5 0.44 vs plain PQ's 0.52 —
+    * storage order here already groups correlated dims, and re-dealing
+    * splits them (the same reason the md5-random rotation lost; see
+    * [[opqPerm]]). The operator earns its place for the opposite and
+    * more common production case — embeddings whose variance
+    * concentrates in a few leading (PCA-ordered) dims, where plain
+    * slicing wastes whole subspaces on near-constant tails — and
+    * AnnRecallSpec pins ITS OWN floor (0.35) alongside plain PQ's so
+    * both paths are regression-fenced.
+    */
+  val opqAdcKnn: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val subs = opqSubs(s, dir)
+    val cbF = pqCbRead(s, pqTrain(s, dir, subs, tag = "opq"))
+    val enc = pqAssign(subs, cbF).withColumnRenamed("c_code", "code")
+    val lut = pqLut(subs, cbF)
+    val wRank = Window.partitionBy($"q_id").orderBy($"pq_dot".desc, $"vec_id")
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(dsum($"dp").as("pq_dot"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 5)
+      .withColumn("pq_dot", round($"pq_dot", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val opqAdcKnnSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH vstat AS (
+       |  SELECT d AS srcpos,
+       |    CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE)
+       |      AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mu,
+       |    CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) *
+       |      CAST(embedding[d] AS DOUBLE)
+       |      AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m2
+       |  FROM embeddings CROSS JOIN range(1, 65) t(d) GROUP BY d),
+       |opqmap AS (
+       |  SELECT srcpos,
+       |    (i % $PqM) * $PqSub + (i // $PqM) + 1 AS newpos
+       |  FROM (SELECT srcpos, row_number() OVER (
+       |          ORDER BY m2 - mu * mu DESC, srcpos) - 1 AS i
+       |        FROM vstat)),
+       |osub AS (
+       |  SELECT vec_id, label, (newpos - 1) AS pos,
+       |    CAST(floor((newpos - 1) / $PqSub) AS INT) AS m,
+       |    CAST(embedding[srcpos] AS DOUBLE) AS val
+       |  FROM embeddings CROSS JOIN opqmap),
+       |${sqlPqChain("o")},
+       |olut AS (
+       |  SELECT s.vec_id AS q_id, cb.m, cb.c_code AS code,
+       |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dp
+       |  FROM osub s JOIN opqcb$PqLloyd cb ON s.pos = cb.pos AND s.m = cb.m
+       |  WHERE s.vec_id < 5
+       |  GROUP BY s.vec_id, cb.m, cb.c_code),
+       |adc AS (
+       |  SELECT l.q_id, e.vec_id, ${sqlDsum("l.dp")} AS pq_dot
+       |  FROM oenc e JOIN olut l ON e.m = l.m AND e.code = l.code
        |  WHERE e.vec_id <> l.q_id
        |  GROUP BY l.q_id, e.vec_id),
        |ranked AS (
@@ -1785,6 +1922,7 @@ object SimilarityQueries {
     "sim_ivf_pruned_read" -> (ivfPrunedRead, Some(ivfPrunedReadSql)),
     "sim_quantized_knn" -> (quantizedKnn, Some(quantizedKnnSql)),
     "sim_pq_adc_knn" -> (pqAdcKnn, Some(pqAdcKnnSql)),
+    "sim_opq_adc_knn" -> (opqAdcKnn, Some(opqAdcKnnSql)),
     "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql)),
     "sim_ivfpq_residual" -> (ivfpqResidual, Some(ivfpqResidualSql)),
     "sim_ivf_filtered_search" -> (ivfFilteredSearch, Some(ivfFilteredSearchSql))

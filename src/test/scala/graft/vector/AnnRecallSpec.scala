@@ -57,6 +57,23 @@ class AnnRecallSpec extends SparkSpec {
       s"PQ recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("OPQ-permuted PQ holds its own recall floor on the same byte budget") {
+    val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
+      .select("q_id", "vec_id", "rank").collect()
+      .filter(_.getInt(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opq = pairs("sim_opq_adc_knn")
+    graft.CacheTracker.releaseAll()
+    assert(opq.nonEmpty)
+    val hits = opq.intersect(exact).size.toDouble
+    // variance-balanced re-dealing measured 0.44 here vs plain PQ's
+    // 0.52 — this corpus's storage order already groups correlated
+    // dims (see the opqPerm scaladoc for why the operator still
+    // matters); 0.35 fences the permuted path's own regressions
+    assert(hits / exact.size >= 0.35,
+      s"OPQ recall vs exact top-5 collapsed: $hits/${exact.size}")
+  }
+
   test("composed IVF-PQ read path recalls >=0.85 of the exact top-5 at 4 probes") {
     val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
       .select("q_id", "vec_id", "rank").collect()
