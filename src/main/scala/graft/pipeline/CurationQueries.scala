@@ -817,9 +817,37 @@ object CurationQueries {
     * mutating frontier, while h-index iteration is a pure bulk map the
     * shuffle machinery wants. Output is all-integer (node, core).
     */
-  val kcore: Q = (s, dir) => {
+  /** The h-index iteration over an arbitrary (docs: doc_id,
+    * adj: src↔dst both directions) graph — extracted so
+    * ScaleStressSpec can drive it on a 50k-node corpus with a planted
+    * clique. Returns (node, c) after `rounds` rounds.
+    */
+  private[graft] def kcoreLoop(docs: org.apache.spark.sql.DataFrame,
+      adj: org.apache.spark.sql.DataFrame, rounds: Int):
+      org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    val wN = Window.partitionBy($"src").orderBy($"c".desc)
+    var est = docs
+      .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
+        $"doc_id" === $"src", "left")
+      .select($"doc_id".as("node"), coalesce($"c", lit(0L)).as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val h = adj
+        .join(est.select($"node".as("dst"), $"c"), "dst")
+        .withColumn("rk", row_number().over(wN).cast("long"))
+        .groupBy($"src").agg(max(least($"rk", $"c")).as("hc"))
+      est = docs.join(h, $"doc_id" === $"src", "left")
+        .select($"doc_id".as("node"), coalesce($"hc", lit(0L)).as("c"))
+        .localCheckpoint(true)
+    }
+    est
+  }
+
+  val kcore: Q = (s, dir) => {
+    import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
       .localCheckpoint(true)
     val n = docs.count()
@@ -829,22 +857,8 @@ object CurationQueries {
     val adj = und.select($"a".as("src"), $"b".as("dst"))
       .unionByName(und.select($"b".as("src"), $"a".as("dst")))
       .localCheckpoint(true)
-    val wN = Window.partitionBy($"src").orderBy($"c".desc)
-    var est = docs
-      .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
-        $"doc_id" === $"src", "left")
-      .select($"doc_id".as("node"), coalesce($"c", lit(0L)).as("c"))
-      .localCheckpoint(true)
-    for (_ <- 1 to 10) {
-      val h = adj
-        .join(est.select($"node".as("dst"), $"c"), "dst")
-        .withColumn("rk", row_number().over(wN).cast("long"))
-        .groupBy($"src").agg(max(least($"rk", $"c")).as("hc"))
-      est = docs.join(h, $"doc_id" === $"src", "left")
-        .select($"doc_id".as("node"), coalesce($"hc", lit(0L)).as("c"))
-        .localCheckpoint(true)
-    }
-    est.select($"node", $"c".as("core")).orderBy($"node")
+    kcoreLoop(docs, adj, 10)
+      .select($"node", $"c".as("core")).orderBy($"node")
   }
 
   val kcoreSql: String = {

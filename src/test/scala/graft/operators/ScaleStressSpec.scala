@@ -193,6 +193,44 @@ class ScaleStressSpec extends SparkSpec {
       f"$cand window candidates): $secs%.1f s")
   }
 
+  test("k-core h-index loop: 50k nodes + a planted 30-clique, fixpoint by 10 rounds") {
+    // the pagerank-scale graph (3-out, ~150k edges, near-regular core
+    // numbers) plus a 30-node clique planted on nodes 0..29: clique
+    // coreness must come out >= 29 exactly there, everything else far
+    // below — a sharp detection invariant — and 12 rounds must equal
+    // 10 (the production unroll's fixpoint margin holds at 10x scale).
+    val n = 50000L
+    val docs = spark.range(n).select($"id".as("doc_id")).localCheckpoint(true)
+    val base = docs.select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+        ($"doc_id" * 29 + 3) % n)).as("dst"))
+      .filter($"src" =!= $"dst")
+    val clique = spark.range(30).select($"id".as("src"))
+      .crossJoin(spark.range(30).select($"id".as("dst")))
+      .filter($"src" < $"dst")
+    val und = base.unionByName(clique)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val adj = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    import graft.pipeline.CurationQueries
+    val (c10, secs) = timed {
+      CurationQueries.kcoreLoop(docs, adj, 10).localCheckpoint(true)
+    }
+    assert(c10.count() == n, "every node gets a core number")
+    val cliqueMin = c10.filter($"node" < 30).agg(min($"c")).head.getLong(0)
+    val restMax = c10.filter($"node" >= 30).agg(max($"c")).head.getLong(0)
+    assert(cliqueMin >= 29, s"planted clique coreness $cliqueMin < 29")
+    assert(restMax < 29, s"non-clique coreness reached $restMax — the " +
+      "clique invariant lost its margin")
+    val c12 = CurationQueries.kcoreLoop(docs, adj, 12)
+    assert(c10.join(c12.withColumnRenamed("c", "c2"), "node")
+        .filter($"c" =!= $"c2").count() == 0,
+      "rounds 11-12 changed estimates — fixpoint margin broken at 50k")
+    info(f"k-core on $n nodes / ${und.count()} edges: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
