@@ -691,8 +691,13 @@ object CurationQueries {
   /** Degree-orient a canonical undirected edge table (a < b, distinct):
     * each edge is directed from its lower-(degree, id) endpoint to the
     * higher. The degree table is computed ONCE (eager localCheckpoint —
-    * the two orientation joins would otherwise each re-aggregate it)
-    * and broadcast. Exposed for PlanSpec's broadcast pin.
+    * the two orientation joins would otherwise each re-aggregate it).
+    * NO broadcast hint: the degree table scales with the NODE COUNT,
+    * and a forced hint does not degrade at 10⁹ nodes — it fails the
+    * build. AQE converts both joins to broadcast at runtime whenever
+    * the checkpointed table is actually small (gate scale — the
+    * executed plan PlanSpec pins), and keeps the shuffled equi-join
+    * when it is not; that is the graceful path a hard hint forecloses.
     */
   private[graft] def orientByDegree(
       und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -702,8 +707,8 @@ object CurationQueries {
     val lower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     und
-      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
-      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(when(lower, col("a")).otherwise(col("b")).as("s"),
         when(lower, col("b")).otherwise(col("a")).as("t"))
   }
@@ -821,6 +826,21 @@ object CurationQueries {
     * adj: src↔dst both directions) graph — extracted so
     * ScaleStressSpec can drive it on a 50k-node corpus with a planted
     * clique. Returns (node, c) after `rounds` rounds.
+    *
+    * The per-round h-index is computed from a VALUE HISTOGRAM, not a
+    * per-neighbor rank window: group (node, estimate) → count (an
+    * aggregation — map-side combine, so a 10M-degree hub's rows
+    * pre-reduce inside every task), then a window over the histogram
+    * whose per-node row count is the number of DISTINCT neighbor
+    * estimates, not the degree. H = max(min(c, cum)) over the
+    * histogram sorted by estimate descending (cum = neighbors with
+    * estimate ≥ c) — the identical integer as the rank formulation
+    * (max(min(rank, c))), which is why the DuckDB oracle keeps the
+    * simpler per-rank form: the gate pins the SEMANTICS, and the two
+    * formulations are equal by the standard h-index identity. A
+    * row_number window keyed on the node would instead sort a hub's
+    * whole neighbor list on one reducer — the straggler this
+    * formulation exists to avoid.
     */
   private[graft] def kcoreLoop(docs: org.apache.spark.sql.DataFrame,
       adj: org.apache.spark.sql.DataFrame, rounds: Int):
@@ -828,7 +848,8 @@ object CurationQueries {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val wN = Window.partitionBy($"src").orderBy($"c".desc)
+    val wC = Window.partitionBy($"src").orderBy($"c".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var est = docs
       .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
         $"doc_id" === $"src", "left")
@@ -837,8 +858,9 @@ object CurationQueries {
     for (_ <- 1 to rounds) {
       val h = adj
         .join(est.select($"node".as("dst"), $"c"), "dst")
-        .withColumn("rk", row_number().over(wN).cast("long"))
-        .groupBy($"src").agg(max(least($"rk", $"c")).as("hc"))
+        .groupBy($"src", $"c").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wC))
+        .groupBy($"src").agg(max(least($"c", $"cum")).as("hc"))
       est = docs.join(h, $"doc_id" === $"src", "left")
         .select($"doc_id".as("node"), coalesce($"hc", lit(0L)).as("c"))
         .localCheckpoint(true)

@@ -452,7 +452,11 @@ object TextQueries {
     bigramsOf(scored)
       .withColumn("prev", split($"bg", " ").getItem(0))
       .join(big, Seq("bg"), "left")
-      .join(broadcast(uni), $"prev" === $"w", "left")
+      // uni is VOCABULARY-sized (corpus-scaling, like `big` above) — no
+      // broadcast hint; AQE converts at runtime when it is actually
+      // small, and a 100 TB vocabulary joins shuffled instead of
+      // failing a forced build
+      .join(uni, $"prev" === $"w", "left")
       .crossJoin(vstats)
       .select($"doc_id",
         round(log((coalesce($"c2", lit(0L)) + lit(1.0)) /

@@ -1658,6 +1658,16 @@ object SimilarityQueries {
     * near-identical vectors — which sit at near-identical distance to
     * their shared centroid — are rank-adjacent by construction. One
     * broadcast join + one shuffle on the cell id.
+    *
+    * Residual skew cost, stated honestly: `row_number` sorts each
+    * cell's members on one reducer, so a g-member hot cell pays an
+    * O(g log g) single-task sort — the windowed pair screen turned the
+    * quadratic into this sort, not into nothing. At gate scale (20k-
+    * member planted cell) it is milliseconds; a production corpus
+    * whose anomalous cell reaches 10⁸ members escalates to the
+    * standard two-pass distributed rank (range-repartition by
+    * (cell, score), count per partition, add offsets) — same output,
+    * same hash, swap confined to this method.
     */
   private[graft] def semRanked(
       corpus: org.apache.spark.sql.DataFrame,

@@ -434,21 +434,29 @@ class PlanSpec extends SparkSpec {
       "the oriented edge table is read three times — it must be cached:\n" + p)
   }
 
-  test("triangle orientation: degree table checkpointed once and broadcast") {
+  test("triangle orientation: degree table checkpointed once, joins runtime-broadcast") {
     import spark.implicits._
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
       .toDF("a", "b")
     val df = graft.pipeline.CurationQueries.orientByDegree(und)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the degree table carries NO broadcast hint (it scales with the
+    // node count — a forced hint cannot degrade at 10^9 nodes); at
+    // this scale the runtime must still CHOOSE broadcast for both
+    // lookups, which is the graceful path the hint would foreclose
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
     assert(bhj == 2,
-      s"both degree lookups must be broadcast joins (got $bhj):\n$p")
-    // eager localCheckpoint materializes the degree agg exactly once; the
-    // second lookup reuses the first's broadcast, nothing re-aggregates
-    assert(p.contains("ReusedExchange") && !p.contains("HashAggregate"),
-      "degree table must be computed once (localCheckpoint + reused " +
-        "broadcast), not re-aggregated per join:\n" + p)
+      s"both degree lookups must plan as broadcast joins here (got $bhj):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      "small-scale orientation must not shuffle-sort or go cartesian:\n" + p)
+    // eager localCheckpoint materializes the degree agg exactly once:
+    // both lookups scan the checkpointed RDD, nothing re-aggregates
+    assert(!p.contains("HashAggregate"),
+      "degree table must be computed once (localCheckpoint), not " +
+        "re-aggregated per join:\n" + p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      "both lookups must read the one checkpointed degree table:\n" + p)
   }
 
   test("exact-substring dedup: cached grams, doc-keyed merge window, no cartesian") {
