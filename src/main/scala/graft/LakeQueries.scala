@@ -138,6 +138,90 @@ object LakeQueries {
       |  MIN(y) AS y_min, MAX(y) AS y_max
       |FROM zed GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Data-skipping effectiveness — the payoff [[zorderStats]]'s layout
+    * exists for, measured the way a reader experiences it: for each
+    * probe predicate, how many FILES' footer min/max ranges intersect
+    * it (and must be scanned) under (a) the z-order layout (16 static
+    * equal-width z-ranges — each is one 64×64 quadrant of the 8-bit ×
+    * 8-bit curve, so every file bounds BOTH dimensions to width 64)
+    * versus (b) the classic leading-column layout (file = x div 16 —
+    * tight x bounds, y unconstrained). Probes are four width-8 ranges
+    * per dimension. Expected shape, and what the gate pins: x-probes
+    * scan 1/16 files linear vs 4/16 z (the price), y-probes scan 16/16
+    * linear vs 4/16 z (the point) — z trades a constant factor on the
+    * leading column for bounded scans on EVERY clustered column, which
+    * at 100 TB is the difference between a 6% scan and a full scan for
+    * the second predicate. Entirely scan-local (static ranges are the
+    * file boundaries — no global sort, no window); the per-file stats
+    * aggregate is 32 rows and the probe join is 8×32.
+    */
+  val zorderSkipping: Q = (s, dir) => {
+    import s.implicits._
+    val z = expr(
+      """aggregate(sequence(0, 7), 0L, (acc, i) -> acc
+        |  + shiftleft(shiftright(x, i) % 2, i * 2)
+        |  + shiftleft(shiftright(y, i) % 2, i * 2 + 1))""".stripMargin)
+    val pts = Tables(s, dir, "events")
+      .select(pmod($"user_id".cast("long"), lit(256L)).as("x"),
+        pmod(floor($"value" * 2.56).cast("long"), lit(256L)).as("y"))
+      .withColumn("z", z)
+    val stats = pts
+      .select(explode(array(
+          struct(lit("zorder").as("layout"), expr("z div 4096").as("file")),
+          struct(lit("linear").as("layout"), expr("x div 16").as("file")))).as("f"),
+        $"x", $"y")
+      .groupBy($"f.layout", $"f.file")
+      .agg(min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+    val probes = s.range(4).select(
+        explode(array(
+          struct(lit("x").as("dim"), ($"id" * 64 + 24).as("lo")),
+          struct(lit("y").as("dim"), ($"id" * 64 + 24).as("lo")))).as("p"))
+      .select(concat($"p.dim", lit("_"), $"p.lo").as("probe"),
+        $"p.dim", $"p.lo", ($"p.lo" + 7).as("hi"))
+    // LEFT join so a probe no file intersects still reports (0, 0) —
+    // "every file skipped" is the best row in the table, not a dropout
+    probes.join(stats,
+        when($"dim" === "x", $"x_min" <= $"hi" && $"x_max" >= $"lo")
+          .otherwise($"y_min" <= $"hi" && $"y_max" >= $"lo"), "left")
+      .groupBy($"probe")
+      .agg(count(when($"layout" === "zorder", 1)).as("files_zorder"),
+        count(when($"layout" === "linear", 1)).as("files_linear"))
+      .orderBy($"probe")
+  }
+
+  val zorderSkippingSql: String =
+    """WITH pts AS (
+      |  SELECT ((user_id % 256) + 256) % 256 AS x,
+      |    ((CAST(floor(value * 2.56) AS BIGINT) % 256) + 256) % 256 AS y
+      |  FROM events),
+      |zed AS (
+      |  SELECT x, y,
+      |    list_sum(list_transform(range(0, 8), i ->
+      |      (((x >> i) % 2) << (i * 2)) + (((y >> i) % 2) << (i * 2 + 1))))
+      |      AS z
+      |  FROM pts),
+      |files AS (
+      |  SELECT layout, CASE layout WHEN 'zorder' THEN z // 4096
+      |                 ELSE x // 16 END AS file, x, y
+      |  FROM zed CROSS JOIN (SELECT unnest(['zorder', 'linear']) AS layout)),
+      |stats AS (
+      |  SELECT layout, file, MIN(x) AS x_min, MAX(x) AS x_max,
+      |    MIN(y) AS y_min, MAX(y) AS y_max
+      |  FROM files GROUP BY layout, file),
+      |probes AS (
+      |  SELECT dim || '_' || CAST(i * 64 + 24 AS VARCHAR) AS probe,
+      |    dim, i * 64 + 24 AS lo, i * 64 + 31 AS hi
+      |  FROM range(0, 4) t(i)
+      |    CROSS JOIN (SELECT unnest(['x', 'y']) AS dim))
+      |SELECT probe,
+      |  CAST(COUNT(*) FILTER (layout = 'zorder') AS BIGINT) AS files_zorder,
+      |  CAST(COUNT(*) FILTER (layout = 'linear') AS BIGINT) AS files_linear
+      |FROM probes LEFT JOIN stats
+      |  ON CASE WHEN dim = 'x' THEN x_min <= hi AND x_max >= lo
+      |          ELSE y_min <= hi AND y_max >= lo END
+      |GROUP BY probe ORDER BY probe""".stripMargin
+
   /** Copy-on-write MERGE with dynamic partition overwrite — incremental
     * table maintenance without a table format: a status-partitioned
     * orders table takes an update batch that touches ONLY the 'F'
@@ -624,5 +708,6 @@ object LakeQueries {
     "lake_pruned_scan" -> (prunedScan, Some(prunedScanSql)),
     "lake_dpp_join" -> (dppJoin, Some(dppJoinSql)),
     "lake_zorder_stats" -> (zorderStats, Some(zorderStatsSql)),
+    "lake_zorder_skipping" -> (zorderSkipping, Some(zorderSkippingSql)),
     "lake_merge_partition" -> (mergePartition, Some(mergePartitionSql)))
 }
