@@ -623,8 +623,13 @@ object TpchQueries {
       .groupBy($"l_suppkey")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
       .select($"l_suppkey".as("supplier_no"), $"total_revenue")
-    val top = revenue
-      .withColumn("mx", max($"total_revenue").over(Window.partitionBy()))
+    // 1-row aggregate + broadcast, NOT an empty-partition window max:
+    // the revenue table is supplier-cardinality (corpus-scaling), and
+    // an unkeyed window would drag all of it through one reducer.
+    // Persisted: the max side and the filter side both read it
+    val rev = graft.CacheTracker.persistTracked(revenue)
+    val top = rev
+      .crossJoin(broadcast(rev.agg(max($"total_revenue").as("mx"))))
       .filter($"total_revenue" === $"mx")
     Tables(s, dir, "supplier")
       .join(top, $"s_suppkey" === $"supplier_no")

@@ -63,20 +63,37 @@ object CurationQueries {
   }
 
   /** Per-source quota: keep at most 10 documents per source, chosen by
-    * hash order (not arrival order, which is partition-dependent).
-    * One window shuffle on `source`; output ≤ 10 × |sources| rows
-    * regardless of corpus size — the anti-head-domination cap every
-    * web-scale corpus applies before training.
+    * hash order (not arrival order, which is partition-dependent) —
+    * the anti-head-domination cap every web-scale corpus applies
+    * before training. NOT a row_number window: with a handful of
+    * sources a window shuffles the ENTIRE corpus onto |sources|
+    * reducers and sorts each group in full — the [[graft.operators
+    * .TopKByScore]] aggregator instead keeps ≤ 10 rows per (source ×
+    * partition) at the map side, so the shuffle carries quota-bounded
+    * partials no matter how hot a source is (the same shape
+    * `sim_knn_topk_agg` pins for kNN). The order key is the first 48
+    * bits of the md5 as an integer (sign-flipped into the aggregator's
+    * score-desc order), ties by doc_id — the oracle sorts by the same
+    * 48-bit prefix, so tie-handling is identical by construction
+    * rather than resting on prefix-collision absence.
     */
   val quotaPerSource: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"source")
-      .orderBy(md5(concat(lit("quota|"), $"doc_id".cast("string"))), $"doc_id")
-    Tables(s, dir, "documents")
+    val docs = Tables(s, dir, "documents")
       .select($"source", $"doc_id", $"n_chars")
-      .withColumn("pick", row_number().over(w))
-      .filter($"pick" <= 10)
+    val kept = docs
+      .select($"source", $"doc_id",
+        (-conv(substring(md5(concat(lit("quota|"), $"doc_id".cast("string"))),
+          1, 12), 16, 10).cast("long").cast("double")).as("score"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, sc) => graft.operators.ScoredId(0L, id, sc) }
+      .agg(new graft.operators.TopKByScore(10).toColumn.name("top"))
+      .flatMap { case (src, buf) =>
+        buf.ids.zipWithIndex.map { case (id, i) => (src, id, i + 1) } }
+      .toDF("source", "doc_id", "pick")
+    kept.join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .select($"source", $"doc_id", $"n_chars", $"pick")
       .orderBy($"source", $"pick")
   }
 
@@ -84,7 +101,8 @@ object CurationQueries {
     s"""SELECT source, doc_id, n_chars, pick FROM (
        |  SELECT source, doc_id, n_chars,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+       |      ORDER BY CAST(('0x' || substr(md5('quota|' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT), doc_id) AS pick
        |  FROM documents)
        |WHERE pick <= 10 ORDER BY source, pick""".stripMargin
 
@@ -128,19 +146,19 @@ object CurationQueries {
     */
   val balanceLabels: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val base = Tables(s, dir, "embeddings").select($"vec_id", $"label")
-    val perLabel = Window.partitionBy($"label")
-    val pickW = Window.partitionBy($"label")
-      .orderBy(md5(concat(lit("bal|"), $"vec_id".cast("string"))), $"vec_id")
-    val minCnt = broadcast(
-      base.groupBy($"label").agg(count(lit(1)).as("c"))
-        .agg(min($"c").as("min_label")))
-    base
-      .withColumn("n_label", count(lit(1)).over(perLabel))
-      .withColumn("pick", row_number().over(pickW))
+    // per-label counts via a partial aggregate (a COUNT window keyed on
+    // 10 labels would drag the corpus onto 10 reducers); the pick rank
+    // via HashRank's two-phase bucketed rank for the same reason — the
+    // quota here is DATA-DEPENDENT (the min label count, a corpus
+    // fraction), so the TopK-aggregator shape quota_per_source uses
+    // cannot cap the buffer, and exact ranking is the honest plan
+    val counts = base.groupBy($"label").agg(count(lit(1)).as("n_label"))
+    val minCnt = broadcast(counts.agg(min($"n_label").as("min_label")))
+    graft.operators.HashRank.rank(base, "label", "vec_id", "bal|")
+      .join(broadcast(counts), "label")
       .crossJoin(minCnt)
-      .filter($"pick" <= $"min_label")
+      .filter($"rk" <= $"min_label")
       .groupBy($"label")
       .agg(count(lit(1)).as("n_kept"), min($"n_label").as("n_before"))
       .orderBy($"label")
@@ -319,16 +337,19 @@ object CurationQueries {
     */
   val packSequences: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val B = 256L
-    val w = Window.partitionBy($"source")
-      .orderBy(md5(concat(lit("pack|"), $"doc_id".cast("string"))), $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = Tables(s, dir, "documents")
-      .select($"source", $"doc_id",
-        size(graft.text.TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
-      .filter($"n_tok" > 0)
-      .withColumn("end_", sum($"n_tok").over(w))
+    // the cumulative offset runs through HashRank.cumSum's two-phase
+    // bucketed running sum: a plain window keyed on `source` would put
+    // each shard's ENTIRE corpus slice on one reducer (sources are a
+    // handful) — the bucketed form bounds every window at ~1/256 of a
+    // shard while producing the identical cumsum (same salted order)
+    val spans = graft.operators.HashRank.cumSum(
+        Tables(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(graft.text.TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
+          .filter($"n_tok" > 0),
+        "source", "doc_id", "pack|", "n_tok")
+      .withColumn("end_", $"cum")
       .withColumn("start_", $"end_" - $"n_tok")
     spans
       .select($"source", $"start_", $"end_",

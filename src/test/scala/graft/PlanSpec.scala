@@ -138,18 +138,28 @@ class PlanSpec extends SparkSpec {
   test("label balancing broadcasts the 1-row global min, no empty-partition window") {
     val p = plan("curate_balance_labels")
     assert(p.contains("BroadcastExchange"), p)
-    // every window must be keyed on label — an empty-partition window
-    // would drag the full corpus through one task
+    // every window must be keyed on (label, hash-bucket) — HashRank's
+    // two-phase rank. A window keyed on label ALONE drags each label's
+    // full membership onto one reducer; an empty-partition window
+    // drags the whole corpus through one task
     val specs = "windowspecdefinition\\(".r.findAllIn(p).size
-    val keyed = "windowspecdefinition\\(label".r.findAllIn(p).size
-    assert(specs > 0 && specs == keyed,
-      s"unkeyed window spec present ($keyed/$specs keyed):\n" + p)
+    val keyed = "windowspecdefinition\\(label[^,]*, _b".r.findAllIn(p).size
+    assert(specs > 0 && keyed >= 1,
+      s"the rank window must key on (label, _b) ($keyed of $specs):\n" + p)
+    assert(!p.contains("windowspecdefinition()"),
+      "empty-partition window present:\n" + p)
   }
 
-  test("per-source quota is one window shuffle keyed on source") {
+  test("per-source quota aggregates map-side partials, not a corpus window") {
     val p = plan("curate_quota_per_source")
-    assert(p.contains("Window"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    // the TopK aggregator: partial ObjectHashAggregate per partition
+    // keeps <= quota rows before the source-keyed shuffle — a
+    // row_number window would move the whole corpus onto |sources|
+    // reducers and sort it there
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("row_number"),
+      "quota must not rank via a corpus-wide window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("partitioned-layout scan prunes statically on the partition column") {
@@ -324,14 +334,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q15 computes the revenue view in one lineitem scan (window max, no subquery rescan)") {
+  test("q15 computes the revenue view in one lineitem scan (cached + broadcast max)") {
     // the SQL scalar-subquery form runs the revenue aggregation — and
     // the fact scan under it — twice (subqueries are separate query
-    // executions; ReuseExchange cannot cross them)
+    // executions; ReuseExchange cannot cross them). The global max is a
+    // broadcast 1-row aggregate over the CACHED revenue view — an
+    // empty-partition window would drag the supplier-cardinality table
+    // through one reducer at scale
     val p = plan("q15_top_supplier").split("== Initial Plan ==")(0)
-    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
-      "q15 must scan lineitem exactly once:\n" + p)
-    assert(p.contains("Window"), "global max must come from a window:\n" + p)
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "q15 must scan lineitem at most once (cached revenue):\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "both max and filter sides must read the cached revenue view:\n" + p)
+    assert(!p.contains("windowspecdefinition()"),
+      "no empty-partition window:\n" + p)
   }
 
   test("q11 reuses the natl aggregation exchange between HAVING subquery and output") {
