@@ -323,7 +323,65 @@ object AdvancedJoins {
       |SELECT clean_id, dirty_id, dist FROM cand
       |WHERE dist <= 1 ORDER BY clean_id, dirty_id""".stripMargin
 
+  /** Interval-OVERLAP join (range × range — the general case
+    * [[rangePromoWeeks]]' point-in-range specializes): per-(user, day)
+    * activity intervals joined to per-(event_type, hour) incident
+    * windows wherever the two time spans intersect. Both sides SCALE
+    * with the corpus, so neither is broadcastable at 100 TB and Spark
+    * has no native interval join — the scale plan is the bucket-grid
+    * equi-join: each interval explodes into the 1-hour grid cells it
+    * covers, cells join by key, and each overlapping pair is emitted
+    * EXACTLY ONCE by keeping only the cell containing the LATER of the
+    * two interval starts (any overlapping pair shares that cell — it
+    * lies inside both intervals — and no other emits it, so no distinct
+    * pass is needed). Candidate work is Σ interval-length/grid — linear
+    * in total interval mass, never |A|·|B|; the grid size is the
+    * selectivity knob. Intervals are half-open [s, e) on exact epoch
+    * micros, integer-only throughout. The oracle runs the plain
+    * inequality join (DuckDB's IEJoin) — a different algorithm, so the
+    * gate pins the overlap semantics, not the plan.
+    */
+  val intervalOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24L * hourUs
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val a = ev.groupBy($"user_id", expr(s"us div $dayUs").as("day"))
+      .agg(min($"us").as("as_"), (max($"us") + 1L).as("ae"))
+    val b = ev.groupBy($"event_type", expr(s"us div $hourUs").as("hr"))
+      .agg(min($"us").as("bs"), (max($"us") + 1L).as("be"))
+    val aExp = a.withColumn("g",
+      explode(sequence(expr(s"as_ div $hourUs"), expr(s"(ae - 1) div $hourUs"))))
+    val bExp = b.withColumn("g",
+      explode(sequence(expr(s"bs div $hourUs"), expr(s"(be - 1) div $hourUs"))))
+    aExp.join(bExp, Seq("g"))
+      .filter($"as_" < $"be" && $"bs" < $"ae" &&
+        $"g" === expr(s"greatest(as_, bs) div $hourUs"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val intervalOverlapSql: String = {
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24L * hourUs
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |a AS (SELECT user_id, us // $dayUs AS day,
+       |        MIN(us) AS a_s, MAX(us) + 1 AS ae FROM ev GROUP BY 1, 2),
+       |b AS (SELECT event_type, us // $hourUs AS hr,
+       |        MIN(us) AS bs, MAX(us) + 1 AS be FROM ev GROUP BY 1, 2)
+       |SELECT event_type, COUNT(*) AS n_pairs,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM a JOIN b ON a_s < be AND bs < ae
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "join_interval_overlap" -> (intervalOverlap, Some(intervalOverlapSql)),
     "join_fuzzy_match" -> (fuzzyMatch, Some(fuzzyMatchSql)),
     "join_bucketed_colocated" -> (bucketedColocated, Some(bucketedColocatedSql)),
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),

@@ -30,4 +30,16 @@ object KeyHash {
 
   /** DuckDB mirror of [[bucket100]]. */
   def sqlBucket100(salt: String, key: String): String = sqlBucket(salt, key, 100)
+
+  /** Raw 48-bit hash value (first 12 hex chars) — the uniform-variate
+    * source when a query needs more than a bucket (weighted sampling,
+    * noise generation). Fits a BIGINT exactly; [0, 2^48).
+    */
+  def hash48(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** DuckDB mirror of [[hash48]]. */
+  def sqlHash48(salt: String, key: String): String =
+    s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 12)) AS BIGINT)"
 }

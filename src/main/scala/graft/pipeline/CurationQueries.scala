@@ -622,6 +622,62 @@ object CurationQueries {
     ranks
   }
 
+  /** Exact integer thresholds for the two-sided geometric (discrete
+    * Laplace) mechanism at ε = 1: T_j = ⌊2⁴⁷·e^(−j)⌋, j ≥ 1, kept while
+    * positive (32 entries). The magnitude drawn below satisfies
+    * P(k ≥ j) = T_j / 2⁴⁷ ≈ e^(−j·ε). Computed ONCE here and embedded
+    * as the SAME literals in the Spark expression and the oracle SQL —
+    * cross-engine agreement is by construction, not by libm.
+    */
+  private[graft] val dpThresholds: Seq[Long] = (1 to 60)
+    .map(j => math.floor(math.exp(-j) * math.pow(2.0, 47)).toLong)
+    .filter(_ > 0)
+
+  /** Differentially-private histogram release (two-sided geometric
+    * mechanism, Ghosh–Roughgarden–Sundararajan 2012) — the privacy
+    * sibling of [[kAnonymity]]: per-(lang, source) document counts with
+    * integer noise n + s·k, where the cell's md5 hash supplies the
+    * uniform variate (bit 0 → sign; bits 1-47 → magnitude via the
+    * threshold table above). Each document lands in exactly one cell,
+    * so histogram sensitivity is 1 and the release is ε=1-DP under
+    * add/remove adjacency. Only the noisy count leaves the query.
+    *
+    * Determinism: the noise is a pure function of the CELL KEY — no RNG
+    * state, identical on any engine or partitioning (seeded-noise
+    * releases are standard practice for reproducible pipelines; a
+    * per-release salt rotates the draw). Scale shape: one shuffle on
+    * the cell key with map-side combine; the noise is scan-local
+    * integer arithmetic over a 32-element literal list (hoisted into a
+    * one-row CTE on the DuckDB side — lambdas there fold nothing).
+    */
+  val dpHistogram: Q = (s, dir) => {
+    import s.implicits._
+    val tl = array(dpThresholds.map(lit(_)): _*)
+    Tables(s, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .withColumn("m", graft.functions.KeyHash.hash48("dph|",
+        concat($"lang", lit("|"), $"source")))
+      .withColumn("u47", expr("m div 2"))
+      .withColumn("k",
+        size(filter(tl, t => t > $"u47")).cast("long"))
+      .select($"lang", $"source",
+        ($"n" + when($"m" % 2 === 0, lit(1L)).otherwise(lit(-1L)) * $"k")
+          .as("noisy_n"))
+      .orderBy($"lang", $"source")
+  }
+
+  val dpHistogramSql: String = {
+    val m = graft.functions.KeyHash.sqlHash48("dph|", "lang || '|' || source")
+    s"""WITH g AS (
+       |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+       |tlc AS (SELECT [${dpThresholds.mkString(", ")}] AS tl),
+       |h AS (SELECT lang, source, n, $m AS mh FROM g)
+       |SELECT lang, source,
+       |  CAST(n + (CASE WHEN mh % 2 = 0 THEN 1 ELSE -1 END) *
+       |    len(list_filter(tl, t -> t > mh // 2)) AS BIGINT) AS noisy_n
+       |FROM h CROSS JOIN tlc ORDER BY lang, source""".stripMargin
+  }
+
   /** k-anonymity risk report — the re-identification audit that sits
     * beside PII redaction in a data-governance pipeline: rows are
     * grouped by their quasi-identifier tuple (nation × a coarse
@@ -889,18 +945,51 @@ object CurationQueries {
     est
   }
 
+  /** The canonical undirected adjacency (both directions, eager
+    * localCheckpoint) of the deterministic 3-out link graph — the input
+    * every per-neighbor fixpoint ([[kcore]], [[labelPropagation]],
+    * [[bfsLayers]]) iterates over; materialized ONCE before the loop
+    * (the CLAUDE.md iterative-loop discipline).
+    */
+  private def linkAdj(docs: org.apache.spark.sql.DataFrame,
+      n: Long): org.apache.spark.sql.DataFrame = {
+    val und = linkEdges(docs, n)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** The matching oracle prefix: docs/stats/edges0/und/adj CTEs shared
+    * by every graph-fixpoint oracle so the three gates cannot drift
+    * apart on graph construction. `adj` is MATERIALIZED: DuckDB inlines
+    * plain CTEs, so the 10-16× re-reference across fixpoint rounds
+    * would otherwise recompute the DISTINCT edge build per round (and
+    * any round body referencing its predecessor twice would inline
+    * EXPONENTIALLY — measured as an fd-exhaustion blowup at 16 rounds).
+    */
+  private def sqlAdjPrefix: String =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM edges0 WHERE src <> dst),
+       |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b, a FROM und)""".stripMargin
+
   val kcore: Q = (s, dir) => {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id")
       .localCheckpoint(true)
     val n = docs.count()
-    val und = linkEdges(docs, n)
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .distinct()
-    val adj = und.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
-      .localCheckpoint(true)
-    kcoreLoop(docs, adj, 10)
+    kcoreLoop(docs, linkAdj(docs, n), 10)
       .select($"node", $"c".as("core")).orderBy($"node")
   }
 
@@ -915,24 +1004,146 @@ object CurationQueries {
          |e$k AS (SELECT d.doc_id AS node, COALESCE(h.c, 0) AS c
          |        FROM docs d LEFT JOIN h$k h ON d.doc_id = h.src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH docs AS (SELECT doc_id FROM documents),
-       |stats AS (SELECT COUNT(*) AS n FROM docs),
-       |edges0 AS (
-       |  SELECT doc_id AS src,
-       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
-       |           WHEN 1 THEN (doc_id * 13 + 2) % n
-       |           ELSE (doc_id * 29 + 3) % n END AS dst
-       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
-       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       |        FROM edges0 WHERE src <> dst),
-       |adj AS (SELECT a AS src, b AS dst FROM und
-       |        UNION ALL SELECT b, a FROM und),
+    s"""$sqlAdjPrefix,
        |e0 AS (SELECT d.doc_id AS node, COALESCE(g.c, 0) AS c
        |       FROM docs d LEFT JOIN
        |         (SELECT src, COUNT(*) AS c FROM adj GROUP BY src) g
        |         ON d.doc_id = g.src),
        |$steps
        |SELECT node, CAST(c AS BIGINT) AS core FROM e10 ORDER BY node""".stripMargin
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — the
+    * community-detection workhorse of large-graph curation (grouping
+    * near-dup clusters, link farms, citation communities). Every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label — a
+    * total, deterministic rule, so a FIXED 5 synchronous rounds in both
+    * engines yields identical labels regardless of whether the process
+    * has converged (synchronous LPA may 2-cycle by design; determinism
+    * here never depends on convergence, unlike [[kcore]] whose fixpoint
+    * is monotone).
+    *
+    * Scale shape: per round ONE shuffle of neighbor labels on the edge
+    * key, then a (node, label) count aggregation — map-side combine
+    * pre-reduces a hub's repeated labels inside each task — and an
+    * argmax by max(struct(cnt, -label)), an AGGREGATION rather than a
+    * per-node rank window (the same straggler-avoidance as kcore's
+    * histogram h-index: no hub neighbor list ever sorts on one
+    * reducer). Lineage cut per round with an eager localCheckpoint.
+    * Output is the community-size histogram.
+    */
+  private[graft] def lpaLoop(docs: org.apache.spark.sql.DataFrame,
+      adj: org.apache.spark.sql.DataFrame, rounds: Int):
+      org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var est = docs.select($"doc_id".as("node"), $"doc_id".as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val h = adj
+        .join(est.select($"node".as("dst"), $"lab"), "dst")
+        .groupBy($"src", $"lab").agg(count(lit(1)).as("cnt"))
+        .groupBy($"src")
+        .agg(max(struct($"cnt", (-$"lab").as("nl"))).as("m"))
+        .select($"src", (-$"m.nl").as("nlab"))
+      est = est.join(h, $"node" === $"src", "left")
+        .select($"node", coalesce($"nlab", $"lab").as("lab"))
+        .localCheckpoint(true)
+    }
+    est
+  }
+
+  val labelPropagation: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    lpaLoop(docs, linkAdj(docs, n), 5)
+      .groupBy($"lab").agg(count(lit(1)).as("size"))
+      .select($"lab".as("community"), $"size")
+      .orderBy($"size".desc, $"community").limit(100)
+  }
+
+  val labelPropagationSql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""h$k AS (
+         |  SELECT src, lab FROM (
+         |    SELECT a.src, e.lab,
+         |      row_number() OVER (PARTITION BY a.src
+         |        ORDER BY COUNT(*) DESC, e.lab) AS rk
+         |    FROM adj a JOIN e${k - 1} e ON a.dst = e.node
+         |    GROUP BY a.src, e.lab)
+         |  WHERE rk = 1),
+         |e$k AS MATERIALIZED (SELECT e.node, COALESCE(h.lab, e.lab) AS lab
+         |        FROM e${k - 1} e LEFT JOIN h$k h ON e.node = h.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlAdjPrefix,
+       |e0 AS (SELECT doc_id AS node, doc_id AS lab FROM docs),
+       |$steps
+       |SELECT lab AS community, COUNT(*) AS size FROM e5
+       |GROUP BY lab ORDER BY size DESC, community LIMIT 100""".stripMargin
+  }
+
+  /** Single-source BFS layers from node 0 — hop-distance labeling, the
+    * reachability primitive under crawl-frontier analysis, influence
+    * radii, and link-graph QA. Distances relax min-plus style: a FIXED
+    * 16 synchronous rounds (the 3-out graph is an expander; BfsSpec
+    * pins convergence by round 12 so corpus drift fails the spec with
+    * a 4-round margin before the engines could desynchronize — the
+    * [[kcore]] discipline). Unreached nodes report distance -1.
+    *
+    * Scale shape: per round ONE shuffle of current distances on the
+    * edge key + a min aggregation (map-side combine); the relaxation
+    * is a pure bulk map over edges — never a frontier structure the
+    * driver must hold. INF rides as the integer 999999 so the whole
+    * loop is int64-only (no null arithmetic, no doubles anywhere).
+    */
+  private[graft] def bfsLoop(docs: org.apache.spark.sql.DataFrame,
+      adj: org.apache.spark.sql.DataFrame, source: Long, rounds: Int):
+      org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val inf = 999999L
+    var est = docs.select($"doc_id".as("node"),
+        when($"doc_id" === source, 0L).otherwise(inf).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val m = adj
+        .join(est.select($"node".as("src"), $"d"), "src")
+        .groupBy($"dst").agg((min($"d") + 1L).as("md"))
+      est = est.join(m, $"node" === $"dst", "left")
+        .select($"node", least($"d", coalesce($"md", $"d")).as("d"))
+        .localCheckpoint(true)
+    }
+    est
+  }
+
+  val bfsLayers: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    bfsLoop(docs, linkAdj(docs, n), source = 0L, rounds = 16)
+      .select(when($"d" === 999999L, -1L).otherwise($"d").as("dist"))
+      .groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"dist")
+  }
+
+  val bfsLayersSql: String = {
+    val steps = (1 to 16).map { k =>
+      s"""m$k AS (SELECT a.dst, MIN(e.d) + 1 AS md
+         |        FROM adj a JOIN e${k - 1} e ON a.src = e.node GROUP BY a.dst),
+         |e$k AS MATERIALIZED (SELECT e.node, LEAST(e.d, COALESCE(m.md, e.d)) AS d
+         |        FROM e${k - 1} e LEFT JOIN m$k m ON e.node = m.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlAdjPrefix,
+       |e0 AS (SELECT doc_id AS node,
+       |         CASE WHEN doc_id = 0 THEN 0 ELSE 999999 END AS d FROM docs),
+       |$steps
+       |SELECT CAST(CASE WHEN d = 999999 THEN -1 ELSE d END AS BIGINT) AS dist,
+       |  COUNT(*) AS n_nodes
+       |FROM e16 GROUP BY 1 ORDER BY dist""".stripMargin
   }
 
   val pagerankLinksSql: String = {
@@ -1118,8 +1329,12 @@ object CurationQueries {
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
     "graph_triangle_count" -> (triangleCount, Some(triangleCountSql)),
     "graph_kcore" -> (kcore, Some(kcoreSql)),
+    "graph_label_propagation" ->
+      (labelPropagation, Some(labelPropagationSql)),
+    "graph_bfs_layers" -> (bfsLayers, Some(bfsLayersSql)),
     "graph_triangle_count_hub" -> (triangleCountHub, Some(triangleCountHubSql)),
     "curate_k_anonymity" -> (kAnonymity, Some(kAnonymitySql)),
+    "curate_dp_histogram" -> (dpHistogram, Some(dpHistogramSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),

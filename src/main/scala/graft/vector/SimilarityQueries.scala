@@ -1916,7 +1916,83 @@ object SimilarityQueries {
        |  FROM embeddings e CROSS JOIN e0t z),
        |${sqlSemChain(HotCellCap)}""".stripMargin
 
+  /** ColBERT-style late-interaction (MaxSim) scoring over multi-vector
+    * documents: each embedding is treated as FOUR 16-dim token vectors
+    * (contiguous slices — the multi-vector layout a late-interaction
+    * retriever stores), and score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ) — for
+    * every query sub-vector, its best-matching document sub-vector.
+    * Top-10 per query, 3 query docs.
+    *
+    * Determinism: each sub-cosine is dot_exact_dec / (norm·norm) —
+    * exact-decimal dot, then IEEE-correctly-rounded sqrt/divide — so
+    * every cosine is bit-identical across engines; `greatest` picks the
+    * same max and the four maxes sum in one fixed association
+    * ((m0+m1)+m2)+m3 mirrored textually in the oracle. Sub-vectors and
+    * their norms are projected once per row BELOW the join (the
+    * [[knnBrute]] hoist — Catalyst cannot collapse a Project through a
+    * join), so each pair pays exactly 16 dot kernels and no norm
+    * recomputation.
+    *
+    * Scale shape: the query side broadcasts; the corpus side is one
+    * scan, no shuffle. This gate pins the exact scoring semantics at
+    * brute force; at 100 TB the identical scorer runs AFTER an IVF/LSH
+    * candidate prune (compose with [[ivfFilteredSearch]]'s candidate
+    * pattern) — per-pair cost is a constant 16 kernels either way.
+    */
+  val maxsimLate: Q = (s, dir) => {
+    import s.implicits._
+    def sub(i: Int) = slice(col("embedding"), 1 + 16 * i, 16)
+    def sides(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("vec_id").as(s"${p}_id") +:
+        (0 until 4).flatMap(i => Seq(
+          sub(i).as(s"${p}s$i"),
+          normExact(sub(i)).as(s"${p}n$i"))): _*)
+    val emb = Tables(s, dir, "embeddings")
+    val docs = sides(emb, "d")
+    val qs = sides(emb.filter($"vec_id" < 3), "q")
+    def cos(i: Int, j: Int) =
+      dotExact(col(s"qs$i"), col(s"ds$j")) / (col(s"qn$i") * col(s"dn$j"))
+    def mi(i: Int) = greatest(cos(i, 0), cos(i, 1), cos(i, 2), cos(i, 3))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    docs.crossJoin(broadcast(qs))
+      .filter($"d_id" =!= $"q_id")
+      .select($"q_id", $"d_id".as("vec_id"),
+        (((mi(0) + mi(1)) + mi(2)) + mi(3)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .withColumn("score", round($"score", 9))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val maxsimLateSql: String = {
+    def cols(p: String) = (0 until 4).map { i =>
+      val sl = s"list_slice(embedding, ${16 * i + 1}, ${16 * (i + 1)})"
+      s"$sl AS ${p}s$i, ${sqlNormExact(sl)} AS ${p}n$i"
+    }.mkString(",\n    ")
+    def cos(i: Int, j: Int) =
+      s"(${sqlDotExact(s"qs$i", s"ds$j")} / (qn$i * dn$j))"
+    def mi(i: Int) =
+      s"greatest(${(0 until 4).map(j => cos(i, j)).mkString(", ")})"
+    s"""WITH d AS (
+       |  SELECT vec_id AS d_id,
+       |    ${cols("d")}
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id,
+       |    ${cols("q")}
+       |  FROM embeddings WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q_id, d_id AS vec_id,
+       |    (((${mi(0)} + ${mi(1)}) + ${mi(2)}) + ${mi(3)}) AS score
+       |  FROM d CROSS JOIN q WHERE d_id <> q_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, vec_id, round(score, 9) AS score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),
     "dedup_semantic" -> (semanticDedup, Some(semanticDedupSql)),
     "dedup_semantic_hot_cell" ->
       (semanticDedupHotCell, Some(semanticDedupHotCellSql)),

@@ -263,6 +263,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("interval overlap joins on the grid cell, never a cartesian plan") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "pairs must come from the bucket-grid equi-join:\n" + p)
+  }
+
+  test("maxsim pays 16 pair kernels per pair; sub-norms stay hoisted below the join") {
+    val p = plan("sim_maxsim_multivector")
+    assert(p.contains("Broadcast"), "query side must broadcast:\n" + p)
+    // 16 pair dots above the join + 8 hoisted norm dots (4 per side)
+    // below it = 24, and the AQE toString prints the plan twice (final +
+    // initial) = 48. A CollapseProject regression re-inlining the norms
+    // into the 16 cosine expressions would read (16 + 32) × 2 = 96.
+    val dots = "dot_exact_dec".r.findAllIn(p).size
+    assert(dots >= 16 && dots <= 48,
+      s"expected <= (16 pair + 8 norm) × 2 prints dot_exact_dec kernels, " +
+        s"found $dots:\n$p")
+  }
+
   test("brute-force and quantized kNN broadcast the 5-row query side") {
     Seq("sim_knn_brute", "sim_quantized_knn").foreach { q =>
       val p = plan(q)
