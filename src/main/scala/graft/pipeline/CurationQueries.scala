@@ -622,6 +622,61 @@ object CurationQueries {
     ranks
   }
 
+  /** Exact global decile binning WITHOUT a global sort — the feature-
+    * normalization primitive (quantile bucketing of a length/score
+    * column) done the way it must be done at 100 TB: a corpus-wide
+    * ntile() would sort every row on ONE reducer, so instead the
+    * corpus reduces to a VALUE HISTOGRAM (one shuffle with map-side
+    * combine, |distinct values| rows — bounded by the value domain,
+    * not the corpus), a running count over the histogram turns each
+    * value into its exact global rank range, and the bin is integer
+    * arithmetic on the FIRST rank of each tie group (ties share a bin
+    * by construction — the only well-defined choice when a value
+    * straddles a boundary). Rows then join back to their value's bin.
+    * The one ordered window runs over the histogram — the HashRank
+    * justification: its input is domain-sized, never corpus-sized.
+    * Output: per-decile doc count, value bounds, and token mass.
+    */
+  val quantileBins: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    // referenced three times (histogram, total, join-back) — persist so
+    // the tokenizing scan runs once
+    val docs = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.nTokens($"text").cast("long").as("v")))
+    val wCum = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = docs.groupBy($"v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select($"v", expr("((cum - c) * 10) div n").as("bin"))
+    docs.join(hist, "v")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), min($"v").as("v_min"),
+        max($"v").as("v_max"), sum($"v").as("sum_v"))
+      .orderBy($"bin")
+  }
+
+  val quantileBinsSql: String = {
+    import graft.text.TextAnalysis
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(${TextAnalysis.sqlNTokens("text")} AS BIGINT) AS v
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |hist AS (
+       |  SELECT v, ((cum - c) * 10) // n AS bin FROM (
+       |    SELECT v, c, SUM(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT v, COUNT(*) AS c FROM docs GROUP BY v))
+       |  CROSS JOIN stats)
+       |SELECT bin, COUNT(*) AS n_docs, MIN(v) AS v_min, MAX(v) AS v_max,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM docs JOIN hist USING (v)
+       |GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** Exact integer thresholds for the two-sided geometric (discrete
     * Laplace) mechanism at ε = 1: T_j = ⌊2⁴⁷·e^(−j)⌋, j ≥ 1, kept while
     * positive (32 entries). The magnitude drawn below satisfies
@@ -1335,6 +1390,7 @@ object CurationQueries {
     "graph_triangle_count_hub" -> (triangleCountHub, Some(triangleCountHubSql)),
     "curate_k_anonymity" -> (kAnonymity, Some(kAnonymitySql)),
     "curate_dp_histogram" -> (dpHistogram, Some(dpHistogramSql)),
+    "curate_quantile_bins" -> (quantileBins, Some(quantileBinsSql)),
     "curate_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "curate_pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "curate_hash_split" -> (hashSplit, Some(hashSplitSql)),

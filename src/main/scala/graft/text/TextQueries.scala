@@ -670,7 +670,61 @@ object TextQueries {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  /** Term co-occurrence graph — the bipartite doc↔term projection that
+    * feeds collocation mining, topic seeds, and taxonomy induction:
+    * each document contributes only its TOP-5 content terms (by
+    * in-doc count, term tiebreak), and the edge weight of (a, b) is
+    * the number of documents whose top sets contain both.
+    *
+    * Scale discipline: projecting a bipartite graph is quadratic in
+    * per-doc degree, so the degree is CAPPED before the self-join —
+    * ≤ C(5,2) = 10 pairs per document regardless of document length
+    * (the LSH-band-cap principle applied to graph projection; an
+    * uncapped projection of a 10⁵-term document would emit 10¹⁰
+    * pairs). Shape: tokenize scan-local → one shuffle on (doc, term)
+    * with map-side combine → per-DOC top-5 window (high-cardinality
+    * key) → self-join co-partitioned on doc_id (the top table is
+    * persisted — a self-join evaluates both sides) → one pair-key
+    * aggregation.
+    */
+  val cooccurrence: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stop = langStopwords.head._2
+    val tc = Tables(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter(length($"term") > 1 && !$"term".isin(stop: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tn"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tn".desc, $"term")
+    val top = graft.CacheTracker.persistTracked(
+      tc.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"doc_id", $"term"))
+    top.select($"doc_id", $"term".as("term_a"))
+      .join(top.select($"doc_id", $"term".as("term_b")), "doc_id")
+      .filter($"term_a" < $"term_b")
+      .groupBy($"term_a", $"term_b").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"term_a", $"term_b").limit(20)
+  }
+
+  val cooccurrenceSql: String = {
+    val stop = langStopwords.head._2.mkString("('", "', '", "')")
+    s"""WITH tc AS (
+       |  SELECT doc_id, term, COUNT(*) AS tn FROM (
+       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents)
+       |  WHERE length(term) > 1 AND term NOT IN $stop
+       |  GROUP BY doc_id, term),
+       |top AS MATERIALIZED (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, term, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY tn DESC, term) AS rk FROM tc)
+       |  WHERE rk <= 5)
+       |SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+       |FROM top a JOIN top b ON a.doc_id = b.doc_id AND a.term < b.term
+       |GROUP BY 1, 2 ORDER BY n_docs DESC, term_a, term_b LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "graph_term_cooccurrence" -> (cooccurrence, Some(cooccurrenceSql)),
     "text_line_dedup" -> (lineDedup, Some(lineDedupSql)),
     "text_heavy_hitters" -> (heavyHitters, Some(heavyHittersSql)),
     "text_lm_perplexity" -> (lmPerplexity, Some(lmPerplexitySql)),

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Structural invariants the row-hash gates alone would not explain if
+  * they broke: `scd2_dimension_history` version chains must be rooted,
+  * contiguous, and singly-current (the properties an as-of dimension
+  * join relies on), and `curate_quantile_bins` deciles must partition
+  * the corpus into ordered disjoint value ranges.
+  */
+class CurationInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantile bins partition the corpus into ordered, disjoint ranges") {
+    val bins = Queries.queries("curate_quantile_bins")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bins.map(_._1).toSeq == (0L to 9L),
+      "all ten deciles must be populated on this corpus")
+    val total = Tables(spark, sf0001, "documents").count()
+    assert(bins.map(_._2).sum == total, "bins must partition the corpus")
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 < b._3,
+          s"bin ${a._1} max ${a._4} must precede bin ${b._1} min ${b._3} " +
+            "(ties share a bin, so ranges are strictly disjoint)")
+      case _ =>
+    }
+  }
+
+  test("every history chain is contiguous, rooted, and singly-current") {
+    val rows = Queries.queries("scd2_dimension_history")(spark, sf0001)
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    val root = Timestamp.valueOf("2020-01-01 00:00:00")
+    rows.foreach { case (key, vs) =>
+      val chain = vs.sortBy(_._3.getTime)
+      assert(chain.head._3 == root, s"key $key chain not rooted at v0")
+      assert(chain.count(_._5) == 1, s"key $key current-flag count != 1")
+      assert(chain.last._5 && chain.last._4.isEmpty,
+        s"key $key open interval must be the LAST version")
+      chain.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"key $key gap: valid_to ${a._4} != next valid_from ${b._3}")
+          assert(a._2 != b._2,
+            s"key $key adjacent versions must differ (change detection)")
+        case _ =>
+      }
+    }
+  }
+}
