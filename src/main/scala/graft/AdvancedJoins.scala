@@ -341,6 +341,26 @@ object AdvancedJoins {
     * inequality join (DuckDB's IEJoin) — a different algorithm, so the
     * gate pins the overlap semantics, not the plan.
     */
+  /** The bucket-grid overlap core: joins interval table `a` (columns
+    * `as_`, `ae` + carry-through keys) to `b` (columns `bs`, `be` +
+    * keys) on every pair whose half-open [s, e) spans intersect, each
+    * pair EXACTLY ONCE. Extracted so OverlapProps can pin equivalence
+    * with the brute-force inequality join on adversarial interval sets
+    * (touching endpoints, nested spans, grid-straddling) at several
+    * grid sizes.
+    */
+  private[graft] def overlapPairs(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      gridUs: Long): org.apache.spark.sql.DataFrame = {
+    val aExp = a.withColumn("g", explode(
+      sequence(expr(s"as_ div $gridUs"), expr(s"(ae - 1) div $gridUs"))))
+    val bExp = b.withColumn("g", explode(
+      sequence(expr(s"bs div $gridUs"), expr(s"(be - 1) div $gridUs"))))
+    aExp.join(bExp, Seq("g"))
+      .filter(col("as_") < col("be") && col("bs") < col("ae") &&
+        col("g") === expr(s"greatest(as_, bs) div $gridUs"))
+  }
+
   val intervalOverlap: Q = (s, dir) => {
     import s.implicits._
     val hourUs = 3600L * 1000000L
@@ -352,13 +372,7 @@ object AdvancedJoins {
       .agg(min($"us").as("as_"), (max($"us") + 1L).as("ae"))
     val b = ev.groupBy($"event_type", expr(s"us div $hourUs").as("hr"))
       .agg(min($"us").as("bs"), (max($"us") + 1L).as("be"))
-    val aExp = a.withColumn("g",
-      explode(sequence(expr(s"as_ div $hourUs"), expr(s"(ae - 1) div $hourUs"))))
-    val bExp = b.withColumn("g",
-      explode(sequence(expr(s"bs div $hourUs"), expr(s"(be - 1) div $hourUs"))))
-    aExp.join(bExp, Seq("g"))
-      .filter($"as_" < $"be" && $"bs" < $"ae" &&
-        $"g" === expr(s"greatest(as_, bs) div $hourUs"))
+    overlapPairs(a, b, hourUs)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"user_id").as("n_users"))
