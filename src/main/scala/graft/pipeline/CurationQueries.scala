@@ -605,21 +605,93 @@ object CurationQueries {
       iters: Int): org.apache.spark.sql.DataFrame = {
     val unit = 1000000000000L / n
     val base = 15L * unit / 100L
+    pprLoop(docs.select(col("doc_id").as("node"), lit(base).as("b"),
+      lit(unit).as("r0")), edges, iters)
+  }
+
+  /** The generalized int64 fixed-point power iteration both PageRank
+    * variants share: per-node TELEPORT mass `b` and initial rank `r0`
+    * are caller-supplied columns (uniform for classic PageRank;
+    * seed-concentrated for the personalized variant), the 0.85 damping
+    * and one-contribution-shuffle-per-round structure are identical.
+    */
+  private[graft] def pprLoop(base: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
     val edgesDeg = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
-    var ranks = docs.select(col("doc_id").as("node"), lit(unit).as("r"))
+    val anchors = base.select(col("node"), col("b")).localCheckpoint(true)
+    var ranks = base.select(col("node"), col("r0").as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = edgesDeg.join(ranks, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("s"))
-      ranks = docs.select(col("doc_id").as("node"))
+      ranks = anchors
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+          (col("b") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
         .localCheckpoint(true)
     }
     ranks
+  }
+
+  /** Personalized PageRank from a deterministic ~2% seed set — the
+    * "related documents / trust propagation" primitive: the teleport
+    * distribution concentrates on the seeds (b = 0.15·unit for seeds,
+    * 0 elsewhere; walk also STARTS at the seeds), so stationary mass
+    * measures proximity to the seed set rather than global centrality.
+    * Same loop, damping, fixed-point unit discipline, and per-round
+    * localCheckpoint as [[pagerankLinks]] ([[pprLoop]] is shared);
+    * the seed unit is 10¹²/|seeds| so integer truncation stays at the
+    * same relative grain as classic PageRank. Top-50 by rank.
+    */
+  val pprSeeds: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    val edges = linkEdges(docs, n).distinct()
+    val seed = bucket100("ppr|", $"doc_id") < 2
+    val nSeeds = docs.filter(seed).count()
+    val unit = 1000000000000L / nSeeds
+    val base = docs.select($"doc_id".as("node"),
+      when(seed, lit(15L * unit / 100L)).otherwise(lit(0L)).as("b"),
+      when(seed, lit(unit)).otherwise(lit(0L)).as("r0"))
+    pprLoop(base, edges, 10)
+      .orderBy($"r".desc, $"node").limit(50)
+  }
+
+  val pprSeedsSql: String = {
+    val b = sqlBucket100("ppr|", "doc_id")
+    val steps = (1 to 10).map { k =>
+      s"""c$k AS (
+         |  SELECT dst, CAST(SUM(r // outdeg) AS BIGINT) AS s
+         |  FROM pr${k - 1} JOIN edeg ON node = src GROUP BY dst),
+         |pr$k AS (
+         |  SELECT p0.node, p0.b + (85 * COALESCE(s, 0)) // 100 AS r, p0.b
+         |  FROM pr0 p0 LEFT JOIN c$k ON p0.node = c$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
+       |edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |edeg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+       |sstats AS (SELECT COUNT(*) AS ns FROM docs WHERE $b < 2),
+       |pr0 AS MATERIALIZED (
+       |  SELECT doc_id AS node,
+       |    CASE WHEN $b < 2 THEN 1000000000000 // ns ELSE 0 END AS r,
+       |    CASE WHEN $b < 2
+       |      THEN (15 * (1000000000000 // ns)) // 100 ELSE 0 END AS b
+       |  FROM docs CROSS JOIN sstats),
+       |$steps
+       |SELECT node, r FROM pr10 ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
   /** Exact global decile binning WITHOUT a global sort — the feature-
@@ -1382,6 +1454,7 @@ object CurationQueries {
     "curate_drift_psi" -> (driftPsi, Some(driftPsiSql)),
     "curate_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "curate_pagerank_links" -> (pagerankLinks, Some(pagerankLinksSql)),
+    "graph_personalized_pagerank" -> (pprSeeds, Some(pprSeedsSql)),
     "graph_triangle_count" -> (triangleCount, Some(triangleCountSql)),
     "graph_kcore" -> (kcore, Some(kcoreSql)),
     "graph_label_propagation" ->

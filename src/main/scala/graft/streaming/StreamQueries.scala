@@ -237,6 +237,76 @@ object StreamQueries {
        |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin
   }
 
+  /** Streaming TRENDING TOP-K: per 1-hour tumbling window, the top-3
+    * event types by count — the live-dashboard shape (trending topics,
+    * hot endpoints) a batch rank cannot serve. The ranking rides
+    * `foreachBatch` on the APPEND-mode windowed aggregate: a window's
+    * groups all finalize in the SAME micro-batch (the watermark update
+    * that closes the window is batch-global), so ranking inside the
+    * emitted batch ranks complete windows — no cross-batch state
+    * beyond the windowed aggregation Spark already keeps. Per batch
+    * the rank input is |closed windows × types| rows, never events.
+    * The sentinel-watermark discipline and mtime-ordered staging
+    * follow [[streamTumblingCounts]]; the oracle replays the same
+    * top-3 as a batch window rank.
+    */
+  val streamTrendingTopk: Q = (s, dir) => {
+    import s.implicits._
+    val (in, out, ck) = streamDirs()
+    val ev = graft.Tables(s, dir, "events")
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type")
+    stageCsv(ev, in, "b1")
+    val csvSchema = "event_id BIGINT, us BIGINT, event_type STRING"
+    val maxUs = s.read.schema(csvSchema).option("header", "true")
+      .csv(s"$in/b1.csv").agg(max($"us")).head().getLong(0)
+    stageCsv(Seq((-1L, maxUs + 86400L * 1000000, "__sentinel__"))
+      .toDF("event_id", "us", "event_type"), in, "b2")
+    stageCsv(Seq((-2L, maxUs + 2 * 86400L * 1000000, "__sentinel__"))
+      .toDF("event_id", "us", "event_type"), in, "b3")
+    val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+    require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+      new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+      s"could not order staged batch files by mtime under $in")
+    withStatePartitions(s)(s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(in)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"),
+        $"event_type", $"n")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w_start")).orderBy(col("n").desc, col("event_type"))
+        batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination())
+    s.read.parquet(out)
+      .filter($"event_type" =!= "__sentinel__")
+      .orderBy($"w_start", $"rk")
+  }
+
+  val streamTrendingTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY w_start ORDER BY n DESC, event_type) AS INT) AS rk
+       |  FROM c)
+       |SELECT w_start, event_type, n, rk FROM r
+       |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin
+
   /** SESSION windows under the gate: Structured Streaming's native
     * `session_window` (30-minute inactivity gap) with merging state,
     * checked against the SAME batch formulation the lag/running-sum
@@ -957,6 +1027,7 @@ object StreamQueries {
     "stream_static_join" -> (streamStaticJoin, Some(streamStaticJoinSql)),
     "stream_tumbling_counts" -> (streamTumblingCounts, Some(streamTumblingSql)),
     "stream_sliding_counts" -> (streamSlidingCounts, Some(streamSlidingSql)),
+    "stream_trending_topk" -> (streamTrendingTopk, Some(streamTrendingTopkSql)),
     "stream_sessions_30m" -> (streamSessions, Some(streamSessionsSql)),
     "stream_custom_state_sessions" ->
       (streamCustomStateSessions, Some(streamCustomStateSessionsSql)),
