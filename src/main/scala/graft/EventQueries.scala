@@ -337,7 +337,69 @@ object EventQueries {
       |SELECT user_id, t1, t2, t3, t3 - t1 AS convert_us
       |FROM s3 ORDER BY user_id""".stripMargin
 
+  /** Time-series gap filling with forward fill (last observation
+    * carried forward) — the regularization step before any
+    * fixed-interval model consumes an irregular event stream: each
+    * user's observed hours collapse to their LAST reading (latest
+    * timestamp, event_id tiebreak — picked by one struct-max
+    * aggregation, no sort), a dense hour grid spans each user's own
+    * [first, last] range, and missing hours inherit the most recent
+    * reading via last(ignoreNulls) over the per-user ordered window.
+    *
+    * Scale shape: one shuffle on (user, hour) with map-side combine,
+    * a per-user bounds aggregate, and the fill window keyed on the
+    * high-cardinality user id — the grid explode is bounded by
+    * span-hours per user, and the reading rides through BOTH engines
+    * verbatim (no arithmetic on the double), so the gate needs no
+    * rounding discipline at all.
+    */
+  val gapFill: Q = (s, dir) => {
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    val ev = Tables(s, dir, "events")
+      .filter($"user_id" < 10)
+      .select($"user_id", $"event_id", $"value",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("h", expr(s"us div $hourUs"))
+    val hourly = ev.groupBy($"user_id", $"h")
+      .agg(max(struct($"us", $"event_id", $"value")).as("m"))
+      .select($"user_id", $"h", $"m.value".as("v"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("h"))
+    val wFf = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h",
+        last($"v", ignoreNulls = true).over(wFf).as("v_ff"),
+        $"v".isNull.cast("int").as("filled"))
+      .orderBy($"user_id", $"h")
+  }
+
+  val gapFillSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+       |    epoch_us(ts) // 3600000000 AS h
+       |  FROM events WHERE user_id < 10),
+       |hourly AS (
+       |  SELECT user_id, h, value AS v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, h
+       |      ORDER BY us DESC, event_id DESC) AS rn FROM ev)
+       |  WHERE rn = 1),
+       |grid AS (
+       |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM (
+       |    SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+       |    FROM hourly GROUP BY user_id)),
+       |j AS (SELECT g.user_id, g.h, v
+       |      FROM grid g LEFT JOIN hourly USING (user_id, h))
+       |SELECT user_id, h,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff,
+       |  CAST(v IS NULL AS INT) AS filled
+       |FROM j ORDER BY user_id, h""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_gap_fill" -> (gapFill, Some(gapFillSql)),
     "events_funnel_conversion" -> (funnelConversion, Some(funnelConversionSql)),
     "events_user_seq_typed" -> (userSeqTyped, Some(userSeqTypedSql)),
     "events_type_count_map" -> (eventTypeMap, Some(eventTypeMapSql)),

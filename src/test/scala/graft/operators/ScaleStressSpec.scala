@@ -231,6 +231,79 @@ class ScaleStressSpec extends SparkSpec {
     info(f"k-core on $n nodes / ${und.count()} edges: $secs%.1f s")
   }
 
+  test("label propagation absorbs a planted 30-clique into one community at 50k nodes") {
+    // same 50k 3-out graph + clique as the k-core stress: LPA's
+    // min-label tie rule must pull every clique member onto one label
+    // within the production 5 rounds (29 shared-label cliquemates
+    // always outvote <= ~6 external neighbors), while the loop itself
+    // runs the gate's exact code path at 10x gate scale
+    val n = 50000L
+    val docs = spark.range(n).select($"id".as("doc_id")).localCheckpoint(true)
+    val base = docs.select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+        ($"doc_id" * 29 + 3) % n)).as("dst"))
+      .filter($"src" =!= $"dst")
+    val clique = spark.range(30).select($"id".as("src"))
+      .crossJoin(spark.range(30).select($"id".as("dst")))
+      .filter($"src" < $"dst")
+    val und = base.unionByName(clique)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val adj = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    import graft.pipeline.CurationQueries
+    val (lab, secs) = timed {
+      CurationQueries.lpaLoop(docs, adj, 5).localCheckpoint(true)
+    }
+    assert(lab.count() == n, "every node keeps a label")
+    val cliqueLabels = lab.filter($"node" < 30)
+      .select($"lab").distinct().count()
+    assert(cliqueLabels == 1,
+      s"planted clique split across $cliqueLabels communities")
+    info(f"LPA on $n nodes: $secs%.1f s")
+  }
+
+  test("bfs relaxation at 50k nodes: expander fixpoint holds, far chain stays INF") {
+    // 50k 3-out expander (diameter ~11) plus a 40-node path hung off
+    // node 7: chain nodes sit at dist(7)+k, so the tail lies beyond the
+    // production 16-round budget — it must report INF (unreached), not
+    // a partial distance, while the expander part must be at its exact
+    // fixpoint (rounds 16 == rounds 24 there)
+    val n = 50000L
+    val docs0 = spark.range(n).select($"id".as("doc_id"))
+    val chainIds = spark.range(40).select(($"id" + n).as("doc_id"))
+    val docs = docs0.unionByName(chainIds).localCheckpoint(true)
+    val base = docs0.select($"doc_id".as("src"), explode(array(
+        ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+        ($"doc_id" * 29 + 3) % n)).as("dst"))
+      .filter($"src" =!= $"dst")
+    val chain = spark.range(40).select(
+        when($"id" === 0, 7L).otherwise($"id" + n - 1).as("src"),
+        ($"id" + n).as("dst"))
+    val und = base.unionByName(chain)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val adj = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    import graft.pipeline.CurationQueries
+    val (d16, secs) = timed {
+      CurationQueries.bfsLoop(docs, adj, 0L, 16).localCheckpoint(true)
+    }
+    val inf = 999999L
+    val tailInf = d16.filter($"node" >= n + 30 && $"d" === inf).count()
+    assert(tailInf == 10L,
+      s"chain tail beyond the round budget must be INF (got $tailInf of 10)")
+    val d24 = CurationQueries.bfsLoop(docs, adj, 0L, 24)
+    val coreChanged = d16.filter($"node" < n)
+      .join(d24.withColumnRenamed("d", "d2"), "node")
+      .filter($"d" =!= $"d2").count()
+    assert(coreChanged == 0,
+      "expander distances changed after round 16 — fixpoint margin broken")
+    info(f"BFS on ${n + 40} nodes: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
