@@ -394,7 +394,78 @@ object AdvancedJoins {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Count-min sketch with md5 hash rows — the third mergeable sketch
+    * beside HLL ([[hllSketchMerge]]) and Misra-Gries
+    * (`text_heavy_hitters`): 4 hash rows × 512 counters estimate any
+    * term's frequency as min over rows of its counter, with one-sided
+    * error (est ≥ exact always; overflow bounded by Σcounts/512 per
+    * row). Because the hashes are the md5 KeyHash recipe, the WHOLE
+    * sketch is bit-identical across engines and the gate hash-matches
+    * the actual estimates — a stronger contract than HLL's
+    * within-tolerance flag (DuckDB exposes no sketch state; here the
+    * sketch IS plain aggregation state).
+    *
+    * Scale shape: the sketch build is one groupBy over (row, bucket) —
+    * ≤ 2048 cells regardless of corpus size, map-side combined, and
+    * mergeable across slices/days by construction (sum of matrices).
+    * Probes (the corpus top-10 terms, computed exactly for the
+    * comparison column) join the tiny matrix on (row, bucket).
+    */
+  val countminProbe: Q = (s, dir) => {
+    import s.implicits._
+    import graft.text.TextAnalysis
+    val W = 512
+    val rowIdx = 0 until 4
+    def bucketCols(term: org.apache.spark.sql.Column) =
+      explode(array(rowIdx.map(r =>
+      struct(lit(r).as("r"),
+        graft.functions.KeyHash.bucket(s"cm$r|", term, W).as("b"))): _*))
+    val toks = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens($"text")).as("term"))
+        .filter(length($"term") > 1))
+    val cm = toks.select(bucketCols($"term").as("x"))
+      .groupBy($"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("cnt"))
+    val probes = toks.groupBy($"term").agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"term").limit(10)
+    probes.select($"term", $"exact", bucketCols($"term").as("x"))
+      .select($"term", $"exact", $"x.r".as("r"), $"x.b".as("b"))
+      .join(cm, Seq("r", "b"))
+      .groupBy($"term", $"exact").agg(min($"cnt").as("est"))
+      .select($"term", $"exact", $"est",
+        ($"est" - $"exact").as("overestimate"))
+      .orderBy($"exact".desc, $"term")
+  }
+
+  val countminProbeSql: String = {
+    import graft.text.TextAnalysis
+    def bCase(tbl: String) = "CASE j " + (0 until 4).map(r =>
+      s"WHEN $r THEN ${graft.functions.KeyHash.sqlBucket(s"cm$r|", s"$tbl.term", 512)}")
+      .mkString(" ") + " END"
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT term FROM (
+       |    SELECT unnest(${TextAnalysis.sqlTokens("text")}) AS term
+       |    FROM documents)
+       |  WHERE length(term) > 1),
+       |cm AS MATERIALIZED (
+       |  SELECT r, b, COUNT(*) AS cnt FROM (
+       |    SELECT j AS r, ${bCase("tok")} AS b
+       |    FROM tok CROSS JOIN range(0, 4) t(j))
+       |  GROUP BY r, b),
+       |probes AS (
+       |  SELECT term, COUNT(*) AS exact FROM tok
+       |  GROUP BY term ORDER BY exact DESC, term LIMIT 10),
+       |pk AS (
+       |  SELECT term, exact, j AS r, ${bCase("probes")} AS b
+       |  FROM probes CROSS JOIN range(0, 4) t(j))
+       |SELECT term, exact, MIN(cnt) AS est,
+       |  MIN(cnt) - exact AS overestimate
+       |FROM pk JOIN cm USING (r, b)
+       |GROUP BY term, exact ORDER BY exact DESC, term""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "agg_countmin_probe" -> (countminProbe, Some(countminProbeSql)),
     "join_interval_overlap" -> (intervalOverlap, Some(intervalOverlapSql)),
     "join_fuzzy_match" -> (fuzzyMatch, Some(fuzzyMatchSql)),
     "join_bucketed_colocated" -> (bucketedColocated, Some(bucketedColocatedSql)),

@@ -441,7 +441,15 @@ object SimilarityQueries {
     * final centroids with norms, the replicated assignment, and the
     * all-(vector, cell) cosine table.
     */
-  private def sqlIvfCtes: String = {
+  private def sqlIvfCtes: String = sqlIvfCtesWhere("TRUE")
+
+  /** [[sqlIvfCtes]] with a TRAINING-set predicate: Lloyd seeds,
+    * per-round assignment, and re-averaging see only rows matching
+    * `trainWhere`, while the final `adots`/`assign`/`scored` cover the
+    * WHOLE corpus — the split the incremental-add gate trains/indexes
+    * across. `TRUE` reproduces the classic whole-corpus chain.
+    */
+  private def sqlIvfCtesWhere(trainWhere: String): String = {
     val mean = "CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)"
     def iter(i: Int): String =
       s"""ncc$i AS (
@@ -451,7 +459,7 @@ object SimilarityQueries {
          |  SELECT s.vec_id, cb.c_label,
          |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS dot
          |  FROM cells s JOIN cb$i cb ON s.pos = cb.pos
-         |  GROUP BY s.vec_id, cb.c_label),
+         |  WHERE s.train GROUP BY s.vec_id, cb.c_label),
          |asg$i AS (
          |  SELECT vec_id, c_label FROM (
          |    SELECT d.vec_id, d.c_label,
@@ -464,11 +472,12 @@ object SimilarityQueries {
          |  FROM cells s JOIN asg$i a ON s.vec_id = a.vec_id
          |  GROUP BY a.c_label, s.pos),""".stripMargin
     s"""cells AS (
-       |  SELECT vec_id, label, d AS pos, CAST(embedding[d] AS DOUBLE) AS val
+       |  SELECT vec_id, label, d AS pos, CAST(embedding[d] AS DOUBLE) AS val,
+       |    ($trainWhere) AS train
        |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
        |cb0 AS (
        |  SELECT label AS c_label, pos, $mean AS c
-       |  FROM cells GROUP BY label, pos),
+       |  FROM cells WHERE train GROUP BY label, pos),
        |${(0 until IvfLloyd).map(iter).mkString("\n")}
        |centroids AS (SELECT c_label, pos, c FROM cb$IvfLloyd),
        |cnorm AS (
@@ -582,6 +591,90 @@ object SimilarityQueries {
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
        |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF index MAINTENANCE — incremental add without retraining: the
+    * codebook Lloyd-trains on the BASE corpus only (vec_id % 10 ≠ 0 —
+    * yesterday's index), the daily delta batch (the remaining 10%)
+    * assigns against that frozen codebook, and search spans the union —
+    * every hit tagged with its origin so the gate proves delta vectors
+    * are immediately searchable. This is how a production vector store
+    * absorbs daily feeds: assignment cost ∝ |delta|·k, the codebook is
+    * untouched (retraining is a periodic offline job — the
+    * [[ivfpqResidual]]-style full rebuild), and the cell-bucketed
+    * layout just gains rows in existing buckets. Same probe/candidate/
+    * rescore shape as [[ivfSearch]]; the trained-on-base codebook is
+    * cached under its own key so the classic whole-corpus gates are
+    * untouched.
+    */
+  val ivfIncrementalAdd: Q = (s, dir) => {
+    import s.implicits._
+    val all = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("xn", normExact($"v"))
+      .transform(graft.CacheTracker.persistTracked)
+    val baseV = all.filter($"vec_id" % 10 =!= 0)
+    val cb = graft.CacheTracker.persistTracked(
+      s.read.schema("c_label INT, cv ARRAY<DOUBLE>, cc DOUBLE")
+        .parquet(ivfTrain(s, dir + "|incbase", baseV))
+        .withColumn("cn", normExact($"cv")))
+    val wA = Window.partitionBy($"vec_id").orderBy($"score", $"c_label")
+    val assigned = all
+      .crossJoin(broadcast(cb.select($"c_label", $"cv", $"cc")))
+      .select($"vec_id", $"c_label",
+        ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score"))
+      .withColumn("rn", row_number().over(wA))
+      .filter($"rn" <= IvfReplicas)
+      .select($"vec_id", $"c_label".as("nearest_label"))
+    val wp = Window.partitionBy($"q_id").orderBy($"cos_c".desc, $"c_label")
+    val probes = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v", $"xn")
+      .crossJoin(broadcast(cb.select($"c_label", $"cv", $"cn")))
+      .select($"q_id", $"c_label",
+        (dotExact($"v", $"cv") / ($"xn" * $"cn")).as("cos_c"))
+      .withColumn("prn", row_number().over(wp))
+      .filter($"prn" <= IvfProbes)
+      .select($"q_id", $"c_label".as("probe_label"))
+    val cand = assigned
+      .join(broadcast(probes), $"nearest_label" === $"probe_label")
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val q = all.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    cand.join(all.select($"vec_id", $"v", $"xn"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id",
+        (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"vec_id", round($"cosine", 9).as("cosine"), $"rank",
+        when($"vec_id" % 10 === 0, "delta").otherwise("base").as("origin"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ivfIncrementalAddSql: String =
+    s"""WITH ${sqlIvfCtesWhere("vec_id % 10 <> 0")},
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS prn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE prn <= $IvfProbes),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |  WHERE a.vec_id <> p.q_id),
+       |rescored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    ${sqlCosine("e.embedding", "qe.embedding")} AS cosine
+       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+       |              JOIN embeddings qe ON c.q_id = qe.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank,
+       |  CASE WHEN vec_id % 10 = 0 THEN 'delta' ELSE 'base' END AS origin
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Filtered ANN — the vector-store feature RAG deployments lean on:
     * a metadata predicate (here `label % 2 = 0`) combined with ANN
@@ -1991,7 +2084,103 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified reranking — the retrieval post-pass that stops a
+    * result page from being five near-copies: greedily pick 5 of the
+    * query's top-20 candidates, each step maximizing
+    * rel(c) − λ·max_{p∈picked} sim(c, p) with λ = 0.5.
+    *
+    * Determinism: rel and sim are exact-decimal cosines (bit-identical
+    * across engines), λ = 0.5 is an exact binary fraction, and the
+    * subtraction is one correctly-rounded op — so scores are
+    * bit-identical and the per-step argmax (score desc, id tiebreak)
+    * picks the same candidate everywhere. The greedy loop is UNROLLED
+    * (5 steps) in both engines; each step's picked set is cut with a
+    * localCheckpoint (Spark) / MATERIALIZED CTE (oracle — a step
+    * references its predecessor three times, the exponential-inlining
+    * trap).
+    *
+    * Scale shape: candidate generation is the brute/ANN read path
+    * (here top-20 exact — compose with the IVF family at scale);
+    * the rerank itself touches only the candidate set (20 rows, 400
+    * pairwise sims, computed once and persisted) — k·|C| work per
+    * step, independent of corpus size. That locality is WHY MMR is
+    * run as a post-pass and not a corpus operator.
+    */
+  val mmrRerank: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+    val q = base.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"xn".as("qn"))
+    val cands = graft.CacheTracker.persistTracked(
+      base.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id", $"embedding", $"xn",
+          (dotExact($"embedding", $"qe") / ($"xn" * $"qn")).as("rel"))
+        .orderBy($"rel".desc, $"vec_id").limit(20))
+    val sims = graft.CacheTracker.persistTracked(
+      cands.select($"vec_id".as("a"), $"embedding".as("ea"), $"xn".as("na"))
+        .crossJoin(cands.select($"vec_id".as("b"), $"embedding".as("eb"),
+          $"xn".as("nb")))
+        .filter($"a" =!= $"b")
+        .select($"a", $"b", (dotExact($"ea", $"eb") / ($"na" * $"nb")).as("sim")))
+    var picked = cands
+      .select($"vec_id", lit(0).as("step"), $"rel".as("score"))
+      .filter(lit(false)).localCheckpoint(true)
+    for (k <- 1 to 5) {
+      val ms = sims.join(picked.select($"vec_id".as("pb")), $"b" === $"pb")
+        .groupBy($"a").agg(max($"sim").as("ms"))
+      val next = cands
+        .join(picked.select($"vec_id".as("px")), $"vec_id" === $"px",
+          "left_anti")
+        .join(ms, $"vec_id" === $"a", "left")
+        .select($"vec_id", lit(k).as("step"),
+          ($"rel" - lit(0.5) * coalesce($"ms", lit(0.0))).as("score"))
+        .orderBy($"score".desc, $"vec_id").limit(1)
+      picked = picked.unionByName(next).localCheckpoint(true)
+    }
+    picked.select($"step", $"vec_id", round($"score", 9).as("score"))
+      .orderBy($"step")
+  }
+
+  val mmrRerankSql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT c.vec_id, $k AS step,
+         |    c.rel - 0.5 * COALESCE(m.ms, 0.0) AS score
+         |  FROM cands c
+         |  LEFT JOIN (
+         |    SELECT s.a, MAX(s.sim) AS ms
+         |    FROM sims s JOIN pall${k - 1} p ON s.b = p.vec_id
+         |    GROUP BY s.a) m ON c.vec_id = m.a
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pall${k - 1})
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |pall$k AS MATERIALIZED (
+         |  SELECT * FROM pall${k - 1} UNION ALL SELECT * FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlCosine("embedding", "qe")} AS rel
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+       |cands AS MATERIALIZED (
+       |  SELECT vec_id, embedding, rel FROM (
+       |    SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= 20),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ${sqlCosine("a.embedding", "b.embedding")} AS sim
+       |  FROM cands a CROSS JOIN cands b WHERE a.vec_id <> b.vec_id),
+       |pall0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id, 0 AS step,
+       |          0.0 AS score WHERE 1 = 0),
+       |$steps
+       |SELECT step, vec_id, round(score, 9) AS score
+       |FROM pall5 ORDER BY step""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
     "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),
     "dedup_semantic" -> (semanticDedup, Some(semanticDedupSql)),
     "dedup_semantic_hot_cell" ->
@@ -2011,6 +2200,7 @@ object SimilarityQueries {
     "sim_opq_adc_knn" -> (opqAdcKnn, Some(opqAdcKnnSql)),
     "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql)),
     "sim_ivfpq_residual" -> (ivfpqResidual, Some(ivfpqResidualSql)),
-    "sim_ivf_filtered_search" -> (ivfFilteredSearch, Some(ivfFilteredSearchSql))
+    "sim_ivf_filtered_search" -> (ivfFilteredSearch, Some(ivfFilteredSearchSql)),
+    "sim_ivf_incremental_add" -> (ivfIncrementalAdd, Some(ivfIncrementalAddSql))
   )
 }
