@@ -1273,6 +1273,79 @@ object CurationQueries {
        |FROM e16 GROUP BY 1 ORDER BY dist""".stripMargin
   }
 
+  /** Jaccard link prediction — rank NON-edges by neighborhood overlap
+    * (the classic common-neighbors/Jaccard predictor behind "related
+    * items" and graph densification): candidate pairs are wedge
+    * endpoints (two nodes sharing a neighbor), scored by
+    * common / (deg(x) + deg(z) − common), existing edges excluded.
+    *
+    * Scale discipline: wedge enumeration is inherently Σ deg(center)²,
+    * so CENTERS ARE CAPPED at degree ≤ 64 before the self-join — a
+    * super-hub's wedges pair everyone with everyone while carrying no
+    * signal (a common neighbor of degree 10⁶ says nothing about
+    * affinity), so link-prediction practice drops them; the cap makes
+    * the candidate count ≤ n·cap² instead of unbounded (the same
+    * band-cap principle as LSH/semantic dedup, and the `common` in the
+    * score consistently counts capped centers only). The self-join is
+    * co-partitioned on the center key; the score is integer counts and
+    * ONE correctly-rounded division, so ranking on the raw double is
+    * engine-safe.
+    */
+  val jaccardLinkPrediction: Q = (s, dir) => {
+    import s.implicits._
+    val cap = 64L
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    val und = graft.CacheTracker.persistTracked(
+      linkEdges(docs, n)
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .distinct())
+    val adj = graft.CacheTracker.persistTracked(
+      und.select($"a".as("ctr"), $"b".as("nb"))
+        .unionByName(und.select($"b".as("ctr"), $"a".as("nb"))))
+    val deg = graft.CacheTracker.persistTracked(
+      adj.groupBy($"nb".as("node")).agg(count(lit(1)).as("deg")))
+    val centers = adj
+      .join(deg.select($"node".as("ctr"), $"deg".as("cdeg")), "ctr")
+      .filter($"cdeg" <= cap)
+    val pairs = centers.select($"ctr", $"nb".as("x"))
+      .join(centers.select($"ctr", $"nb".as("z")), "ctr")
+      .filter($"x" < $"z")
+      .groupBy($"x", $"z").agg(count(lit(1)).as("common"))
+      .join(und, $"x" === $"a" && $"z" === $"b", "left_anti")
+    pairs
+      .join(deg.select($"node".as("x"), $"deg".as("dx")), "x")
+      .join(deg.select($"node".as("z"), $"deg".as("dz")), "z")
+      .select($"x", $"z", $"common",
+        ($"common".cast("double") / ($"dx" + $"dz" - $"common")).as("jacc"))
+      .orderBy($"jacc".desc, $"x", $"z").limit(20)
+      .withColumn("jacc", round($"jacc", 9))
+  }
+
+  val jaccardLinkPredictionSql: String =
+    s"""$sqlAdjPrefix,
+       |deg AS (SELECT dst AS node, COUNT(*) AS deg FROM adj GROUP BY dst),
+       |centers AS (
+       |  SELECT a.src AS ctr, a.dst AS nb FROM adj a
+       |  JOIN deg d ON a.src = d.node WHERE d.deg <= 64),
+       |pairs AS (
+       |  SELECT c1.nb AS x, c2.nb AS z, COUNT(*) AS common
+       |  FROM centers c1 JOIN centers c2 ON c1.ctr = c2.ctr
+       |  WHERE c1.nb < c2.nb
+       |  GROUP BY c1.nb, c2.nb),
+       |nonedges AS (
+       |  SELECT p.* FROM pairs p
+       |  WHERE NOT EXISTS (SELECT 1 FROM und u
+       |                    WHERE u.a = p.x AND u.b = p.z))
+       |SELECT x, z, common,
+       |  round(CAST(common AS DOUBLE) / (dx.deg + dz.deg - common), 9) AS jacc
+       |FROM nonedges
+       |  JOIN deg dx ON x = dx.node
+       |  JOIN deg dz ON z = dz.node
+       |ORDER BY CAST(common AS DOUBLE) / (dx.deg + dz.deg - common) DESC, x, z
+       |LIMIT 20""".stripMargin
+
   val pagerankLinksSql: String = {
     val steps = (1 to 10).map { k =>
       s"""c$k AS (
@@ -1460,6 +1533,8 @@ object CurationQueries {
     "graph_label_propagation" ->
       (labelPropagation, Some(labelPropagationSql)),
     "graph_bfs_layers" -> (bfsLayers, Some(bfsLayersSql)),
+    "graph_jaccard_link_prediction" ->
+      (jaccardLinkPrediction, Some(jaccardLinkPredictionSql)),
     "graph_triangle_count_hub" -> (triangleCountHub, Some(triangleCountHubSql)),
     "curate_k_anonymity" -> (kAnonymity, Some(kAnonymitySql)),
     "curate_dp_histogram" -> (dpHistogram, Some(dpHistogramSql)),

@@ -2179,7 +2179,79 @@ object SimilarityQueries {
        |FROM pall5 ORDER BY step""".stripMargin
   }
 
+  /** Embedding-distribution drift monitor — the vector sibling of
+    * `curate_drift_psi`: the corpus splits into a reference and a
+    * current slice (md5 50/50), and per label the monitor reports the
+    * L2 distance between the two slices' mean vectors — the centroid
+    * shift an embedding-model upgrade or data-source change shows up
+    * as, per class. Means run through the decimal detour (exact sums,
+    * one correctly-rounded divide), squared diffs are rounded once to
+    * DECIMAL(30,15) and summed exactly ([[VectorOps.dotExactHof]]'s
+    * discipline), so the distance is bit-identical cross-engine before
+    * the final 9-round.
+    *
+    * Scale shape: one (label, slice, dim) aggregation with map-side
+    * combine — the shuffle carries |labels|·2·64 rows regardless of
+    * corpus size — then |labels|·64-row arithmetic. The monitor's cost
+    * is schema-sized, not corpus-sized, which is what lets it run on
+    * every ingest batch at 100 TB.
+    */
+  val centroidDrift: Q = (s, dir) => {
+    import s.implicits._
+    val isRef = graft.functions.KeyHash.bucket100("drift|", $"vec_id") < 50
+    val emb = Tables(s, dir, "embeddings")
+    val pts = emb
+      .select($"label", isRef.as("is_ref"),
+        posexplode(transform($"embedding", x => x.cast("double"))))
+      .toDF("label", "is_ref", "pos", "val")
+    val means = pts.groupBy($"label", $"is_ref", $"pos")
+      .agg((sum($"val".cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("m"))
+    val drift = means.groupBy($"label", $"pos")
+      .agg(max(when($"is_ref", $"m")).as("mr"),
+        max(when(!$"is_ref", $"m")).as("mc"))
+      .select($"label",
+        (($"mr" - $"mc") * ($"mr" - $"mc")).cast("decimal(30,15)").as("d2"))
+      .groupBy($"label")
+      .agg(sqrt(sum($"d2").cast("double")).as("drift"))
+    val counts = emb.groupBy($"label")
+      .agg(sum(isRef.cast("long")).as("n_ref"),
+        sum((!isRef).cast("long")).as("n_cur"))
+    counts.join(drift, "label")
+      .select($"label", $"n_ref", $"n_cur", round($"drift", 9).as("drift"))
+      .orderBy($"label")
+  }
+
+  val centroidDriftSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("drift|", "vec_id")
+    s"""WITH pts AS (
+       |  SELECT label, $b < 50 AS is_ref, d AS pos,
+       |    CAST(embedding[d] AS DOUBLE) AS val
+       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+       |means AS (
+       |  SELECT label, is_ref, pos,
+       |    CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM pts GROUP BY 1, 2, 3),
+       |wide AS (
+       |  SELECT label, pos,
+       |    MAX(CASE WHEN is_ref THEN m END) AS mr,
+       |    MAX(CASE WHEN NOT is_ref THEN m END) AS mc
+       |  FROM means GROUP BY 1, 2),
+       |d AS (
+       |  SELECT label, sqrt(CAST(SUM(
+       |    CAST((mr - mc) * (mr - mc) AS DECIMAL(30,15))) AS DOUBLE)) AS drift
+       |  FROM wide GROUP BY label),
+       |cnt AS (
+       |  SELECT label,
+       |    CAST(SUM(CASE WHEN $b < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN $b < 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+       |  FROM embeddings GROUP BY label)
+       |SELECT label, n_ref, n_cur, round(drift, 9) AS drift
+       |FROM cnt JOIN d USING (label) ORDER BY label""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_centroid_drift" -> (centroidDrift, Some(centroidDriftSql)),
     "sim_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
     "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),
     "dedup_semantic" -> (semanticDedup, Some(semanticDedupSql)),
