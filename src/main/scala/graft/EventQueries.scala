@@ -382,9 +382,12 @@ object EventQueries {
        |    epoch_us(ts) // 3600000000 AS h
        |  FROM events WHERE user_id < 10),
        |hourly AS (
+       |  -- value DESC mirrors the Spark struct-max's third key, so a
+       |  -- drifted corpus with duplicate (us, event_id) rows cannot
+       |  -- leave the oracle's pick nondeterministic
        |  SELECT user_id, h, value AS v FROM (
        |    SELECT *, row_number() OVER (PARTITION BY user_id, h
-       |      ORDER BY us DESC, event_id DESC) AS rn FROM ev)
+       |      ORDER BY us DESC, event_id DESC, value DESC) AS rn FROM ev)
        |  WHERE rn = 1),
        |grid AS (
        |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM (

@@ -682,7 +682,7 @@ object CurationQueries {
        |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
        |edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-       |edeg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+       |edeg AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
        |sstats AS (SELECT COUNT(*) AS ns FROM docs WHERE $b < 2),
        |pr0 AS MATERIALIZED (
        |  SELECT doc_id AS node,
@@ -749,32 +749,54 @@ object CurationQueries {
        |GROUP BY bin ORDER BY bin""".stripMargin
   }
 
-  /** Exact integer thresholds for the two-sided geometric (discrete
-    * Laplace) mechanism at ε = 1: T_j = ⌊2⁴⁷·e^(−j)⌋, j ≥ 1, kept while
-    * positive (32 entries). The magnitude drawn below satisfies
-    * P(k ≥ j) = T_j / 2⁴⁷ ≈ e^(−j·ε). Computed ONCE here and embedded
+  /** Exact integer CDF thresholds for the two-sided geometric
+    * (discrete Laplace) mechanism at ε = 1, outcome order
+    * 0, +1, −1, +2, −2, …, ±20: P(X = x) = p₀·α^|x| with α = e^(−ε),
+    * p₀ = (1−α)/(1+α) — the distribution whose likelihood ratio
+    * between ANY adjacent outputs is exactly e^ε (a uniform-sign ×
+    * geometric-magnitude split instead double-weights zero:
+    * P(0)/P(±1) = 2e > e^ε — the bug this table replaced). T_j =
+    * ⌊2⁴⁸·CDF after outcome j⌋ for the first 40 outcomes; a draw past
+    * T₃₉ is the lumped ±20 tail (truncation mass ≈ 2·10⁻⁹ — an
+    * (ε, δ<10⁻⁸) release). Computed ONCE here and embedded
     * as the SAME literals in the Spark expression and the oracle SQL —
     * cross-engine agreement is by construction, not by libm.
     */
-  private[graft] val dpThresholds: Seq[Long] = (1 to 60)
-    .map(j => math.floor(math.exp(-j) * math.pow(2.0, 47)).toLong)
-    .filter(_ > 0)
+  private[graft] val dpThresholds: Seq[Long] = {
+    val alpha = math.exp(-1.0)
+    val p0 = (1 - alpha) / (1 + alpha)
+    val probs = p0 +: (1 to 20).flatMap { k =>
+      val p = p0 * math.pow(alpha, k); Seq(p, p)
+    }
+    probs.scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * math.pow(2.0, 48)).toLong)
+  }
+
+  /** Map the threshold-count index back to the signed outcome:
+    * i = |{j : T_j ≤ m}| → 0, +1, −1, +2, −2, …; identical CASE text
+    * in both dialects modulo the integer-div spelling.
+    */
+  private def dpNoiseCase(div: String): String =
+    s"CASE WHEN i = 0 THEN 0 WHEN i % 2 = 1 THEN (i + 1) $div 2 " +
+      s"ELSE -(i $div 2) END"
 
   /** Differentially-private histogram release (two-sided geometric
     * mechanism, Ghosh–Roughgarden–Sundararajan 2012) — the privacy
-    * sibling of [[kAnonymity]]: per-(lang, source) document counts with
-    * integer noise n + s·k, where the cell's md5 hash supplies the
-    * uniform variate (bit 0 → sign; bits 1-47 → magnitude via the
-    * threshold table above). Each document lands in exactly one cell,
-    * so histogram sensitivity is 1 and the release is ε=1-DP under
-    * add/remove adjacency. Only the noisy count leaves the query.
+    * sibling of [[kAnonymity]]: per-(lang, source) document counts
+    * with integer noise n + X, where X is drawn by inverse CDF over
+    * the cell's 48-bit md5 hash against [[dpThresholds]]. Each
+    * document lands in exactly one cell, so histogram sensitivity is 1
+    * and the release is ε=1-DP (δ < 10⁻⁸ from the ±20 truncation)
+    * under add/remove adjacency — DpNoiseSpec pins the P(0)/P(1) = e^ε
+    * likelihood-ratio boundary the previous sign-split construction
+    * violated. Only the noisy count leaves the query.
     *
     * Determinism: the noise is a pure function of the CELL KEY — no RNG
     * state, identical on any engine or partitioning (seeded-noise
     * releases are standard practice for reproducible pipelines; a
     * per-release salt rotates the draw). Scale shape: one shuffle on
     * the cell key with map-side combine; the noise is scan-local
-    * integer arithmetic over a 32-element literal list (hoisted into a
+    * integer arithmetic over a 40-element literal list (hoisted into a
     * one-row CTE on the DuckDB side — lambdas there fold nothing).
     */
   val dpHistogram: Q = (s, dir) => {
@@ -784,12 +806,9 @@ object CurationQueries {
       .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
       .withColumn("m", graft.functions.KeyHash.hash48("dph|",
         concat($"lang", lit("|"), $"source")))
-      .withColumn("u47", expr("m div 2"))
-      .withColumn("k",
-        size(filter(tl, t => t > $"u47")).cast("long"))
+      .withColumn("i", size(filter(tl, t => t <= $"m")).cast("long"))
       .select($"lang", $"source",
-        ($"n" + when($"m" % 2 === 0, lit(1L)).otherwise(lit(-1L)) * $"k")
-          .as("noisy_n"))
+        ($"n" + expr(dpNoiseCase("div"))).as("noisy_n"))
       .orderBy($"lang", $"source")
   }
 
@@ -798,11 +817,12 @@ object CurationQueries {
     s"""WITH g AS (
        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
        |tlc AS (SELECT [${dpThresholds.mkString(", ")}] AS tl),
-       |h AS (SELECT lang, source, n, $m AS mh FROM g)
+       |h AS (SELECT lang, source, n,
+       |        CAST(len(list_filter(tl, t -> t <= $m)) AS BIGINT) AS i
+       |      FROM g CROSS JOIN tlc)
        |SELECT lang, source,
-       |  CAST(n + (CASE WHEN mh % 2 = 0 THEN 1 ELSE -1 END) *
-       |    len(list_filter(tl, t -> t > mh // 2)) AS BIGINT) AS noisy_n
-       |FROM h CROSS JOIN tlc ORDER BY lang, source""".stripMargin
+       |  CAST(n + ${dpNoiseCase("//")} AS BIGINT) AS noisy_n
+       |FROM h ORDER BY lang, source""".stripMargin
   }
 
   /** k-anonymity risk report — the re-identification audit that sits
@@ -1106,7 +1126,7 @@ object CurationQueries {
        |           WHEN 1 THEN (doc_id * 13 + 2) % n
        |           ELSE (doc_id * 29 + 3) % n END AS dst
        |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
-       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
        |        FROM edges0 WHERE src <> dst),
        |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
        |        UNION ALL SELECT b, a FROM und)""".stripMargin
@@ -1306,9 +1326,11 @@ object CurationQueries {
         .unionByName(und.select($"b".as("ctr"), $"a".as("nb"))))
     val deg = graft.CacheTracker.persistTracked(
       adj.groupBy($"nb".as("node")).agg(count(lit(1)).as("deg")))
-    val centers = adj
+    // the wedge self-join reads centers TWICE — persist the derived
+    // join+filter (the CLAUDE.md self-join rule)
+    val centers = graft.CacheTracker.persistTracked(adj
       .join(deg.select($"node".as("ctr"), $"deg".as("cdeg")), "ctr")
-      .filter($"cdeg" <= cap)
+      .filter($"cdeg" <= cap))
     val pairs = centers.select($"ctr", $"nb".as("x"))
       .join(centers.select($"ctr", $"nb".as("z")), "ctr")
       .filter($"x" < $"z")
@@ -1368,7 +1390,7 @@ object CurationQueries {
        |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
        |edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-       |edeg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+       |edeg AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
        |pr0 AS (SELECT doc_id AS node, 1000000000000 // n AS r
        |        FROM docs CROSS JOIN stats),
        |$steps

@@ -2185,10 +2185,15 @@ object SimilarityQueries {
     * L2 distance between the two slices' mean vectors — the centroid
     * shift an embedding-model upgrade or data-source change shows up
     * as, per class. Means run through the decimal detour (exact sums,
-    * one correctly-rounded divide), squared diffs are rounded once to
-    * DECIMAL(30,15) and summed exactly ([[VectorOps.dotExactHof]]'s
-    * discipline), so the distance is bit-identical cross-engine before
-    * the final 9-round.
+    * one correctly-rounded divide — bit-identical doubles), then drop
+    * to INTEGER MICRO-UNITS (⌊m·10⁶⌋ of the identical double) before
+    * any further arithmetic: squared diffs and their sum are pure
+    * int64, and only the final sqrt/divide touch doubles again. A
+    * double→decimal cast of a COMPUTED double would be the
+    * shortest-repr-vs-binary-expansion divergence CLAUDE.md warns
+    * about (safe only for the (22,6) grain or for dot kernels whose
+    * float products are exact); the integer detour sidesteps the
+    * hazard entirely at 10⁻⁶ mean resolution.
     *
     * Scale shape: one (label, slice, dim) aggregation with map-side
     * combine — the shuffle carries |labels|·2·64 rows regardless of
@@ -2211,9 +2216,10 @@ object SimilarityQueries {
       .agg(max(when($"is_ref", $"m")).as("mr"),
         max(when(!$"is_ref", $"m")).as("mc"))
       .select($"label",
-        (($"mr" - $"mc") * ($"mr" - $"mc")).cast("decimal(30,15)").as("d2"))
+        (floor($"mr" * 1000000d).cast("long") -
+          floor($"mc" * 1000000d).cast("long")).as("du"))
       .groupBy($"label")
-      .agg(sqrt(sum($"d2").cast("double")).as("drift"))
+      .agg((sqrt(sum($"du" * $"du").cast("double")) / 1000000d).as("drift"))
     val counts = emb.groupBy($"label")
       .agg(sum(isRef.cast("long")).as("n_ref"),
         sum((!isRef).cast("long")).as("n_cur"))
@@ -2237,10 +2243,14 @@ object SimilarityQueries {
        |    MAX(CASE WHEN is_ref THEN m END) AS mr,
        |    MAX(CASE WHEN NOT is_ref THEN m END) AS mc
        |  FROM means GROUP BY 1, 2),
+       |diffs AS (
+       |  SELECT label,
+       |    CAST(floor(mr * 1000000) AS BIGINT) -
+       |    CAST(floor(mc * 1000000) AS BIGINT) AS du
+       |  FROM wide),
        |d AS (
-       |  SELECT label, sqrt(CAST(SUM(
-       |    CAST((mr - mc) * (mr - mc) AS DECIMAL(30,15))) AS DOUBLE)) AS drift
-       |  FROM wide GROUP BY label),
+       |  SELECT label, sqrt(CAST(SUM(du * du) AS DOUBLE)) / 1000000 AS drift
+       |  FROM diffs GROUP BY label),
        |cnt AS (
        |  SELECT label,
        |    CAST(SUM(CASE WHEN $b < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,

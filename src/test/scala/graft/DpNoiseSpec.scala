@@ -10,13 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * spec proves those integers follow the two-sided geometric
   * distribution the ε=1 privacy claim rests on. The draw is replayed
   * in plain JVM code (MessageDigest md5, the [[graft.functions.KeyHash]]
-  * recipe) over 20 000 fixed keys, so every assertion is deterministic:
-  * tail frequencies must track e^(−j·ε) and the sign bit must be
-  * unbiased.
+  * recipe) over 40 000 fixed keys, so every assertion is deterministic:
+  * the point masses must track p₀·α^|x|, the distribution must be
+  * symmetric, and — the boundary the original sign-split construction
+  * violated at ratio 2e — adjacent outcomes must stay within the e^ε
+  * likelihood ratio.
   */
 class DpNoiseSpec extends AnyFunSuite {
 
   private val thresholds: Seq[Long] = graft.pipeline.CurationQueries.dpThresholds
+  private val alpha = math.exp(-1.0)
+  private val p0 = (1 - alpha) / (1 + alpha)
 
   private def hash48(s: String): Long = {
     val d = MessageDigest.getInstance("MD5")
@@ -24,34 +28,40 @@ class DpNoiseSpec extends AnyFunSuite {
     java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
   }
 
-  test("magnitude tail tracks e^-j and the sign bit is unbiased") {
-    val n = 20000
-    val draws = (0 until n).map { i =>
-      val m = hash48(s"dph|cell$i")
-      val u47 = m / 2
-      val k = thresholds.count(_ > u47)
-      val s = if (m % 2 == 0) 1 else -1
-      (s, k)
-    }
-    def tail(j: Int) = draws.count(_._2 >= j).toDouble / n
-    // P(k >= j) = T_j / 2^47 = e^-j exactly by construction; the
-    // empirical rate over 20k md5 draws sits within binomial noise
-    assert(math.abs(tail(1) - math.exp(-1)) < 0.01,
-      s"P(k>=1) = ${tail(1)} drifted from e^-1")
-    assert(math.abs(tail(2) - math.exp(-2)) < 0.01,
-      s"P(k>=2) = ${tail(2)} drifted from e^-2")
-    assert(math.abs(tail(3) - math.exp(-3)) < 0.005,
-      s"P(k>=3) = ${tail(3)} drifted from e^-3")
-    val meanSign = draws.map(_._1).sum.toDouble / n
-    assert(math.abs(meanSign) < 0.02, s"sign bias $meanSign")
-    assert(draws.map(_._2).max <= thresholds.length,
-      "magnitude cannot exceed the threshold table")
+  private def noise(m: Long): Long = {
+    val i = thresholds.count(_ <= m)
+    if (i == 0) 0L else if (i % 2 == 1) (i + 1L) / 2 else -(i / 2L)
   }
 
-  test("thresholds are the exact floor(2^47 e^-j) table both dialects embed") {
-    assert(thresholds.length == 32)
-    assert(thresholds.head == math.floor(math.exp(-1) * math.pow(2.0, 47)).toLong)
-    assert(thresholds == thresholds.sorted.reverse, "must decrease")
-    assert(thresholds.last >= 1)
+  test("point masses track p0*alpha^|x|, symmetric, within the e^eps ratio") {
+    val n = 40000
+    val draws = (0 until n).map(i => noise(hash48(s"dph|cell$i")))
+    def p(x: Long) = draws.count(_ == x).toDouble / n
+    assert(math.abs(p(0) - p0) < 0.01, s"P(0) = ${p(0)} drifted from $p0")
+    assert(math.abs(p(1) - p0 * alpha) < 0.01,
+      s"P(1) = ${p(1)} drifted from ${p0 * alpha}")
+    assert(math.abs(p(-1) - p0 * alpha) < 0.01,
+      s"P(-1) = ${p(-1)} drifted from ${p0 * alpha}")
+    assert(math.abs(p(2) - p0 * alpha * alpha) < 0.005,
+      s"P(2) = ${p(2)} drifted from ${p0 * alpha * alpha}")
+    // the DP boundary: adjacent-outcome likelihood ratios must sit at
+    // e^eps = e, NOT 2e (the uniform-sign construction's failure)
+    val r01 = p(0) / p(1)
+    assert(r01 > math.E * 0.85 && r01 < math.E * 1.15,
+      s"P(0)/P(1) = $r01 must be ~e = ${math.E} (2e would break eps=1-DP)")
+    assert(draws.map(math.abs).max <= 20,
+      "noise cannot exceed the +-20 truncation")
+  }
+
+  test("thresholds are the exact truncated two-sided-geometric CDF table") {
+    assert(thresholds.length == 40)
+    assert(thresholds == thresholds.sorted, "CDF thresholds must increase")
+    assert(thresholds.distinct.size == 40, "thresholds must be strict")
+    assert(thresholds.head ==
+      math.floor(p0 * math.pow(2.0, 48)).toLong)
+    // the lumped tail past the last threshold is the delta term
+    // (p0*a^20 + the beyond-+-20 remainder ~ 2.1e-9): < 1e-8
+    val tail = 1.0 - thresholds.last.toDouble / math.pow(2.0, 48)
+    assert(tail < 1e-8, s"truncation mass $tail exceeds the documented delta")
   }
 }
