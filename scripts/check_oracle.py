@@ -49,6 +49,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  X {name}: COLUMN MISMATCH spark={s_cols} duck={d_cols}")
             failures += 1
             continue
+        # The driver hashes TYPED values — an oracle that silently widens
+        # (e.g. a window SUM over BIGINT -> HUGEINT) value-matches here but
+        # hash-fails there (r8 curate_quantile_bins). Compare DuckDB result
+        # types column-by-column so the dev loop sees what the driver sees.
+        s_types = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        d_types = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+        bad_types = [(c, s_types[c], d_types[c]) for c in s_cols
+                     if s_types[c] != d_types[c]]
+        if bad_types:
+            print(f"  X {name}: TYPE MISMATCH {bad_types}")
+            failures += 1
+            continue
         s_rows = [tuple(norm(v) for v in r) for r in
                   con.sql(f"SELECT {', '.join(s_cols)} FROM spark_rel").fetchall()]
         d_rows = [tuple(norm(v) for v in r) for r in

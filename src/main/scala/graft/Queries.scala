@@ -319,7 +319,7 @@ object Queries {
        |    PARTITION BY media_id ORDER BY l1, nbr_id) AS rank
        |  FROM pairs
        |)
-       |SELECT media_id, nbr_id, blk, l1, rank FROM ranked
+       |SELECT media_id, nbr_id, blk, l1, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 3 ORDER BY media_id, rank""".stripMargin
   }
 

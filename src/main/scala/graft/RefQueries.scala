@@ -99,7 +99,8 @@ object RefQueries {
        |         FROM (${Gen.locationsSql(200)})),
        |u AS (SELECT *, row_number() OVER (PARTITION BY locid ORDER BY seq DESC) AS rn
        |      FROM (SELECT * FROM base UNION ALL SELECT * FROM dups))
-       |SELECT locid, loctimezone, country, locname, business, seq
+       |SELECT locid, loctimezone, country, locname, business,
+       |  CAST(seq AS BIGINT) AS seq
        |FROM u WHERE rn = 1 ORDER BY locid""".stripMargin
 
   /** O6 — the upsert sink's merge semantics as a relational op
@@ -149,9 +150,9 @@ object RefQueries {
   }
 
   val jsonPageSql: String =
-    """SELECT coalesce(to_json(list_sort(list(struct_pack(
+    """SELECT CAST(coalesce(to_json(list_sort(list(struct_pack(
       |  o_orderkey := o_orderkey, o_orderstatus := o_orderstatus,
-      |  o_orderpriority := o_orderpriority)))), '[]') AS page_json
+      |  o_orderpriority := o_orderpriority)))), '[]') AS VARCHAR) AS page_json
       |FROM orders WHERE o_orderkey < 10""".stripMargin
 
   /** The reference's headline workload at its actual scale: generate

@@ -250,7 +250,7 @@ object RelationalExtras {
 
   val windowNtileSql: String =
     """SELECT o_orderstatus, o_orderkey, o_totalprice,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |  first_value(o_orderkey) OVER wf AS cheapest_key,
       |  last_value(o_orderkey) OVER wf AS priciest_key
       |FROM orders WHERE o_custkey <= 100

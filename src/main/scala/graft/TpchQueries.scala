@@ -271,7 +271,7 @@ object TpchQueries {
   }
 
   val windowTop3Sql: String =
-    """SELECT n_name, c_custkey, c_acctbal, rk FROM (
+    """SELECT n_name, c_custkey, c_acctbal, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT c_custkey, c_nationkey, c_acctbal,
       |    dense_rank() OVER (PARTITION BY c_nationkey
       |                       ORDER BY c_acctbal DESC, c_custkey) AS rk

@@ -280,11 +280,21 @@ object StreamQueries {
       .select($"window.start".cast("timestamp_ntz").as("w_start"),
         $"event_type", $"n")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("w_start")).orderBy(col("n").desc, col("event_type"))
+        // idempotent under micro-batch RETRY: each batch owns its
+        // batch_id partition and dynamic-overwrites ONLY that partition,
+        // so a task failure after a partial commit re-runs to the same
+        // bytes instead of appending duplicate (w_start, event_type)
+        // rows — the exactly-once guarantee the file sink gives its
+        // siblings, recovered for the foreachBatch rank.
         batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-          .write.mode("append").parquet(out)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(out)
       }
       .option("checkpointLocation", ck)
       .outputMode("append")
@@ -293,6 +303,7 @@ object StreamQueries {
       .awaitTermination())
     s.read.parquet(out)
       .filter($"event_type" =!= "__sentinel__")
+      .select($"w_start", $"event_type", $"n", $"rk")
       .orderBy($"w_start", $"rk")
   }
 

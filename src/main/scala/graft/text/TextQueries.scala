@@ -268,7 +268,7 @@ object TextQueries {
        |  WHERE doc_id < 50),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
-       |SELECT doc_id, term, tf, df, round(score, 9) AS tfidf, rk
+       |SELECT doc_id, term, tf, df, round(score, 9) AS tfidf, CAST(rk AS INTEGER) AS rk
        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   /** Repetition-based quality metrics (the Gopher-rules family): the

@@ -111,7 +111,7 @@ object SimilarityQueries {
        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   /** ANN via banded sign-LSH: a corpus vector is a candidate for a query
@@ -180,7 +180,7 @@ object SimilarityQueries {
        |              JOIN q ON c.q_id = q.q_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Embedding near-dup recovery: corpus ∪ one-dimension-perturbed
@@ -589,7 +589,7 @@ object SimilarityQueries {
        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
-       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** IVF index MAINTENANCE — incremental add without retraining: the
@@ -672,7 +672,7 @@ object SimilarityQueries {
        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
-       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank,
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank,
        |  CASE WHEN vec_id % 10 = 0 THEN 'delta' ELSE 'base' END AS origin
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
@@ -731,7 +731,7 @@ object SimilarityQueries {
        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
-       |SELECT q_id, vec_id, label, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, label, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** The IVF index AS A LAYOUT, and its pruned read — what "a query
@@ -761,6 +761,28 @@ object SimilarityQueries {
         .write.mode("overwrite").parquet(pPath)
       (idx, pPath)
     })
+  }
+
+  /** Forces every per-(JVM, sf-dir) trained/materialized model artifact
+    * this module memoizes — the IVF codebook (whole-corpus + the
+    * incremental-add base-only variant), the three PQ codebooks
+    * (plain / OPQ / residual), and the partitioned IVF index layout —
+    * so a benchmark can bill training to an explicit warm-up instead of
+    * whichever artifact-sharing query happens to run first (the r8
+    * `sim_pq_adc_knn` "+4.2 s regression" was exactly this
+    * cost-shifting, not a plan change). Idempotent: every trainer
+    * behind it is memoized, so gates re-running later pay nothing.
+    */
+  def warmTraining(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    ivfIndexLayout(s, dir)
+    // same (vec_id, label, v) rows ivfIncrementalAdd trains its frozen
+    // base codebook on — the trainer only reads those three columns
+    ivfTrain(s, dir + "|incbase", vectors.filter($"vec_id" % 10 =!= 0))
+    pqTrain(s, dir, pqSubs(s, dir))
+    pqTrain(s, dir, opqSubs(s, dir), tag = "opq")
+    pqTrain(s, dir, residualSubs(s, vectors, assigned, centroidArr), "res")
   }
 
   val ivfPrunedRead: Q = (s, dir) => {
@@ -862,7 +884,7 @@ object SimilarityQueries {
       |  FROM c CROSS JOIN q WHERE vec_id <> q_id),
       |ranked AS (SELECT *, row_number() OVER (
       |    PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS rank FROM scored)
-      |SELECT q_id, vec_id, qdot, rank FROM ranked
+      |SELECT q_id, vec_id, qdot, CAST(rank AS INTEGER) AS rank FROM ranked
       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   /** Array higher-order-function surface over the embedding column:
@@ -1202,7 +1224,7 @@ object SimilarityQueries {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY pq_dot DESC, vec_id) AS rank FROM adc)
-       |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, rank
+       |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1277,7 +1299,7 @@ object SimilarityQueries {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY pq_dot DESC, vec_id) AS rank FROM adc)
-       |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, rank
+       |SELECT q_id, vec_id, round(pq_dot, 9) AS pq_dot, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1372,7 +1394,7 @@ object SimilarityQueries {
        |                    JOIN embeddings qe ON sl.q_id = qe.vec_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
-       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1538,7 +1560,7 @@ object SimilarityQueries {
        |                    JOIN embeddings qe ON sl.q_id = qe.vec_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM rescored)
-       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank FROM ranked
+       |SELECT q_id, vec_id, round(cosine, 9) AS cosine, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1646,7 +1668,7 @@ object SimilarityQueries {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY round(hybrid, 9) DESC, vec_id) AS rank FROM hybrid)
-       |SELECT q_id, rank, vec_id, round(bm25, 9) AS bm25,
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, round(bm25, 9) AS bm25,
        |  round(cosine, 9) AS cosine, round(hybrid, 9) AS hybrid
        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
@@ -2080,7 +2102,7 @@ object SimilarityQueries {
        |  FROM d CROSS JOIN q WHERE d_id <> q_id),
        |ranked AS (SELECT *, row_number() OVER (
        |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM scored)
-       |SELECT q_id, vec_id, round(score, 9) AS score, rank FROM ranked
+       |SELECT q_id, vec_id, round(score, 9) AS score, CAST(rank AS INTEGER) AS rank FROM ranked
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
