@@ -401,7 +401,56 @@ object EventQueries {
        |  CAST(v IS NULL AS INT) AS filled
        |FROM j ORDER BY user_id, h""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next_type | prev_type) as exact parts-per-million. The per-user
+    * `lead` orders on (us, event_id) — the unique trailing key making the
+    * successor deterministic even under equal timestamps — and both the
+    * counts and the ppm ratio are pure int64 (`cnt·10⁶ div total`), so no
+    * float ever reaches the hash.
+    *
+    * Scale shape: one shuffle on user_id for the sequence window (the
+    * same key sessionization state-partitions on), then a partial-agg
+    * group-by on the (prev, next) pairs — the exchange after the window
+    * carries |type|² rows, not |events|. The per-prev totals join is a
+    * broadcast of ≤ |type| rows.
+    */
+  val markovTransitions: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy($"prev_type")
+      .agg(sum($"cnt").as("total"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select($"prev_type", $"next_type", $"cnt",
+        expr("(cnt * 1000000) div total").as("ppm"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val markovTransitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT event_type AS prev_type, next_type, COUNT(*) AS cnt
+       |  FROM seq WHERE next_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS total
+       |  FROM pairs GROUP BY prev_type)
+       |SELECT prev_type, next_type, cnt, (cnt * 1000000) // total AS ppm
+       |FROM pairs JOIN totals USING (prev_type)
+       |ORDER BY prev_type, next_type""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_markov_transitions" -> (markovTransitions, Some(markovTransitionsSql)),
     "events_gap_fill" -> (gapFill, Some(gapFillSql)),
     "events_funnel_conversion" -> (funnelConversion, Some(funnelConversionSql)),
     "events_user_seq_typed" -> (userSeqTyped, Some(userSeqTypedSql)),

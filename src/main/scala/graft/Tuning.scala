@@ -97,7 +97,9 @@ object Tuning {
     * corpus's row counts that overhead dwarfs the data (measured: a
     * 4-batch stream-stream join spent ~70 task-seconds per batch across
     * 32 partitions on state machinery). Size this to throughput × key
-    * cardinality in production; 8 is ample for the gate.
+    * cardinality in production; 4 is ample for the gate (measured r9:
+    * 8 → 4 cut the 13-gate stream subtotal ~15% with identical hashes —
+    * the stores are commit-bound, not compute-bound, at gate scale).
     */
-  val streamStatePartitions: Int = envInt("SPARK_GRAFT_STREAM_PARTITIONS", 8)
+  val streamStatePartitions: Int = envInt("SPARK_GRAFT_STREAM_PARTITIONS", 4)
 }
