@@ -723,7 +723,92 @@ object TextQueries {
        |GROUP BY 1, 2 ORDER BY n_docs DESC, term_a, term_b LIMIT 20""".stripMargin
   }
 
+  /** Fixed query terms for the BM25 retrieval gate — mid-frequency
+    * members of the synthetic vocabulary, so tf and df both vary.
+    */
+  private val Bm25Terms = Seq("spark", "hash", "window", "merge")
+
+  /** BM25 retrieval (k1 = 1.2, b = 0.75): top-20 documents for a fixed
+    * multi-term query — the classic lexical ranking every search/RAG
+    * retrieval stack keeps next to its vector index (and the scoring
+    * side of a hybrid-search fusion; `sim_hybrid_search` gates the
+    * fusion shape). idf = ln(1 + (N − df + ½)/(df + ½)), the standard
+    * "plus-one" form that stays positive at any df.
+    *
+    * Determinism: per-term scores are single IEEE expression trees
+    * written identically in both dialects (the `text_tfidf_top`
+    * precedent); the ACROSS-term sum — the only order-dependent step —
+    * runs through the decimal detour ([[graft.functions.Exact.dsum]]),
+    * so the ranking key is a 1e-6-grid value no partial-agg order can
+    * perturb. Top-20 via orderBy+limit (TakeOrderedAndProject — no
+    * global sort materializes at corpus scale); the 20-row rank window
+    * runs on the already-limited result.
+    *
+    * Scale shape: tf is one explode filtered to |query| terms before
+    * the group-by (the filter prunes the shuffle to matching tokens
+    * only); df and the corpus stats are broadcast; nothing all-pairs.
+    */
+  val bm25Topk: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.dsum
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sdl"))
+    val tf = docs.select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val byDoc = tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("ts",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sdl" / $"n_docs"))))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit"), dsum($"ts").as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(20)
+    byDoc
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .select($"doc_id", $"n_hit", $"score", $"rank")
+      .orderBy($"rank")
+  }
+
+  val bm25TopkSql: String = {
+    import graft.functions.Exact.sqlDsum
+    val terms = Bm25Terms.mkString("('", "', '", "')")
+    s"""WITH d AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS INT) AS dl FROM (
+       |    SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sdl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN $terms
+       |  GROUP BY doc_id, dl, term),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ln(CAST(1.0 AS DOUBLE) +
+       |        (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+       |      (tf * CAST(2.2 AS DOUBLE)) /
+       |      (tf + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (sdl / n_docs))) AS ts
+       |  FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+       |byd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit, ${sqlDsum("ts")} AS score
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT 20)
+       |SELECT doc_id, n_hit, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       |FROM byd ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_bm25_topk" -> (bm25Topk, Some(bm25TopkSql)),
     "graph_term_cooccurrence" -> (cooccurrence, Some(cooccurrenceSql)),
     "text_line_dedup" -> (lineDedup, Some(lineDedupSql)),
     "text_heavy_hitters" -> (heavyHitters, Some(heavyHittersSql)),

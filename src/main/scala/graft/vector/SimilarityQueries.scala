@@ -2282,7 +2282,141 @@ object SimilarityQueries {
        |FROM cnt JOIN d USING (label) ORDER BY label""".stripMargin
   }
 
+  /** Corpus signatures packed for Hamming arithmetic: the 64-bit
+    * [[graft.functions.SignBits]] signature split into two 32-bit
+    * halves parsed to longs, so the per-pair distance is two XOR +
+    * popcount ops inside whole-stage codegen — the binary-embedding
+    * representation (1 bit/dim, 64× smaller than float32) production
+    * ANN stacks use as their cheap first tier.
+    */
+  private def hammingPacked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", expr("sign_bits(embedding, 64)").as("sig"))
+      .select($"vec_id",
+        conv(substring($"sig", 1, 32), 2, 10).cast("long").as("h1"),
+        conv(substring($"sig", 33, 32), 2, 10).cast("long").as("h2"))
+  }
+
+  /** Hamming top-10 per query over the packed signatures: pure integer
+    * distance (deterministic with no rounding anywhere), ties broken by
+    * vec_id. Shared by the knn gate and the recall report.
+    */
+  private def hammingRanked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sigs = hammingPacked(s, dir)
+    val q = sigs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"h1".as("q1"), $"h2".as("q2"))
+    val w = Window.partitionBy($"q_id").orderBy($"dist", $"vec_id")
+    sigs.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("cast(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) as int)").as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+  }
+
+  /** Binary-signature ANN: top-10 by Hamming distance over 64-bit sign
+    * signatures. The distance kernel is integer XOR+popcount — at 100 TB
+    * the corpus side is 8 bytes/vector instead of 256, and the scan is
+    * codegen'd arithmetic with no float anywhere (contrast
+    * [[annLsh]], which buckets on band equality and rescores with the
+    * exact-decimal kernel; this gate IS the distance tier).
+    */
+  val hammingKnn: Q = (s, dir) => {
+    import s.implicits._
+    hammingRanked(s, dir).orderBy($"q_id", $"rank")
+  }
+
+  /** DuckDB mirror computes the identical distance by comparing the
+    * '0'/'1' signature strings position-wise — integer either way, so
+    * the packed-long formulation and the character formulation cannot
+    * disagree.
+    */
+  val hammingKnnSql: String =
+    s"""WITH ${sqlSignWeightsCte(64)},
+       |sigs AS MATERIALIZED (SELECT vec_id,
+       |    ${sqlSignBits("embedding", 64)} AS sig
+       |  FROM embeddings CROSS JOIN swt),
+       |q AS (SELECT vec_id AS q_id, sig AS qs FROM sigs WHERE vec_id < 5),
+       |d AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CASE WHEN sig[i] = qs[i] THEN 0 ELSE 1 END)) AS INTEGER) AS dist
+       |  FROM sigs CROSS JOIN q WHERE vec_id <> q_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM d)
+       |SELECT q_id, vec_id, dist, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Index-quality monitoring: recall@10 of the Hamming tier against
+    * the exact cosine top-10 — the report a production pipeline emits
+    * per index build/batch so quantization regressions surface as a
+    * metric, not as silently worse retrieval. Integers only (hit
+    * counts and hits·10 percent), so the gate is immune to every
+    * float hazard; queries with zero hits still emit their row (left
+    * join from the query universe, not from the hits).
+    */
+  val hammingRecall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"vec_id")
+    val hits = hammingRanked(s, dir).select($"q_id", $"vec_id")
+      .join(exact, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    queries.select($"q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"h", lit(0L)).as("hits"),
+        (coalesce($"h", lit(0L)) * 10).as("recall_pct"))
+      .orderBy($"q_id")
+  }
+
+  val hammingRecallSql: String =
+    s"""WITH ${sqlSignWeightsCte(64)},
+       |sigs AS MATERIALIZED (SELECT vec_id,
+       |    ${sqlSignBits("embedding", 64)} AS sig
+       |  FROM embeddings CROSS JOIN swt),
+       |q AS (SELECT vec_id AS q_id, sig AS qs FROM sigs WHERE vec_id < 5),
+       |d AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CASE WHEN sig[i] = qs[i] THEN 0 ELSE 1 END)) AS INTEGER) AS dist
+       |  FROM sigs CROSS JOIN q WHERE vec_id <> q_id),
+       |hr AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY dist, vec_id) AS rank FROM d)
+       |  WHERE rank <= 10),
+       |qq AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |br AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM (SELECT q_id, vec_id,
+       |        ${sqlCosine("embedding", "q_emb")} AS cosine
+       |      FROM embeddings CROSS JOIN qq WHERE vec_id <> q_id))
+       |  WHERE rank <= 10),
+       |hits AS (
+       |  SELECT q_id, COUNT(*) AS h
+       |  FROM hr JOIN br USING (q_id, vec_id) GROUP BY q_id)
+       |SELECT qq.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
+       |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
+    "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
     "sim_centroid_drift" -> (centroidDrift, Some(centroidDriftSql)),
     "sim_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
     "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),
