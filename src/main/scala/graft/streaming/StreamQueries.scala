@@ -1139,7 +1139,90 @@ object StreamQueries {
        |ORDER BY version, o_orderstatus""".stripMargin
   }
 
+  /** CHECKPOINT-RESUME under the gate — the restart semantics every
+    * production stream depends on: run the watermarked tumbling
+    * aggregation to completion on the first two staged files, STOP,
+    * then start a NEW query (same plan, same checkpoint, same sink)
+    * after a third file lands. The restarted query must recover the
+    * watermark and the held window state from the checkpoint, discover
+    * only the new file, emit the tail windows exactly once, and leave
+    * a sink whose total content matches the plain batch oracle — the
+    * full replay/exactly-once contract (offset log + state store +
+    * file-sink metadata log) in one hash.
+    *
+    * Staging is memoized like every gate, but the RUN dir is fresh per
+    * invocation and files are copied in between the two runs — the
+    * arrival of b3 between query lifetimes IS the semantics under
+    * test. Copies preserve the staged mtime spacing so discovery order
+    * is deterministic.
+    */
+  val streamRestartResume: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    val csvSchema = "event_id BIGINT, us BIGINT, event_type STRING, value DOUBLE"
+    val (staged, _) = stagedInputs("restart", dir) { in =>
+      val ev = graft.Tables(s, dir, "events")
+        .filter($"user_id" <= 300)
+        .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+          $"event_type", $"value")
+      stageCsv(ev, in, "b1")
+      val maxUs = s.read.schema(csvSchema).option("header", "true")
+        .csv(s"$in/b1.csv").agg(max($"us")).head().getLong(0)
+      stageCsv(Seq((-1L, maxUs + 86400L * 1000000, "__sentinel__", 0.0))
+        .toDF("event_id", "us", "event_type", "value"), in, "b2")
+      stageCsv(Seq((-2L, maxUs + 2 * 86400L * 1000000, "__sentinel__", 0.0))
+        .toDF("event_id", "us", "event_type", "value"), in, "b3")
+      val t0 = new java.io.File(s"$in/b1.csv").lastModified()
+      require(new java.io.File(s"$in/b2.csv").setLastModified(t0 + 10000) &&
+        new java.io.File(s"$in/b3.csv").setLastModified(t0 + 20000),
+        s"could not order staged batch files by mtime under $in")
+      maxUs
+    }
+    val runIn = s"${graft.Scratch.dir}/graft_stream_" +
+      s"${RefQueries.runToken}_${invocation.incrementAndGet()}_in"
+    Files.createDirectories(Paths.get(runIn))
+    def arrive(name: String): Unit = {
+      Files.copy(Paths.get(s"$staged/$name.csv"),
+        Paths.get(s"$runIn/$name.csv"))
+      require(new java.io.File(s"$runIn/$name.csv").setLastModified(
+        new java.io.File(s"$staged/$name.csv").lastModified()),
+        s"could not carry staged mtime onto $runIn/$name.csv")
+    }
+    val (out, ck) = freshOutCk()
+    // one definition, two query lifetimes: the restarted stream must be
+    // the same plan for the checkpoint to bind
+    def runToCompletion(): Unit = withStatePartitions(s)(s.readStream
+      .schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1")
+      .csv(runIn)
+      .withColumn("ts", timestamp_micros($"us"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"window.start".cast("timestamp_ntz").as("w_start"),
+        $"event_type", $"n", $"total_value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination())
+    arrive("b1"); arrive("b2")
+    runToCompletion()
+    // the third file lands AFTER the first query's lifetime ended; the
+    // restart resumes from the checkpointed offsets + state
+    arrive("b3")
+    runToCompletion()
+    s.read.parquet(out)
+      .filter($"event_type" =!= "__sentinel__")
+      .orderBy($"w_start", $"event_type")
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "stream_restart_resume" -> (streamRestartResume, Some(streamTumblingSql)),
     "stream_lake_upsert" -> (streamLakeUpsert, Some(streamLakeUpsertSql)),
     // the batch twin's oracle IS the contract: stream result == batch result
     "stream_ingest_dedup" -> (streamIngestDedup, Some(RefQueries.ingestDedupSql)),

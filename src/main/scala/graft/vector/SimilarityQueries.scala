@@ -2057,22 +2057,51 @@ object SimilarityQueries {
   val maxsimLate: Q = (s, dir) => {
     import s.implicits._
     def sub(i: Int) = slice(col("embedding"), 1 + 16 * i, 16)
-    def sides(df: org.apache.spark.sql.DataFrame, p: String) =
+    val emb = Tables(s, dir, "embeddings")
+    // Double-prefilter screen (the house pair-screen invariant): the full
+    // q×d MaxSim matrix is scored with the strict-IEEE dot_double kernel
+    // — per-pair |exact − double| is < ~1e-11 (4 cosines summed) — and
+    // only pairs within 1e-6 of each query's 10th-ranked screen score
+    // pay the exact-decimal kernels. Any excluded pair has exact score
+    // < s10 − 1e-6 + ε while ten pairs hold exact ≥ s10 − ε, so the
+    // screened set provably contains the exact top-10 (1e-6 ≫ 2ε).
+    def sidesFast(df: org.apache.spark.sql.DataFrame, p: String) =
       df.select(col("vec_id").as(s"${p}_id") +:
         (0 until 4).flatMap(i => Seq(
           sub(i).as(s"${p}s$i"),
-          normExact(sub(i)).as(s"${p}n$i"))): _*)
-    val emb = Tables(s, dir, "embeddings")
-    val docs = sides(emb, "d")
-    val qs = sides(emb.filter($"vec_id" < 3), "q")
-    def cos(i: Int, j: Int) =
-      dotExact(col(s"qs$i"), col(s"ds$j")) / (col(s"qn$i") * col(s"dn$j"))
-    def mi(i: Int) = greatest(cos(i, 0), cos(i, 1), cos(i, 2), cos(i, 3))
+          sqrt(dotFast(sub(i), sub(i))).as(s"${p}n$i"))): _*)
+    def score(dot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      def cos(i: Int, j: Int) =
+        dot(col(s"qs$i"), col(s"ds$j")) / (col(s"qn$i") * col(s"dn$j"))
+      def mi(i: Int) = greatest(cos(i, 0), cos(i, 1), cos(i, 2), cos(i, 3))
+      ((mi(0) + mi(1)) + mi(2)) + mi(3)
+    }
+    // persist = the screen/verdict barrier (CollapseProject would
+    // otherwise re-inline the screen into the exact projection)
+    val approx = graft.CacheTracker.persistTracked(
+      sidesFast(emb, "d").crossJoin(broadcast(sidesFast(emb.filter($"vec_id" < 3), "q")))
+        .filter($"d_id" =!= $"q_id")
+        .select($"q_id", $"d_id", score(dotFast).as("ascore")))
+    val wA = Window.partitionBy($"q_id").orderBy($"ascore".desc, $"d_id")
+    val thr = approx.withColumn("rk", row_number().over(wA))
+      .filter($"rk" === 10).select($"q_id", $"ascore".as("s10"))
+    val candIds = approx.join(broadcast(thr), Seq("q_id"), "left")
+      .filter($"s10".isNull || $"ascore" >= $"s10" - lit(1e-6))
+      .select($"q_id", $"d_id")
+    // exact verdict on survivors only: the exact slices/norms sit in a
+    // projection ABOVE the candidate join, so the decimal kernels run
+    // for ~a dozen rows per query, not the corpus
+    def exactCols(p: String) = (0 until 4).flatMap(i => Seq(
+      sub(i).as(s"${p}s$i"), normExact(sub(i)).as(s"${p}n$i")))
+    val candD = candIds
+      .join(emb.select($"vec_id".as("d_id"), $"embedding"), "d_id")
+      .select(Seq($"q_id", $"d_id") ++ exactCols("d"): _*)
+    val qX = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id") +: exactCols("q"): _*)
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
-    docs.crossJoin(broadcast(qs))
-      .filter($"d_id" =!= $"q_id")
-      .select($"q_id", $"d_id".as("vec_id"),
-        (((mi(0) + mi(1)) + mi(2)) + mi(3)).as("score"))
+    candD.join(broadcast(qX), "q_id")
+      .select($"q_id", $"d_id".as("vec_id"), score(dotExact).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .withColumn("score", round($"score", 9))

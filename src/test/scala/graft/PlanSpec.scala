@@ -270,17 +270,21 @@ class PlanSpec extends SparkSpec {
       "pairs must come from the bucket-grid equi-join:\n" + p)
   }
 
-  test("maxsim pays 16 pair kernels per pair; sub-norms stay hoisted below the join") {
+  test("maxsim screens with dot_double; exact kernels only touch screened survivors") {
     val p = plan("sim_maxsim_multivector")
     assert(p.contains("Broadcast"), "query side must broadcast:\n" + p)
-    // 16 pair dots above the join + 8 hoisted norm dots (4 per side)
-    // below it = 24, and the AQE toString prints the plan twice (final +
-    // initial) = 48. A CollapseProject regression re-inlining the norms
-    // into the 16 cosine expressions would read (16 + 32) × 2 = 96.
+    // The corpus-sized q×d matrix is scored by the double screen — the
+    // exact-decimal kernels (16 pair dots + 8 norms, ×2 AQE prints)
+    // must sit ABOVE the candidate join, fed by the persisted screen
+    // (InMemoryTableScan), never against the raw corpus scan.
+    assert("dot_double".r.findAllIn(p).nonEmpty,
+      "the corpus-wide screen must run the IEEE dot_double kernel:\n" + p)
     val dots = "dot_exact_dec".r.findAllIn(p).size
     assert(dots >= 16 && dots <= 48,
       s"expected <= (16 pair + 8 norm) × 2 prints dot_exact_dec kernels, " +
         s"found $dots:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      "screen/verdict persist barrier missing:\n" + p)
   }
 
   test("brute-force and quantized kNN broadcast the 5-row query side") {
