@@ -2443,7 +2443,59 @@ object SimilarityQueries {
        |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** Index-quality monitoring for the QUANTIZED tier: recall@5 of the
+    * PQ ADC ranking against exact cosine top-5 — the per-build report
+    * that makes codebook regressions (a bad Lloyd init, a stale
+    * codebook after a corpus shift) a measured metric. Same integer
+    * shape as [[hammingRecall]]; together the two gates bracket both
+    * compression tiers a production ANN stack runs (1-bit signatures,
+    * 16-byte PQ codes).
+    */
+  val pqRecallReport: Q = (s, dir) => {
+    import s.implicits._
+    val approx = pqAdcKnn(s, dir).select($"q_id", $"vec_id")
+    val exact = knnBrute(s, dir).filter($"rank" <= 5).select($"q_id", $"vec_id")
+    val hits = approx.join(exact, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    Tables(s, dir, "embeddings").filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"h", lit(0L)).as("hits"),
+        (coalesce($"h", lit(0L)) * 20).as("recall_pct"))
+      .orderBy($"q_id")
+  }
+
+  val pqRecallReportSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH $sqlPqCtes,
+       |adc AS (
+       |  SELECT l.q_id, e.vec_id, ${sqlDsum("l.dp")} AS pq_dot
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  WHERE e.vec_id <> l.q_id
+       |  GROUP BY l.q_id, e.vec_id),
+       |pqr AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY pq_dot DESC, vec_id) AS rank FROM adc)
+       |  WHERE rank <= 5),
+       |qq AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |br AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM (SELECT q_id, vec_id,
+       |        ${sqlCosine("embedding", "q_emb")} AS cosine
+       |      FROM embeddings CROSS JOIN qq WHERE vec_id <> q_id))
+       |  WHERE rank <= 5),
+       |hits AS (
+       |  SELECT q_id, COUNT(*) AS h
+       |  FROM pqr JOIN br USING (q_id, vec_id) GROUP BY q_id)
+       |SELECT qq.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h, 0) * 20 AS BIGINT) AS recall_pct
+       |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
     "sim_centroid_drift" -> (centroidDrift, Some(centroidDriftSql)),

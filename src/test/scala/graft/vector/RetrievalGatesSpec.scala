@@ -49,6 +49,22 @@ class RetrievalGatesSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("pq recall report is consistent and nonzero on this corpus") {
+    val rep = graft.Queries.queries("sim_pq_recall_report")(spark, sf0001)
+      .collect()
+    assert(rep.length === 5)
+    rep.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(r.getAs[Long]("recall_pct") === hits * 20)
+    }
+    // 16-byte PQ codes keep enough inner-product structure to recover a
+    // nontrivial share of the exact top-5 (measured ~0.5 recall here)
+    assert(rep.map(_.getAs[Long]("hits")).sum >= 5,
+      "PQ ADC recall collapsed vs exact cosine top-5")
+    graft.CacheTracker.releaseAll()
+  }
+
   test("bm25 ranks by score with doc_id tiebreak and only returns matching docs") {
     import spark.implicits._
     val top = graft.Queries.queries("text_bm25_topk")(spark, sf0001).collect()
