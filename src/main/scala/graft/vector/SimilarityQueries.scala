@@ -383,11 +383,54 @@ object SimilarityQueries {
     })
   }
 
+  /** Exact top-`keepTop` cells per vector under the house double-screen:
+    * the |V|×k L2 score matrix (`cc − 2·v·c`) runs the IEEE
+    * `dot_double` kernel; only cells within 1e-6 of each vector's
+    * keepTop-th screen score pay the exact-decimal kernel and enter the
+    * exact (score, c_label) window. Per-score |exact − double| is
+    * ≪ the margin, so the screened set provably contains the exact
+    * top-keepTop (ties included — equal exact scores sit within the
+    * margin of each other) and the output is bit-identical to the
+    * all-exact formulation the oracles replay, at ~keepTop exact
+    * kernels per vector instead of k. `carryCols` rides vector-side
+    * columns (e.g. label) through to the output.
+    */
+  private def screenedCellRank(
+      vectors: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      keepTop: Int,
+      carryCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val wF = Window.partitionBy($"vec_id").orderBy($"ad", $"c_label")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cand = vectors.select($"vec_id", $"v")
+      .crossJoin(broadcast(cent.select($"c_label", $"cv", $"cc")))
+      .select($"vec_id", $"c_label",
+        ($"cc" - lit(2.0) * dotFast($"v", $"cv")).as("ad"))
+      // the keepTop-th screen score per vector; null when k <= keepTop
+      // (then every cell survives, degenerating to the all-exact form)
+      .withColumn("athr", nth_value($"ad", keepTop).over(wF))
+      .filter($"athr".isNull || $"ad" <= $"athr" + lit(1e-6))
+      .select($"vec_id", $"c_label")
+    val wX = Window.partitionBy($"vec_id").orderBy($"score", $"c_label")
+    cand
+      .join(vectors.select(($"vec_id" +: $"v" +: carryCols.map(col)): _*),
+        "vec_id")
+      .join(broadcast(cent.select($"c_label", $"cv", $"cc")), "c_label")
+      .select(($"vec_id" +: $"c_label" +:
+        ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score") +:
+        carryCols.map(col)): _*)
+      .withColumn("rn", row_number().over(wX))
+      .filter($"rn" <= keepTop)
+  }
+
   /** Shared IVF structure: the broadcastable Lloyd-trained centroid
     * table (k rows: centroid array + exact |c|² and norm), the
     * projected/persisted vector table (double array + hoisted norm),
     * and the REPLICATED exact cell assignment — each vector ranked
-    * against all k cells by exact L2 score and kept under its top
+    * against all k cells by exact L2 score (via [[screenedCellRank]] —
+    * bit-identical, ~R exact kernels per vector) and kept under its top
     * [[IvfReplicas]] (rn = 1 is the classic single assignment; rn ≤ R
     * is the index the search path reads). Built once, used by both the
     * assignment query and the probe-search read path.
@@ -405,17 +448,10 @@ object SimilarityQueries {
       s.read.schema("c_label INT, cv ARRAY<DOUBLE>, cc DOUBLE")
         .parquet(ivfTrain(s, dir, vectors))
         .withColumn("cn", normExact($"cv")))
-    // replicated assignment: k exact kernels per vector, top-R kept.
-    // |V|·k scored rows shuffle once for the per-vector window — at
-    // deployment this materializes as the bucketed-by-cell index table
-    val wA = Window.partitionBy($"vec_id").orderBy($"score", $"c_label")
-    val assigned = vectors
-      .crossJoin(broadcast(centroidArr.select($"c_label", $"cv", $"cc")))
-      .select($"vec_id", $"label", $"c_label",
-        ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score"))
-      .withColumn("rn", row_number().over(wA))
-      .filter($"rn" <= IvfReplicas)
-      .select($"vec_id", $"label", $"c_label".as("nearest_label"), $"rn")
+    // at deployment this materializes as the bucketed-by-cell index table
+    val assigned =
+      screenedCellRank(vectors, centroidArr, IvfReplicas, Seq("label"))
+        .select($"vec_id", $"label", $"c_label".as("nearest_label"), $"rn")
     (centroidArr, vectors, assigned)
   }
 
@@ -1790,13 +1826,11 @@ object SimilarityQueries {
       org.apache.spark.sql.DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val cells = corpus
-      .crossJoin(broadcast(centroidArr.select($"c_label", $"cv", $"cc")))
-      .select($"vec_id", $"c_label",
-        ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"score", $"c_label")).as("best"))
-      .select($"vec_id", $"best.c_label".as("cell"), $"best.score".as("score"))
+    // screened argmin (house double-screen, see [[screenedCellRank]]):
+    // one exact kernel per vector instead of k, winner + exact score
+    // bit-identical to the all-exact min(struct(score, c_label)) form
+    val cells = screenedCellRank(corpus, centroidArr, 1)
+      .select($"vec_id", $"c_label".as("cell"), $"score")
     corpus.join(cells, "vec_id")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"cell").orderBy($"score", $"vec_id")))
