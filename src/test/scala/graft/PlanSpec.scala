@@ -287,6 +287,23 @@ class PlanSpec extends SparkSpec {
       "screen/verdict persist barrier missing:\n" + p)
   }
 
+  test("bm25 takes its top-20 without a global sort and broadcasts df/stats") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not materialize a corpus sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "df and corpus stats must broadcast against tf:\n" + p)
+  }
+
+  test("hamming knn scans packed longs with codegen'd integer distance") {
+    val p = plan("sim_hamming_knn")
+    assert(p.contains("Broadcast"), "the 5-query side must broadcast:\n" + p)
+    assert(p.contains("bit_count"),
+      "the distance must be XOR+popcount arithmetic, not a char loop:\n" + p)
+    // no exact-decimal kernel anywhere: this tier is integer-only
+    assert(!p.contains("dot_exact_dec"), p)
+  }
+
   test("brute-force and quantized kNN broadcast the 5-row query side") {
     Seq("sim_knn_brute", "sim_quantized_knn").foreach { q =>
       val p = plan(q)
