@@ -699,7 +699,108 @@ object LakeQueries {
        |ORDER BY c.probe_key, c.fid""".stripMargin
   }
 
+  private val vacInvocation = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Retention under the gate — the vacuum step every time-traveling
+    * table format pairs with copy-on-write merges: build the three-
+    * version merge history ([[graft.streaming.StreamQueries]]'s lake
+    * gate shape: base load, F-partition merge, all-partition merge),
+    * then expire everything below version 2. The gate asserts the three
+    * halves of the retention contract in one run: (a) files referenced
+    * ONLY by expired versions are physically deleted (v1's rewritten F
+    * partition — `deleted > 0`); (b) files an expired version SHARES
+    * with a retained one survive (v2 still carries v1's non-F
+    * partitions — their rows hash below); (c) time travel below the
+    * floor fails LOUDLY (the expired manifest is dropped), never reads
+    * a partial file set. Output = the retained versions' per-partition
+    * states, byte-stable across the delete; the oracle replays the
+    * merge history and knows nothing about files — exactly the point.
+    */
+  val vacuumRetention: Q = (s, dir) => {
+    import s.implicits._
+    val root = s"${Scratch.dir}/graft_lake_vac_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
+      vacInvocation.incrementAndGet()
+    val orders = Tables(s, dir, "orders")
+    val base = orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
+        lit(0L).as("seq"), $"o_orderstatus")
+    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val u1 = orders.filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
+      .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
+        lit("u1").as("src"), lit(1L).as("seq"), $"o_orderstatus")
+    val u2 = orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", ($"o_totalprice" * 3).as("o_totalprice"),
+        lit("u2").as("src"), lit(2L).as("seq"), $"o_orderstatus")
+    def mergeIn(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val touched = batch.select($"o_orderstatus").distinct()
+        .collect().map(_.getString(0)).toSet
+      val latest = operators.Snapshots.latestVersion(root)
+      val live = operators.Snapshots.read(s, root, latest)
+        .filter($"o_orderstatus".isin(touched.toSeq: _*))
+      val merged = operators.Upsert.lastWins(
+        live.unionByName(batch), Seq("o_orderkey"), col("seq"))
+      operators.Snapshots.commit(s, root, merged, "o_orderstatus",
+        carry = rel => !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))
+    }
+    mergeIn(u1)
+    mergeIn(u2)
+    val (deleted, _) = operators.Snapshots.vacuum(root, retainFrom = 2)
+    require(deleted > 0,
+      "vacuum must delete the files only expired versions referenced")
+    val v1Gone =
+      try { operators.Snapshots.read(s, root, 1).count(); false }
+      catch { case _: Exception => true }
+    require(v1Gone,
+      "time travel below the retention floor must fail loudly, not read a partial set")
+    def stateAt(v: Int) = operators.Snapshots.read(s, root, v)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("total"),
+        sum(($"src" === "u1").cast("long")).as("n_u1"),
+        sum(($"src" === "u2").cast("long")).as("n_u2"))
+      .withColumn("version", lit(v))
+    (2 to 3).map(stateAt).reduce(_ unionByName _)
+      .select($"version", $"o_orderstatus", $"n_rows", $"total",
+        $"n_u1", $"n_u2")
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  val vacuumRetentionSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src, 0 AS seq
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |u1 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       |    'u1' AS src, 1 AS seq
+       |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'),
+       |u2 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice * 3 AS o_totalprice,
+       |    'u2' AS src, 2 AS seq
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |v2 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, src, seq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT * FROM base UNION ALL SELECT * FROM u1))
+       |  WHERE rn = 1),
+       |v3 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, src, seq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY seq DESC) AS rn
+       |    FROM (SELECT * FROM v2 UNION ALL SELECT * FROM u2))
+       |  WHERE rn = 1),
+       |states AS (
+       |  SELECT 2 AS version, o_orderstatus, o_totalprice, src FROM v2
+       |  UNION ALL SELECT 3, o_orderstatus, o_totalprice, src FROM v3)
+       |SELECT version, o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(SUM(CASE WHEN src = 'u1' THEN 1 ELSE 0 END) AS BIGINT) AS n_u1,
+       |  CAST(SUM(CASE WHEN src = 'u2' THEN 1 ELSE 0 END) AS BIGINT) AS n_u2
+       |FROM states GROUP BY version, o_orderstatus
+       |ORDER BY version, o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_vacuum_retention" -> (vacuumRetention, Some(vacuumRetentionSql)),
     "lake_bloom_index" -> (bloomIndex, Some(bloomIndexSql)),
     "lake_schema_evolution" -> (schemaEvolution, Some(schemaEvolutionSql)),
     "lake_snapshot_diff" -> (snapshotDiff, Some(snapshotDiffSql)),
