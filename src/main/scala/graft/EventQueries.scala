@@ -449,7 +449,71 @@ object EventQueries {
        |FROM pairs JOIN totals USING (prev_type)
        |ORDER BY prev_type, next_type""".stripMargin
 
+  /** Robust anomaly detection: per event type, the median and the
+    * median absolute deviation (MAD), flagging |x − med| > 3·MAD — the
+    * outlier rule that, unlike [[zscoreAnomalies]]'s mean/stddev, a few
+    * extreme values cannot drag. Both medians are SELECTED, never
+    * interpolated: the lower median via `row_number` at rank
+    * `(n+1) div 2` with an event_id tiebreak, so every emitted double
+    * is a raw corpus value or one IEEE subtract/abs of two — no
+    * accumulation anywhere, engine-identical with no rounding.
+    *
+    * Scale shape: two rank windows keyed on event_type (the same
+    * partition key the per-type sort shuffles on) + broadcast joins of
+    * the |type|-row median/MAD tables. A production corpus with
+    * billions of rows per type swaps the in-partition sort for the
+    * two-pass distributed rank — same output, swap confined here.
+    */
+  val anomalyMad: Q = (s, dir) => {
+    import s.implicits._
+    val ev = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "events").select($"event_id", $"event_type", $"value"))
+    val n = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val wV = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val med = ev.withColumn("rn", row_number().over(wV))
+      .join(broadcast(n), "event_type")
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"value".as("med"))
+    val dev = graft.CacheTracker.persistTracked(
+      ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs($"value" - $"med")))
+    val wD = Window.partitionBy($"event_type").orderBy($"dev", $"event_id")
+    val mad = dev.withColumn("rn", row_number().over(wD))
+      .join(broadcast(n), "event_type")
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"dev".as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"med").as("med"), min($"mad").as("mad"),
+        sum(when($"dev" > lit(3.0) * $"mad", 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .orderBy($"event_type")
+  }
+
+  val anomalyMadSql: String =
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |nn AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+       |med AS (SELECT event_type, value AS med FROM (
+       |    SELECT e.event_type, e.value, n.n, row_number() OVER (
+       |      PARTITION BY e.event_type ORDER BY e.value, e.event_id) AS rn
+       |    FROM ev e JOIN nn n USING (event_type))
+       |  WHERE rn = (n + 1) // 2),
+       |dev AS (
+       |  SELECT e.event_type, e.event_id, m.med, abs(e.value - m.med) AS dev
+       |  FROM ev e JOIN med m USING (event_type)),
+       |mad AS (SELECT event_type, dev AS mad FROM (
+       |    SELECT d.event_type, d.dev, n.n, row_number() OVER (
+       |      PARTITION BY d.event_type ORDER BY d.dev, d.event_id) AS rn
+       |    FROM dev d JOIN nn n USING (event_type))
+       |  WHERE rn = (n + 1) // 2)
+       |SELECT event_type, COUNT(*) AS n, MIN(med) AS med, MIN(mad) AS mad,
+       |  CAST(SUM(CASE WHEN dev > CAST(3.0 AS DOUBLE) * mad
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+       |FROM dev JOIN mad USING (event_type)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_anomaly_mad" -> (anomalyMad, Some(anomalyMadSql)),
     "events_markov_transitions" -> (markovTransitions, Some(markovTransitionsSql)),
     "events_gap_fill" -> (gapFill, Some(gapFillSql)),
     "events_funnel_conversion" -> (funnelConversion, Some(funnelConversionSql)),
