@@ -799,7 +799,58 @@ object LakeQueries {
        |FROM states GROUP BY version, o_orderstatus
        |ORDER BY version, o_orderstatus""".stripMargin
 
+  /** Copy-on-write DELETE on the snapshot store — the remaining CRUD
+    * verb beside the merge/compaction/vacuum gates (Delta's `DELETE
+    * FROM`): drop every 6th orderkey from the F partition as a new
+    * commit that rewrites ONLY the touched partition and carries the
+    * rest forward. The gate reads both versions: v2's F partition no
+    * longer holds the keys, its other partitions are byte-identical
+    * carried files, and v1 still returns the deleted rows — deletion
+    * is a new version, not an erasure (the erasure path is
+    * [[vacuumRetention]] once v1 expires — together they are the
+    * delete-then-forget compliance recipe).
+    */
+  val deleteKeys: Q = (s, dir) => {
+    import s.implicits._
+    val root = s"${Scratch.dir}/graft_lake_del_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
+      vacInvocation.incrementAndGet()
+    val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val keptF = operators.Snapshots.read(s, root, 1)
+      .filter($"o_orderstatus" === "F" && $"o_orderkey" % 6 =!= 0)
+    operators.Snapshots.commit(s, root, keptF, "o_orderstatus",
+      carry = rel => !rel.contains("o_orderstatus=F/"))
+    def stateAt(v: Int) = operators.Snapshots.read(s, root, v)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("total"),
+        sum(($"o_orderkey" % 6 === 0).cast("long")).as("n_del_keys"))
+      .withColumn("version", lit(v))
+    (1 to 2).map(stateAt).reduce(_ unionByName _)
+      .select($"version", $"o_orderstatus", $"n_rows", $"total", $"n_del_keys")
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  val deleteKeysSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |v2 AS (
+       |  SELECT * FROM base
+       |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 6 = 0)),
+       |states AS (
+       |  SELECT 1 AS version, o_orderstatus, o_totalprice, o_orderkey FROM base
+       |  UNION ALL SELECT 2, o_orderstatus, o_totalprice, o_orderkey FROM v2)
+       |SELECT version, o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(SUM(CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_del_keys
+       |FROM states GROUP BY version, o_orderstatus
+       |ORDER BY version, o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_delete_keys" -> (deleteKeys, Some(deleteKeysSql)),
     "lake_vacuum_retention" -> (vacuumRetention, Some(vacuumRetentionSql)),
     "lake_bloom_index" -> (bloomIndex, Some(bloomIndexSql)),
     "lake_schema_evolution" -> (schemaEvolution, Some(schemaEvolutionSql)),
