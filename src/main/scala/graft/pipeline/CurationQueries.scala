@@ -1603,7 +1603,70 @@ object CurationQueries {
       |  CAST(violations = 0 AS INT) AS pass
       |FROM rows_out ORDER BY check_name""".stripMargin
 
+  /** Join-key skew diagnosis — the report you run BEFORE choosing a
+    * salting strategy ([[graft.operators.Salt]] is the cure;
+    * `join_skew_salted` gates it): for each candidate key column, the
+    * top-3 heaviest keys with their exact share and the skew factor
+    * (heaviest key's count relative to the mean key load, ×1000 —
+    * `cnt·n_keys·1000 div n_rows`, pure int64). A skew factor near
+    * 1000 means uniform keys; 10⁴+ means the heaviest key holds 10×
+    * the mean load and a plain shuffle join will straggle on it.
+    * One scan + one keyed count per dataset; the report is
+    * |datasets|·3 rows.
+    */
+  val skewReport: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def report(name: String, df: org.apache.spark.sql.DataFrame):
+        org.apache.spark.sql.DataFrame = {
+      val counts = df.toDF("k")
+        .groupBy($"k").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum($"cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val w = Window.orderBy($"cnt".desc, $"k")
+      counts.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .crossJoin(broadcast(stats))
+        .select(lit(name).as("dataset"), $"rk", $"k".as("key"), $"cnt",
+          $"n_rows", $"n_keys",
+          expr("(cnt * 1000000) div n_rows").as("cnt_ppm"),
+          expr("(cnt * n_keys * 1000) div n_rows").as("skew_x1000"))
+    }
+    report("events_user", Tables(s, dir, "events")
+        .select($"user_id".cast("string")))
+      .unionByName(report("lineitem_supp", Tables(s, dir, "lineitem")
+        .select($"l_suppkey".cast("string"))))
+      .orderBy($"dataset", $"rk")
+  }
+
+  val skewReportSql: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+       |li AS (
+       |  SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+       |evr AS (
+       |  SELECT 'events_user' AS dataset, k, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY k),
+       |lir AS (
+       |  SELECT 'lineitem_supp' AS dataset, k, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM li GROUP BY k),
+       |u AS (SELECT * FROM evr UNION ALL SELECT * FROM lir),
+       |st AS (
+       |  SELECT dataset, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) AS BIGINT) AS n_keys
+       |  FROM u GROUP BY dataset),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY dataset
+       |      ORDER BY cnt DESC, k) AS INT) AS rk
+       |  FROM u)
+       |SELECT r.dataset, r.rk, r.k AS key, r.cnt, s.n_rows, s.n_keys,
+       |  (r.cnt * 1000000) // s.n_rows AS cnt_ppm,
+       |  (r.cnt * s.n_keys * 1000) // s.n_rows AS skew_x1000
+       |FROM ranked r JOIN st s USING (dataset)
+       |WHERE r.rk <= 3 ORDER BY r.dataset, r.rk""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_skew_report" -> (skewReport, Some(skewReportSql)),
     "curate_validate_constraints" ->
       (validateConstraints, Some(validateConstraintsSql)),
     "pipeline_end_to_end" -> (pipelineEndToEnd, Some(pipelineEndToEndSql)),

@@ -807,7 +807,64 @@ object TextQueries {
        |FROM byd ORDER BY rank""".stripMargin
   }
 
+  /** The dataset card — the per-language datasheet a corpus release
+    * ships with, computed as one scan + two keyed aggregations: volume
+    * (docs, distinct sources, total whitespace tokens), the mean token
+    * budget as exact integer ppm (`total·10⁶ div n` — no float), the
+    * short-document fraction (< 20 tokens, the C4-style floor), and
+    * the exact-duplicate share (docs whose normalized-text md5
+    * fingerprint appears more than once WITHIN the language). Every
+    * column is an integer or an md5-derived count, so the card is
+    * hash-stable by construction. At 100 TB: one corpus scan, a
+    * (lang, fp)-keyed partial aggregation, and a |langs|-row result.
+    */
+  val datasetCard: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source",
+        nTokens($"text").as("nt"), fingerprint($"text").as("fp"))
+      .transform(graft.CacheTracker.persistTracked)
+    val dup = docs.groupBy($"lang", $"fp")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(sum(when($"c" >= 2, $"c").otherwise(0L)).as("n_dup_docs"))
+    docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        sum($"nt".cast("long")).as("total_tokens"),
+        sum(when($"nt" < 20, 1L).otherwise(0L)).as("n_short"))
+      .join(dup, Seq("lang"))
+      .select($"lang", $"n_docs", $"n_sources", $"total_tokens",
+        expr("(total_tokens * 1000000) div n_docs").as("mean_tokens_ppm"),
+        $"n_short", $"n_dup_docs",
+        expr("(n_dup_docs * 1000000) div n_docs").as("dup_rate_ppm"))
+      .orderBy($"lang")
+  }
+
+  val datasetCardSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, ${sqlNTokens("text")} AS nt,
+       |    ${sqlFingerprint("text")} AS fp
+       |  FROM documents),
+       |dup AS (
+       |  SELECT lang, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_dup_docs
+       |  FROM (SELECT lang, fp, COUNT(*) AS c FROM d GROUP BY lang, fp)
+       |  GROUP BY lang),
+       |card AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT source) AS n_sources,
+       |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+       |  FROM d GROUP BY lang)
+       |SELECT lang, n_docs, n_sources, total_tokens,
+       |  (total_tokens * 1000000) // n_docs AS mean_tokens_ppm,
+       |  n_short, n_dup_docs,
+       |  (n_dup_docs * 1000000) // n_docs AS dup_rate_ppm
+       |FROM card JOIN dup USING (lang) ORDER BY lang""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_dataset_card" -> (datasetCard, Some(datasetCardSql)),
     "text_bm25_topk" -> (bm25Topk, Some(bm25TopkSql)),
     "graph_term_cooccurrence" -> (cooccurrence, Some(cooccurrenceSql)),
     "text_line_dedup" -> (lineDedup, Some(lineDedupSql)),
