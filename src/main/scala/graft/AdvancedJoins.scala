@@ -464,7 +464,57 @@ object AdvancedJoins {
        |GROUP BY term, exact ORDER BY exact DESC, term""".stripMargin
   }
 
+  /** FORWARD as-of join — the label-assignment direction
+    * ([[asofPurchaseClick]] looks backward): each click matched to the
+    * EARLIEST purchase at or after it per user. Same single-sort
+    * union-window formulation (one shuffle on user_id, no join at
+    * all): purchases dedup to one row per (user, ts) by max event_id,
+    * then a forward-looking `first(..., ignoreNulls)` over
+    * (ts, tag) — clicks tag 0 sort before purchases at the same
+    * instant, so a same-timestamp purchase matches (ts ≤ semantics).
+    * The oracle is DuckDB's native forward ASOF (`c.ts <= p.ts`).
+    */
+  val asofForwardClickPurchase: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val dd = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .withColumn("rn", row_number().over(dd)).filter($"rn" === 1)
+      .select($"user_id", $"ts", lit(1).as("tag"),
+        $"event_id".as("purchase_id"), lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"), $"event_id".as("click_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("p_ts",
+        first(when($"tag" === 1, $"ts"), ignoreNulls = true).over(w))
+      .withColumn("p_id",
+        first(when($"tag" === 1, $"purchase_id"), ignoreNulls = true).over(w))
+      .filter($"tag" === 0)
+      .select($"user_id", $"click_id", $"ts".as("click_ts"),
+        $"p_ts".as("next_purchase_ts"), $"p_id".as("next_purchase_id"))
+      .orderBy($"click_id")
+  }
+
+  val asofForwardSql: String =
+    """WITH p0 AS (
+      |  SELECT user_id, ts, event_id AS purchase_id,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, ts, purchase_id FROM p0 WHERE rn = 1),
+      |c AS (SELECT user_id, event_id AS click_id, ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id, c.ts AS click_ts,
+      |  p.ts AS next_purchase_ts, p.purchase_id AS next_purchase_id
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY click_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "join_asof_forward" ->
+      (asofForwardClickPurchase, Some(asofForwardSql)),
     "agg_countmin_probe" -> (countminProbe, Some(countminProbeSql)),
     "join_interval_overlap" -> (intervalOverlap, Some(intervalOverlapSql)),
     "join_fuzzy_match" -> (fuzzyMatch, Some(fuzzyMatchSql)),
