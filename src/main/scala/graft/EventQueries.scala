@@ -417,13 +417,17 @@ object EventQueries {
   val markovTransitions: Q = (s, dir) => {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val pairs = Tables(s, dir, "events")
+    // persisted: `pairs` feeds both the totals aggregate and the join's
+    // left side — without the barrier the events scan + per-user lead
+    // window would evaluate twice (the self-join invariant). |type|²
+    // rows, so the cache is constant-size.
+    val pairs = graft.CacheTracker.persistTracked(Tables(s, dir, "events")
       .select($"user_id", $"event_id", $"event_type",
         unix_micros($"ts".cast("timestamp")).as("us"))
       .withColumn("next_type", lead($"event_type", 1).over(w))
       .filter($"next_type".isNotNull)
       .groupBy($"event_type".as("prev_type"), $"next_type")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val totals = pairs.groupBy($"prev_type")
       .agg(sum($"cnt").as("total"))
     pairs.join(broadcast(totals), "prev_type")

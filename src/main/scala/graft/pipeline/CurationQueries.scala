@@ -1613,19 +1613,28 @@ object CurationQueries {
     * the mean load and a plain shuffle join will straggle on it.
     * One scan + one keyed count per dataset; the report is
     * |datasets|·3 rows.
+    *
+    * Scale shape (r10): key cardinality scales with the corpus, so the
+    * top-3 must NEVER funnel every distinct key through one reducer.
+    * The keyed counts are persisted once (they feed both the stats
+    * aggregate and the top-3 — the self-join invariant), the top-3 is
+    * `orderBy.limit(3)` → TakeOrderedAndProject (per-partition top-k +
+    * 3-row merge), and row_number runs only over the 3 surviving rows.
+    * PlanSpec pins the TakeOrderedAndProject so a regression back to a
+    * global rank window fails loudly.
     */
   val skewReport: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     def report(name: String, df: org.apache.spark.sql.DataFrame):
         org.apache.spark.sql.DataFrame = {
-      val counts = df.toDF("k")
-        .groupBy($"k").agg(count(lit(1)).as("cnt"))
+      val counts = graft.CacheTracker.persistTracked(
+        df.toDF("k").groupBy($"k").agg(count(lit(1)).as("cnt")))
       val stats = counts.agg(sum($"cnt").as("n_rows"),
         count(lit(1)).as("n_keys"))
-      val w = Window.orderBy($"cnt".desc, $"k")
-      counts.withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 3)
+      val top3 = counts.orderBy($"cnt".desc, $"k").limit(3)
+      val w = Window.orderBy($"cnt".desc, $"k") // over 3 rows only
+      top3.withColumn("rk", row_number().over(w))
         .crossJoin(broadcast(stats))
         .select(lit(name).as("dataset"), $"rk", $"k".as("key"), $"cnt",
           $"n_rows", $"n_keys",

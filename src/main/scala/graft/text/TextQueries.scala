@@ -752,9 +752,13 @@ object TextQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Exact.dsum
-    val docs = Tables(s, dir, "documents")
+    // persisted: one tokenization pass feeds both the corpus stats
+    // aggregate and the tf explode — without the barrier the regex
+    // tokenizer would run twice over the corpus (tokenize-once
+    // invariant, cf. text_lang_id / text_quality_score).
+    val docs = graft.CacheTracker.persistTracked(Tables(s, dir, "documents")
       .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", $"toks", size($"toks").as("dl"))
+      .select($"doc_id", $"toks", size($"toks").as("dl")))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sdl"))
     val tf = docs.select($"doc_id", $"dl", explode($"toks").as("term"))
       .filter($"term".isin(Bm25Terms: _*))

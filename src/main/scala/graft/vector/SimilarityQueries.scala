@@ -2422,24 +2422,59 @@ object SimilarityQueries {
     * float hazard; queries with zero hits still emit their row (left
     * join from the query universe, not from the hits).
     */
-  val hammingRecall: Q = (s, dir) => {
+  /** Exact cosine top-`k` ids for queries `vec_id < 5` under the house
+    * double screen: every pair is scored once with the strict-IEEE
+    * `dot_double` cosine, only pairs within 1e-6 of the query's k-th
+    * screen score pay the exact-decimal kernel, and the exact rank
+    * (vec_id tiebreak) decides. |screen − exact| per pair is one cosine
+    * (< ~1e-12) ≪ the margin, so the screened set provably contains the
+    * exact top-k — output identical to the unscreened [[knnBrute]]
+    * formulation (ScreenedArgminSpec-style guarantee; the recall
+    * reports ride this instead of paying a full corpus×queries
+    * interpreted-decimal pass for their ground truth).
+    */
+  private def exactCosineTopIds(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
-    val queries = emb.filter($"vec_id" < 5)
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val fast = emb.select($"vec_id", $"embedding",
+      sqrt(dotFast($"embedding", $"embedding")).as("fn"))
+    val qF = fast.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"fn".as("qfn"))
+    // persist = the screen/verdict barrier (CollapseProject would
+    // otherwise re-inline the screen into the exact projection)
+    val approx = graft.CacheTracker.persistTracked(
+      fast.crossJoin(broadcast(qF))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dotFast($"embedding", $"q_emb") / ($"fn" * $"qfn")).as("ascore")))
+    val wA = Window.partitionBy($"q_id").orderBy($"ascore".desc, $"vec_id")
+    val thr = approx.withColumn("rk", row_number().over(wA))
+      .filter($"rk" === k).select($"q_id", $"ascore".as("sk"))
+    val candIds = approx.join(broadcast(thr), Seq("q_id"), "left")
+      .filter($"sk".isNull || $"ascore" >= $"sk" - lit(1e-6))
+      .select($"q_id", $"vec_id")
+    val ex = emb.select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+    val qX = ex.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    val exact = emb.crossJoin(broadcast(queries))
-      .filter($"vec_id" =!= $"q_id")
+    candIds.join(ex, "vec_id")
+      .join(broadcast(qX), "q_id")
       .select($"q_id", $"vec_id",
         (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
+      .filter($"rank" <= k)
       .select($"q_id", $"vec_id")
+  }
+
+  val hammingRecall: Q = (s, dir) => {
+    import s.implicits._
+    val exact = exactCosineTopIds(s, dir, 10)
     val hits = hammingRanked(s, dir).select($"q_id", $"vec_id")
       .join(exact, Seq("q_id", "vec_id"))
       .groupBy($"q_id").agg(count(lit(1)).as("h"))
-    queries.select($"q_id")
+    Tables(s, dir, "embeddings").filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"))
       .join(hits, Seq("q_id"), "left")
       .select($"q_id", coalesce($"h", lit(0L)).as("hits"),
         (coalesce($"h", lit(0L)) * 10).as("recall_pct"))
@@ -2488,7 +2523,7 @@ object SimilarityQueries {
   val pqRecallReport: Q = (s, dir) => {
     import s.implicits._
     val approx = pqAdcKnn(s, dir).select($"q_id", $"vec_id")
-    val exact = knnBrute(s, dir).filter($"rank" <= 5).select($"q_id", $"vec_id")
+    val exact = exactCosineTopIds(s, dir, 5)
     val hits = approx.join(exact, Seq("q_id", "vec_id"))
       .groupBy($"q_id").agg(count(lit(1)).as("h"))
     Tables(s, dir, "embeddings").filter($"vec_id" < 5)

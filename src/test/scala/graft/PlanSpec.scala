@@ -455,6 +455,21 @@ class PlanSpec extends SparkSpec {
       "no global sort may appear — top-k only:\n" + p)
   }
 
+  test("skew report takes each dataset's top-3 keys as a limit, not a global rank") {
+    val p = plan("curate_skew_report").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-3 keys must be per-partition top-k + 3-row merge:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "keyed counts must persist once (stats + top-3 both read them):\n" + p)
+    // the only Window allowed is the 3-row rank ABOVE the limit; a rank
+    // window BELOW a limit-free scan of counts would re-introduce the
+    // single-reducer sort of every distinct key
+    val winIdx = p.indexOf("Window [row_number()")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && topIdx >= 0 && winIdx < topIdx,
+      "row_number must sit above the TakeOrderedAndProject:\n" + p)
+  }
+
   test("drift monitor broadcasts grid and totals, no cartesian") {
     val p = plan("curate_drift_psi").split("== Initial Plan ==")(0)
     // the 10-bin grid and the per-type totals ride broadcast joins; the
