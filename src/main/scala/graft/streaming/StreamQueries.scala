@@ -47,9 +47,19 @@ object StreamQueries {
     * non-primitive type, a null that a non-string column would reread
     * as null anyway) falls back to the original Spark writer path,
     * keeping semantics identical by construction.
+    *
+    * Guarded (r10): the driver-side collect is bounded by [[StageRowCap]]
+    * — the probe collects `cap + 1` rows, and a frame that exceeds the
+    * cap routes to the distributed Spark writer instead, so a future
+    * gate staging a corpus-sized frame degrades to the slow path rather
+    * than silently OOMing the driver. Returns true when the driver fast
+    * path wrote the file (the spec pins both routes).
     */
-  private def stageCsv(df: org.apache.spark.sql.DataFrame, inDir: String,
-                       name: String): Unit = {
+  private[streaming] val StageRowCap = 200 * 1000
+
+  private[streaming] def stageCsv(df: org.apache.spark.sql.DataFrame,
+                                  inDir: String, name: String,
+                                  cap: Int = StageRowCap): Boolean = {
     def plain(v: Any): Option[String] = v match {
       case null => None
       case s: String =>
@@ -64,9 +74,12 @@ object StreamQueries {
       case _ => None
     }
     val header = df.columns.map(_.toUpperCase).mkString(",")
-    val rows = df.collect()
+    // CollectLimit probe: ≤ cap rows come back in the same partition
+    // order a full collect() would use; cap+1 rows back means the frame
+    // is over the cap and must not live on the driver.
+    val rows = df.limit(cap + 1).collect()
     val sb = new java.lang.StringBuilder(header).append('\n')
-    val ok = rows.forall { r =>
+    val ok = rows.length <= cap && rows.forall { r =>
       val cells = (0 until r.length).map(i => plain(r.get(i)))
       if (cells.forall(_.isDefined)) {
         sb.append(cells.map(_.get).mkString(",")).append('\n'); true
@@ -84,6 +97,7 @@ object StreamQueries {
         finally listing.close()
       Files.move(Paths.get(part), Paths.get(s"$inDir/$name.csv"))
     }
+    ok
   }
 
   /** Same corpus and same expected result as `ref_ingest_dedup`, but the

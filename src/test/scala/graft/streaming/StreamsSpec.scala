@@ -330,4 +330,22 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == 2) // L1 deduped
     assert(out.filter($"locid" === "L1").count() == 1)
   }
+
+  test("stageCsv caps the driver collect and routes over-cap frames to the writer") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_guard").toString
+    val df = (1 to 8).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    // within cap → driver fast path (returns true)
+    assert(StreamQueries.stageCsv(df, dir, "small", cap = 100))
+    // over cap → distributed Spark writer fallback (returns false), with
+    // the identical single-file contract and identical parsed contents
+    assert(!StreamQueries.stageCsv(df, dir, "big", cap = 5))
+    def rd(n: String) =
+      s.read.option("header", "true").csv(s"$dir/$n.csv")
+        .orderBy($"ID".cast("long"))
+        .collect().map(_.toSeq).toSeq
+    assert(rd("small") == rd("big"))
+    assert(rd("small").length == 8)
+  }
 }
