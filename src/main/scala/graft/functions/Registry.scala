@@ -25,14 +25,15 @@ object Registry {
     * synchronized writes per Tables() call.
     */
   def registerAll(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(DotDouble.ident)) {
+    if (!spark.sessionState.functionRegistry.functionExists(GraphemeCount.ident)) {
       RollingHash64.register(spark)
       MinHashMd5.register(spark)
       SignBits.register(spark)
       DotExactDec.register(spark)
       WordShingles.register(spark)
+      DotDouble.register(spark)
       // newest last: the guard probes this one, so a session registered
       // by older code re-registers the full (grown) surface
-      DotDouble.register(spark)
+      GraphemeCount.register(spark)
     }
 }

@@ -100,5 +100,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((DotExactDec.ident, DotExactDec.info, DotExactDec.builder))
     ext.injectFunction((DotDouble.ident, DotDouble.info, DotDouble.builder))
     ext.injectFunction((WordShingles.ident, WordShingles.info, WordShingles.builder))
+    ext.injectFunction((GraphemeCount.ident, GraphemeCount.info, GraphemeCount.builder))
   }
 }

@@ -29,14 +29,15 @@ import TextAnalysis._
   *     13-15): both engines count 👩‍💻 as 3 code points, 🇺🇸 as 2,
   *     👋🏽 as 2, 👨‍👩‍👧‍👦 as 7, and the whitespace tokenizer keeps each
   *     cluster one opaque token (ZWJ U+200D and regional indicators
-  *     are not `\s`). What CANNOT be gated is grapheme SEGMENTATION —
-  *     user-perceived character counts: DuckDB's `length_grapheme`
-  *     returns 1 for each of the above (measured, utf8proc UAX #29),
-  *     while Spark ships no grapheme function at all (Java needs
-  *     `BreakIterator.getCharacterInstance`, outside Catalyst) — so
-  *     "characters as a user sees them" has no cross-engine mirror and
-  *     any future query wanting it must pick the code-point convention
-  *     explicitly, as n_chars_norm does.
+  *     are not `\s`). Grapheme SEGMENTATION — user-perceived character
+  *     counts, where DuckDB's `length_grapheme` returns 1 for each of
+  *     the above — had no Spark-side mirror (Spark ships no grapheme
+  *     function) until the native [[graft.functions.GraphemeCount]]
+  *     expression closed it (r10): JDK `\X` and utf8proc both
+  *     implement UAX #29 extended clusters and probe-agree on every
+  *     shape here including conjuncts; `text_utf8_grapheme_stats`
+  *     gates it. Queries not wanting cluster semantics still pick the
+  *     code-point convention explicitly, as n_chars_norm does.
   */
 object Utf8Queries {
   import Queries.Q
@@ -71,15 +72,17 @@ object Utf8Queries {
     docs.toDF("doc_id", "text", "lang")
   }
 
-  /** The same rows as a DuckDB VALUES CTE. Single quotes are doubled so
-    * a future fixture row with an apostrophe (l'élève, don't) renders
-    * valid SQL instead of silently breaking the oracle.
+  /** Rows as a DuckDB VALUES CTE. Single quotes are doubled so a future
+    * fixture row with an apostrophe (l'élève, don't) renders valid SQL
+    * instead of silently breaking the oracle.
     */
-  private val sqlFixture: String =
-    "utf8_docs(doc_id, text, lang) AS (VALUES\n    " +
-      docs.map { case (i, t, l) =>
+  private def valuesCte(name: String, rows: Seq[(Long, String, String)]): String =
+    s"$name(doc_id, text, lang) AS (VALUES\n    " +
+      rows.map { case (i, t, l) =>
         s"(CAST($i AS BIGINT), '${t.replace("'", "''")}', '$l')"
       }.mkString(",\n    ") + ")"
+
+  private val sqlFixture: String = valuesCte("utf8_docs", docs)
 
   /** [[TextQueries.tokenStats]] shape over the UTF-8 fixture, plus the
     * md5 content fingerprint — proving normalization, both tokenizers,
@@ -201,7 +204,54 @@ object Utf8Queries {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  /** Extra segmentation-stress rows the grapheme gate appends to the
+    * shared fixture (kept OUT of [[docs]] so the other utf8 gates'
+    * outputs don't churn): Devanagari virama conjuncts, NFD combining
+    * marks, conjoining-jamo Hangul next to precomposed syllables.
+    */
+  private val graphemeExtra: Seq[(Long, String, String)] = Seq(
+    (15L, "क्षेत्र की कक्षा में विद्यार्थी", "hi"),
+    (16L, "café déjà vu résumé", "fr"),
+    (17L, "각 한글 가냐 텍스트", "ko"))
+
+  /** User-perceived character stats — the "characters as a user sees
+    * them" surface that was the last documented un-mirrorable text hole
+    * (see the object Scaladoc): the native `grapheme_count` expression
+    * (JDK `\X`, UAX #29 extended clusters) against DuckDB's
+    * `length_grapheme` (utf8proc), over the fixture plus dedicated
+    * conjunct/NFD/jamo stress rows. `n_cp − n_graphemes` is the
+    * cluster excess (0 for ASCII/NFC-precomposed rows, positive
+    * wherever multi-code-point clusters appear), integer-only end to
+    * end so the hash has no float anywhere.
+    */
+  val utf8GraphemeStats: Q = (s, _) => {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val rows = (docs ++ graphemeExtra).toDF("doc_id", "text", "lang")
+    rows.select(
+      $"doc_id",
+      length($"text").as("n_cp"),
+      expr("grapheme_count(text)").as("n_graphemes"),
+      (length($"text") - expr("grapheme_count(text)")).as("cluster_excess"),
+      (length($"text") =!= expr("grapheme_count(text)")).cast("int")
+        .as("has_clusters"))
+      .orderBy($"doc_id")
+  }
+
+  val utf8GraphemeStatsSql: String = {
+    val g = graft.functions.GraphemeCount.sql("text")
+    s"""WITH ${valuesCte("grapheme_docs", docs ++ graphemeExtra)}
+       |SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_cp,
+       |  $g AS n_graphemes,
+       |  CAST(length(text) AS INTEGER) - $g AS cluster_excess,
+       |  CAST(length(text) <> length_grapheme(text) AS INT) AS has_clusters
+       |FROM grapheme_docs ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_utf8_grapheme_stats" ->
+      (utf8GraphemeStats, Some(utf8GraphemeStatsSql)),
     "text_utf8_rolling_fingerprint" ->
       (utf8RollingFingerprint, Some(utf8RollingFingerprintSql)),
     "text_utf8_token_stats" -> (utf8TokenStats, Some(utf8TokenStatsSql)),
