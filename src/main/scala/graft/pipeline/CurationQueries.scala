@@ -1623,27 +1623,31 @@ object CurationQueries {
     * PlanSpec pins the TakeOrderedAndProject so a regression back to a
     * global rank window fails loudly.
     */
+  /** One dataset's skew rows (the [[skewReport]] unit; also driven by
+    * the 10× scale stress): `df` is a single key column.
+    */
+  private[graft] def skewKeyReport(name: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.CacheTracker.persistTracked(
+      df.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cnt")))
+    val stats = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top3 = counts.orderBy(col("cnt").desc, col("k")).limit(3)
+    val w = Window.orderBy(col("cnt").desc, col("k")) // over 3 rows only
+    top3.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(stats))
+      .select(lit(name).as("dataset"), col("rk"), col("k").as("key"),
+        col("cnt"), col("n_rows"), col("n_keys"),
+        expr("(cnt * 1000000) div n_rows").as("cnt_ppm"),
+        expr("(cnt * n_keys * 1000) div n_rows").as("skew_x1000"))
+  }
+
   val skewReport: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    def report(name: String, df: org.apache.spark.sql.DataFrame):
-        org.apache.spark.sql.DataFrame = {
-      val counts = graft.CacheTracker.persistTracked(
-        df.toDF("k").groupBy($"k").agg(count(lit(1)).as("cnt")))
-      val stats = counts.agg(sum($"cnt").as("n_rows"),
-        count(lit(1)).as("n_keys"))
-      val top3 = counts.orderBy($"cnt".desc, $"k").limit(3)
-      val w = Window.orderBy($"cnt".desc, $"k") // over 3 rows only
-      top3.withColumn("rk", row_number().over(w))
-        .crossJoin(broadcast(stats))
-        .select(lit(name).as("dataset"), $"rk", $"k".as("key"), $"cnt",
-          $"n_rows", $"n_keys",
-          expr("(cnt * 1000000) div n_rows").as("cnt_ppm"),
-          expr("(cnt * n_keys * 1000) div n_rows").as("skew_x1000"))
-    }
-    report("events_user", Tables(s, dir, "events")
+    skewKeyReport("events_user", Tables(s, dir, "events")
         .select($"user_id".cast("string")))
-      .unionByName(report("lineitem_supp", Tables(s, dir, "lineitem")
+      .unionByName(skewKeyReport("lineitem_supp", Tables(s, dir, "lineitem")
         .select($"l_suppkey".cast("string"))))
       .orderBy($"dataset", $"rk")
   }

@@ -748,7 +748,15 @@ object TextQueries {
     * the group-by (the filter prunes the shuffle to matching tokens
     * only); df and the corpus stats are broadcast; nothing all-pairs.
     */
-  val bm25Topk: Q = (s, dir) => {
+  val bm25Topk: Q = (s, dir) => bm25On(Tables(s, dir, "documents"))
+
+  /** [[bm25Topk]] over an explicit (doc_id, text) frame — the gate
+    * reads the corpus table; the 10× scale stress feeds a replicated
+    * corpus through the identical plan.
+    */
+  private[graft] def bm25On(raw: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val s = raw.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Exact.dsum
@@ -756,7 +764,7 @@ object TextQueries {
     // aggregate and the tf explode — without the barrier the regex
     // tokenizer would run twice over the corpus (tokenize-once
     // invariant, cf. text_lang_id / text_quality_score).
-    val docs = graft.CacheTracker.persistTracked(Tables(s, dir, "documents")
+    val docs = graft.CacheTracker.persistTracked(raw
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", $"toks", size($"toks").as("dl")))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sdl"))

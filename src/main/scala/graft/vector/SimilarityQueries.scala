@@ -2352,34 +2352,39 @@ object SimilarityQueries {
     * representation (1 bit/dim, 64× smaller than float32) production
     * ANN stacks use as their cheap first tier.
     */
-  private def hammingPacked(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    Tables(s, dir, "embeddings")
-      .select($"vec_id", expr("sign_bits(embedding, 64)").as("sig"))
-      .select($"vec_id",
-        conv(substring($"sig", 1, 32), 2, 10).cast("long").as("h1"),
-        conv(substring($"sig", 33, 32), 2, 10).cast("long").as("h2"))
-  }
+  private[graft] def hammingPackedOn(emb: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    emb
+      .select(col("vec_id"), expr("sign_bits(embedding, 64)").as("sig"))
+      .select(col("vec_id"),
+        conv(substring(col("sig"), 1, 32), 2, 10).cast("long").as("h1"),
+        conv(substring(col("sig"), 33, 32), 2, 10).cast("long").as("h2"))
 
-  /** Hamming top-10 per query over the packed signatures: pure integer
-    * distance (deterministic with no rounding anywhere), ties broken by
-    * vec_id. Shared by the knn gate and the recall report.
+  private def hammingPacked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    hammingPackedOn(Tables(s, dir, "embeddings"))
+
+  /** Hamming top-10 per query (`vec_id < 5`) over the packed
+    * signatures: pure integer distance (deterministic with no rounding
+    * anywhere), ties broken by vec_id. Shared by the knn gate, the
+    * recall report, and the 10× scale stress.
     */
-  private def hammingRanked(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val sigs = hammingPacked(s, dir)
-    val q = sigs.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"h1".as("q1"), $"h2".as("q2"))
-    val w = Window.partitionBy($"q_id").orderBy($"dist", $"vec_id")
+  private[graft] def hammingRankedOn(sigs: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val q = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("h1").as("q1"), col("h2").as("q2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
     sigs.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
         expr("cast(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) as int)").as("dist"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
+      .filter(col("rank") <= 10)
   }
+
+  private def hammingRanked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    hammingRankedOn(hammingPacked(s, dir))
 
   /** Binary-signature ANN: top-10 by Hamming distance over 64-bit sign
     * signatures. The distance kernel is integer XOR+popcount — at 100 TB

@@ -304,6 +304,136 @@ class ScaleStressSpec extends SparkSpec {
     info(f"BFS on ${n + 40} nodes: $secs%.1f s")
   }
 
+  test("hamming tier at 10x corpus: every identical-signature copy lands in the top-10 at dist 0") {
+    import graft.vector.SimilarityQueries
+    // 10 identity tiles of the sf0.1 embeddings (20k vectors): copies
+    // share the embedding, hence the 64-bit sign signature, hence sit
+    // at Hamming distance 0 from their original. For each query, its 9
+    // copies MUST all appear in the top-10 at dist 0 — any packing,
+    // XOR/popcount, or tie-ordering bug at 10x scale breaks the set.
+    val base = graft.Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select($"vec_id", $"embedding")
+    // precondition for the sharp assert: no organic signature collision
+    val sigs0 = SimilarityQueries.hammingPackedOn(base).localCheckpoint(true)
+    val nBase = sigs0.count()
+    val nSigs = sigs0.select($"h1", $"h2").distinct().count()
+    assert(nSigs == nBase, s"organic signature collision ($nSigs of $nBase)")
+    val corpus = base.crossJoin(spark.range(10).select($"id".as("j")))
+      .select(($"vec_id" + $"j" * 10000).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    val (top, secs) = timed {
+      SimilarityQueries.hammingRankedOn(SimilarityQueries.hammingPackedOn(corpus))
+        .localCheckpoint(true)
+    }
+    val copiesAtZero = top.filter($"dist" === 0 &&
+        $"vec_id" % 10000 === $"q_id" && $"vec_id" =!= $"q_id")
+      .groupBy($"q_id").agg(count(lit(1)).as("n"))
+      .filter($"n" === 9).count()
+    assert(copiesAtZero == 5,
+      "each of the 5 queries must see all 9 of its copies at dist 0 in the top-10")
+    assert(top.count() == 50, "exactly 10 ranked rows per query")
+    info(f"hamming top-10 over ${nBase * 10} packed signatures: $secs%.1f s")
+  }
+
+  test("screened argmin equals the all-exact argmin on a 10k tiled corpus") {
+    import graft.vector.{SimilarityQueries, VectorOps}
+    // the ScreenedArgminSpec pin at 10x gate scale: 5 tiles of the
+    // sf0.1 embeddings against the production IVF centroids — every
+    // (cell, score) from the double-screened path must equal the
+    // all-exact min(struct) formulation, including knife-edge vectors
+    // near cell boundaries that only a larger corpus produces.
+    val (centroids, _, _) =
+      SimilarityQueries.ivfStructure(spark, "/root/testdata/sf0.1")
+    val base = graft.Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val corpus = base.crossJoin(spark.range(5).select($"id".as("j")))
+      .select(($"vec_id" + $"j" * 10000).as("vec_id"),
+        transform($"v", (x, d) =>
+          when(d === 0, x + $"j".cast("double") * 0.05).otherwise(x)).as("v"))
+      .withColumn("fn", sqrt(VectorOps.dotFast($"v", $"v")))
+      .withColumn("xn", VectorOps.normExact($"v"))
+      .localCheckpoint(true)
+    val n = corpus.count()
+    val (screened, secs) = timed {
+      SimilarityQueries.semRanked(corpus, centroids)
+        .select($"vec_id", $"cell", $"score").localCheckpoint(true)
+    }
+    val brute = corpus.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"c_label",
+        ($"cc" - lit(2.0) * VectorOps.dotExact($"v", $"cv")).as("score"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"score", $"c_label")).as("b"))
+      .select($"vec_id", $"b.c_label".as("cell2"), $"b.score".as("score2"))
+    val diff = screened.join(brute, "vec_id")
+      .filter($"cell" =!= $"cell2" || $"score" =!= $"score2").count()
+    assert(screened.count() == n, "one cell per vector")
+    assert(diff == 0, s"$diff of $n screened argmins diverge from all-exact")
+    graft.CacheTracker.releaseAll()
+    info(f"screened argmin on $n vectors: $secs%.1f s")
+  }
+
+  test("bm25 at 10x replication: copy groups score identically, ties break by doc_id") {
+    // 10 copies of every sf0.1 document (50k docs): tf/dl are per-copy
+    // identical while df, N and total length scale uniformly, so each
+    // copy group must land CONTIGUOUSLY in the ranking with one shared
+    // score — any partial-agg order sensitivity in the across-term sum
+    // or tie-handling drift shows up as a split group. Runs the exact
+    // gate plan (persisted tokenize-once, TakeOrderedAndProject).
+    val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select($"doc_id", $"text")
+    val docs10 = docs1.crossJoin(spark.range(10).select($"id".as("j")))
+      .select(($"doc_id" + $"j" * 10000000L).as("doc_id"), $"text")
+      .localCheckpoint(true)
+    val nDocs = docs10.count()
+    val (rows, secs) = timed {
+      graft.text.TextQueries.bm25On(docs10)
+        .select($"doc_id", $"score", $"rank").collect().toSeq
+    }
+    graft.CacheTracker.releaseAll()
+    assert(rows.size == 20, s"top-20 expected, got ${rows.size}")
+    val groups = rows.grouped(10).toSeq
+    groups.foreach { g =>
+      assert(g.map(_.getDouble(1)).distinct.size == 1,
+        s"copy group split across scores: $g")
+      assert(g.map(_.getLong(0) % 10000000L).distinct.size == 1,
+        s"copy group mixes base docs: $g")
+      assert(g.map(_.getLong(0)) == g.map(_.getLong(0)).sorted,
+        "ties must break by ascending doc_id")
+    }
+    assert(groups(0).head.getDouble(1) > groups(1).head.getDouble(1),
+      "distinct base docs may not tie at this corpus")
+    info(f"bm25 over $nDocs docs: $secs%.1f s")
+  }
+
+  test("skew report top-3 is exact on a 1M-row corpus with 900k distinct keys") {
+    import graft.pipeline.CurationQueries
+    // three planted hot keys over ~900k singletons: the TopK path must
+    // return exactly the planted keys with exact counts and the pure
+    // int64 ppm/skew derivations — at a key cardinality (9e5) where the
+    // old single-reducer rank window was the 100x bottleneck.
+    val n = 1000000L
+    val keys = spark.range(n).select(
+      when($"id" < 50000L, lit("h1"))
+        .when($"id" < 80000L, lit("h2"))
+        .when($"id" < 100000L, lit("h3"))
+        .otherwise(concat(lit("z"), $"id")).as("k"))
+    val (rows, secs) = timed {
+      CurationQueries.skewKeyReport("stress", keys)
+        .orderBy($"rk")
+        .select($"rk", $"key", $"cnt", $"n_rows", $"n_keys",
+          $"cnt_ppm", $"skew_x1000")
+        .collect().toSeq.map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    }
+    graft.CacheTracker.releaseAll()
+    val nKeys = 900000L + 3L
+    def row(rk: Int, k: String, cnt: Long) =
+      (rk, k, cnt, n, nKeys, cnt * 1000000L / n, cnt * nKeys * 1000L / n)
+    assert(rows == Seq(row(1, "h1", 50000L), row(2, "h2", 30000L),
+      row(3, "h3", 20000L)), rows)
+    info(f"skew report over $n rows / $nKeys keys: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
