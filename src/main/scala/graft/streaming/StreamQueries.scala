@@ -145,12 +145,29 @@ object StreamQueries {
   /** Run a streaming query with [[graft.Tuning.streamStatePartitions]]
     * state partitions (fresh checkpoints pin partitioning at first run,
     * so the setting takes effect per gate invocation), restoring the
-    * session's batch setting afterwards.
+    * session's batch settings afterwards.
+    *
+    * Floor profile (r10, StreamProfile at sf0.1): a gate's cost is
+    * ~400-700 ms per micro-batch almost independent of rows — addBatch
+    * is stage-scheduling + state-store task machinery (a 0-row
+    * watermark batch still burns ~250 ms/task of executor time), wal +
+    * offset commits are ~70 ms/batch on tmpfs, incremental re-planning
+    * ~100 ms/batch. Batch COUNT is semantics (file splits, sentinel
+    * cadence) and state partitions 1 vs 4 measured ±6% — so the two
+    * levers adopted below are the semantics-neutral residue: defer
+    * state maintenance past any gate's lifetime (no snapshot/cleanup
+    * work inside a ≤5-batch run) and retain only 2 batches of metadata
+    * (all a restart — stream_restart_resume included — ever reads).
+    * Together ≈10% off the subtotal; the remaining floor is per-batch
+    * machinery that amortizes at production batch sizes.
     */
   private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession)
                                     (body: => A): A =
-    graft.Confs.withConf(s, "spark.sql.shuffle.partitions" ->
-      graft.Tuning.streamStatePartitions.toString)(body)
+    graft.Confs.withConf(s,
+      "spark.sql.shuffle.partitions" ->
+        graft.Tuning.streamStatePartitions.toString,
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+      "spark.sql.streaming.minBatchesToRetain" -> "2")(body)
 
   val streamIngestDedup: Q = (s, _) => {
     val (in, _) = stagedInputs("ingest", "gen") { in =>
