@@ -875,7 +875,90 @@ object TextQueries {
        |  (n_dup_docs * 1000000) // n_docs AS dup_rate_ppm
        |FROM card JOIN dup USING (lang) ORDER BY lang""".stripMargin
 
+  /** Vocabulary-shift report between two corpus slices (doc_id parity
+    * stands in for "yesterday's batch vs today's") — the drift check a
+    * training pipeline runs before mixing a new ingestion batch: top-K
+    * vocabulary overlap (Jaccard over the two top-100 term sets) and
+    * each side's out-of-vocabulary token mass against the OTHER side's
+    * top vocabulary, as exact ppm. A collapsing overlap or an OOV spike
+    * means the tokenizer/vocab trained on the old corpus underfits the
+    * new one. All counts and ratios are pure int64 — nothing floating
+    * anywhere.
+    *
+    * Scale shape: one tokenize per side feeding a (term)-keyed partial
+    * aggregation (persisted — each side's counts feed top-K, OOV mass,
+    * and total mass); top-K via orderBy+limit = TakeOrderedAndProject
+    * (per-partition top-k + K-row merge — never a vocab-wide sort on
+    * one reducer); the ≤K-row top sets broadcast into the anti joins.
+    * The report is one row.
+    */
+  val vocabShift: Q = (s, dir) => {
+    import s.implicits._
+    val K = 100
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+    def counts(par: Int) = graft.CacheTracker.persistTracked(
+      docs.filter($"doc_id" % 2 === par)
+        .select(explode(tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt")))
+    val ca = counts(0)
+    val cb = counts(1)
+    def top(c: org.apache.spark.sql.DataFrame) =
+      graft.CacheTracker.persistTracked(
+        c.orderBy($"cnt".desc, $"term").limit(K).select($"term"))
+    val ta = top(ca)
+    val tb = top(cb)
+    val ov = ta.join(tb, "term").agg(count(lit(1)).as("overlap"))
+    val na = ta.agg(count(lit(1)).as("n_top_a"))
+    val nb = tb.agg(count(lit(1)).as("n_top_b"))
+    def oov(c: org.apache.spark.sql.DataFrame,
+        other: org.apache.spark.sql.DataFrame, out: String) =
+      c.join(broadcast(other), Seq("term"), "left_anti")
+        .agg(coalesce(sum($"cnt"), lit(0L)).as(out))
+    def tot(c: org.apache.spark.sql.DataFrame, out: String) =
+      c.agg(sum($"cnt").as(out))
+    ov.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(oov(ca, tb, "oov_a")))
+      .crossJoin(broadcast(oov(cb, ta, "oov_b")))
+      .crossJoin(broadcast(tot(ca, "tot_a")))
+      .crossJoin(broadcast(tot(cb, "tot_b")))
+      .select(lit(K).as("k"), $"n_top_a", $"n_top_b", $"overlap",
+        expr("(overlap * 1000000) div (n_top_a + n_top_b - overlap)")
+          .as("jaccard_ppm"),
+        expr("(oov_a * 1000000) div tot_a").as("oov_a_ppm"),
+        expr("(oov_b * 1000000) div tot_b").as("oov_b_ppm"))
+  }
+
+  val vocabShiftSql: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |ca AS MATERIALIZED (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+       |  WHERE doc_id % 2 = 0 GROUP BY term),
+       |cb AS MATERIALIZED (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+       |  WHERE doc_id % 2 = 1 GROUP BY term),
+       |ta AS MATERIALIZED (
+       |  SELECT term FROM ca ORDER BY cnt DESC, term LIMIT 100),
+       |tb AS MATERIALIZED (
+       |  SELECT term FROM cb ORDER BY cnt DESC, term LIMIT 100),
+       |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+       |       FROM ta JOIN tb USING (term)),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top_a FROM ta),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top_b FROM tb),
+       |oa AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS oov_a
+       |       FROM ca WHERE term NOT IN (SELECT term FROM tb)),
+       |ob AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS oov_b
+       |       FROM cb WHERE term NOT IN (SELECT term FROM ta)),
+       |sa AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot_a FROM ca),
+       |sb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot_b FROM cb)
+       |SELECT CAST(100 AS INTEGER) AS k, n_top_a, n_top_b, overlap,
+       |  (overlap * 1000000) // (n_top_a + n_top_b - overlap) AS jaccard_ppm,
+       |  (oov_a * 1000000) // tot_a AS oov_a_ppm,
+       |  (oov_b * 1000000) // tot_b AS oov_b_ppm
+       |FROM ov, na, nb, oa, ob, sa, sb""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_vocab_shift" -> (vocabShift, Some(vocabShiftSql)),
     "curate_dataset_card" -> (datasetCard, Some(datasetCardSql)),
     "text_bm25_topk" -> (bm25Topk, Some(bm25TopkSql)),
     "graph_term_cooccurrence" -> (cooccurrence, Some(cooccurrenceSql)),

@@ -470,6 +470,15 @@ class PlanSpec extends SparkSpec {
       "row_number must sit above the TakeOrderedAndProject:\n" + p)
   }
 
+  test("vocab shift takes each side's top-100 as a limit over persisted counts") {
+    val p = plan("text_vocab_shift").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 vocab must be per-partition top-k, never a vocab-wide sort:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "per-side term counts must persist once (top-K + OOV + totals):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("drift monitor broadcasts grid and totals, no cartesian") {
     val p = plan("curate_drift_psi").split("== Initial Plan ==")(0)
     // the 10-bin grid and the per-type totals ride broadcast joins; the
