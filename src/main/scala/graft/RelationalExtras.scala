@@ -467,7 +467,18 @@ object RelationalExtras {
     * only `div` vs `//` differs between dialects.
     */
   val recursiveTree: Q = (s, dir) => {
-    Tables(s, dir, "customer").createOrReplaceTempView("graft_rec_customer")
+    import s.implicits._
+    // the recursion's reachable set is exactly keys 1..127 (root 1,
+    // parent(k) = k div 2, guard ≤ 127), so the view is pre-pruned to
+    // those 127 rows and persisted — each of the 6 recursion steps
+    // joins the in-memory slice instead of re-scanning the customer
+    // parquet (semantics identical: the recursive arm keeps its own
+    // ≤ 127 guard)
+    graft.CacheTracker.persistTracked(
+      Tables(s, dir, "customer")
+        .filter($"c_custkey" <= 127)
+        .select($"c_custkey", $"c_acctbal"))
+      .createOrReplaceTempView("graft_rec_customer")
     s.sql(
       """WITH RECURSIVE tree AS (
         |  SELECT c_custkey AS node, 0 AS depth, c_acctbal

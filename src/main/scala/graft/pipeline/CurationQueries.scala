@@ -1317,7 +1317,9 @@ object CurationQueries {
     // two relaxations per checkpointed job — the kcoreLoop batching
     // rationale; a BFS step referencing `e` twice doubles the plan per
     // step, so depth 2 between cuts stays well inside the exponential-
-    // growth regime the per-round cut guards against
+    // growth regime the per-round cut guards against. (r10: b=4 was
+    // re-measured at no gain — the 16-leaf plan's analysis/codegen eats
+    // exactly what the halved job count saves; 2 stays optimal.)
     var r = 0
     while (r < rounds) {
       val b = math.min(2, rounds - r)
