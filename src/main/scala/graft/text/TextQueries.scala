@@ -892,10 +892,24 @@ object TextQueries {
     * one reducer); the ≤K-row top sets broadcast into the anti joins.
     * The report is one row.
     */
-  val vocabShift: Q = (s, dir) => {
+  val vocabShift: Q = (s, dir) =>
+    vocabShiftOn(Tables(s, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+
+  /** [[vocabShift]] over an explicit (doc_id, text) frame — the gate
+    * reads the corpus table; the scale stress feeds a replicated corpus
+    * through the identical plan (uniform replication leaves every
+    * report column except nothing — even the ppm columns — unchanged:
+    * numerators and denominators scale together and integer `div` of
+    * `(10a·10⁶) / (10b)` equals `(a·10⁶) / b` exactly).
+    */
+  private[graft] def vocabShiftOn(raw: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val s = raw.sparkSession
     import s.implicits._
     val K = 100
-    val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val docs = raw
     def counts(par: Int) = graft.CacheTracker.persistTracked(
       docs.filter($"doc_id" % 2 === par)
         .select(explode(tokens($"text")).as("term"))

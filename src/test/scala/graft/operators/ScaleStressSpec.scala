@@ -434,6 +434,28 @@ class ScaleStressSpec extends SparkSpec {
     info(f"skew report over $n rows / $nKeys keys: $secs%.1f s")
   }
 
+  test("vocab shift report is invariant under 10x corpus replication") {
+    // 10 parity-preserving copies of every sf0.1 document: every term
+    // count scales uniformly x10 on both sides, so the top-100 sets,
+    // the overlap, and every integer-div ppm column must come back
+    // BIT-IDENTICAL to the 1x report ((10a*1e6) div (10b) == (a*1e6)
+    // div b) — catches any hidden corpus-size dependence or tie-order
+    // instability in the top-K boundary at 500k docs.
+    val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select($"doc_id", $"text")
+    val docs10 = docs1.crossJoin(spark.range(10).select($"id".as("j")))
+      .select(($"doc_id" + $"j" * 10000000L).as("doc_id"), $"text")
+      .localCheckpoint(true)
+    val (r10, secs) = timed {
+      graft.text.TextQueries.vocabShiftOn(docs10).collect().map(_.toSeq).toSeq
+    }
+    val r1 = graft.text.TextQueries.vocabShiftOn(docs1)
+      .collect().map(_.toSeq).toSeq
+    graft.CacheTracker.releaseAll()
+    assert(r10 == r1, s"10x report diverged from 1x:\n$r10\nvs\n$r1")
+    info(f"vocab shift on ${docs10.count()} docs: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
