@@ -31,6 +31,24 @@ object KeyHash {
   /** DuckDB mirror of [[bucket100]]. */
   def sqlBucket100(salt: String, key: String): String = sqlBucket(salt, key, 100)
 
+  /** Sketch hash family: row `r`'s bucket reads the DISJOINT 16-bit
+    * hex slice [1+4r, 4+4r] of ONE md5(salt || key) — d rows cost one
+    * digest per element instead of d salted digests (at 100 TB the
+    * digest IS the sketch build's hot loop, and Spark's subexpression
+    * elimination collapses the d identical md5 calls to one). Slices
+    * of a strong hash are independent uniform; requires 4(r+1) ≤ 32.
+    */
+  def bucketRow(salt: String, key: Column, r: Int, n: Int): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1 + 4 * r, 4),
+      16, 10).cast("long") % n
+
+  /** DuckDB mirror of [[bucketRow]] with the row index as an EXPRESSION
+    * (the oracle unrolls rows via `range(0, d) t(j)`).
+    */
+  def sqlBucketRow(salt: String, key: String, rExpr: String, n: Int): String =
+    s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), " +
+      s"1 + 4 * ($rExpr), 4)) AS INTEGER) % $n"
+
   /** Raw 48-bit hash value (first 12 hex chars) — the uniform-variate
     * source when a query needs more than a bucket (weighted sampling,
     * noise generation). Fits a BIGINT exactly; [0, 2^48).
