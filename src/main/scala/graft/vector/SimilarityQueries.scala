@@ -1720,17 +1720,24 @@ object SimilarityQueries {
     */
   val randomProjection: Q = (s, dir) => {
     import s.implicits._
-    val weights = (j: org.apache.spark.sql.Column) =>
-      transform(sequence(lit(1), lit(64)),
-        d => (((j * 1009 + d * 9176) % 97) - 48).cast("double") / lit(48.0))
+    // md5-derived projection family (the "signw" recipe at salt "rpw",
+    // [[rpWeight]]): an affine-ramp family here is the r8 trap — every
+    // w_j would be a shift of ONE periodic sawtooth, so the 16
+    // projections would correlate and the sketch would be effectively
+    // lower-dimensional (fixed r10; the ramp survived the r8 sweep).
+    // Weights are JVM-computed LITERAL arrays on the Spark side (no
+    // per-row weight construction) and the identical md5 recipe as a
+    // one-row CTE on the oracle side.
+    def wlit(j: Int) = typedLit(
+      Array.tabulate(64)(d0 => rpWeight(j, d0 + 1).toDouble / 48.0))
     // persisted: the pair self-join reads both sides — without the cache
     // each side re-runs the 16 decimal dots per vector
     val projected = graft.CacheTracker.persistTracked(
       Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => x.cast("double")).as("v"))
-        .withColumn("p", transform(sequence(lit(1), lit(16)),
-          j => dotExact($"v", weights(j)))))
+        .withColumn("p", array((1 to 16).map(j =>
+          dotExact($"v", wlit(j))): _*)))
     val pairs = projected.filter($"vec_id" < 20)
       .select($"vec_id".as("a_id"), $"v".as("va"), $"p".as("pa"))
       .join(projected.select(($"vec_id" - 100).as("a_id"),
@@ -1744,18 +1751,33 @@ object SimilarityQueries {
       .orderBy($"a_id")
   }
 
+  /** md5 weight for (projection j, 1-based dim d): KeyHash.bucket
+    * ("rpw", j·1000+d, 97) − 48 — the [[graft.functions.SignBits.weight]]
+    * recipe at its own salt, computed JVM-side here and by the rpw CTE
+    * in the oracle.
+    */
+  private def rpWeight(j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest(s"rpw${j * 1000 + d}".getBytes("UTF-8"))
+    ((((b(0) & 0xff) << 8) | (b(1) & 0xff)) % 97) - 48
+  }
+
   val randomProjectionSql: String = {
-    def w(j: String) =
-      s"list_transform(range(1, 65), d -> " +
-        s"CAST((($j * 1009 + d * 9176) % 97) - 48 AS DOUBLE) / 48.0)"
-    s"""WITH base AS (
+    s"""WITH rpw AS (
+       |  SELECT list(wrow ORDER BY j) AS pm FROM (
+       |    SELECT j, list(CAST(w AS DOUBLE) / 48.0 ORDER BY d) AS wrow FROM (
+       |      SELECT j, d, (CAST(('0x' || substr(md5('rpw' ||
+       |          CAST(j * 1000 + d AS VARCHAR)), 1, 4)) AS INTEGER) % 97) - 48 AS w
+       |      FROM range(1, 17) t(j) CROSS JOIN range(1, 65) u(d))
+       |    GROUP BY j)),
+       |base AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |proj AS (
        |  SELECT vec_id, v,
-       |    list_transform(range(1, 17), j -> ${sqlDotExact("v", w("j"))}) AS p
-       |  FROM base),
+       |    list_transform(range(1, 17), j -> ${sqlDotExact("v", "pm[j]")}) AS p
+       |  FROM base CROSS JOIN rpw),
        |pairs AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |    a.v AS va, a.p AS pa, b.v AS vb, b.p AS pb
