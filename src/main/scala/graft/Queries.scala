@@ -188,6 +188,85 @@ object Queries {
       |       md5(string_agg(CAST(e AS VARCHAR), ',' ORDER BY f)) AS energy_digest
       |FROM fe GROUP BY id ORDER BY media_id""".stripMargin
 
+  /** Voice-activity segmentation over the framed audio energies — the
+    * segment-extraction step a speech-data pipeline runs between decode
+    * and transcription: frames whose Σv² clears the activity threshold
+    * are merged into maximal consecutive runs (gaps-and-islands via
+    * `f − row_number`, the events_sessions_30m shape applied to PCM
+    * frames). Both windows partition by media_id — per-media frame
+    * counts are payload-bounded, so no single-reducer hazard at corpus
+    * scale. Threshold 350 000 ≈ the expected frame energy of uniform
+    * signed bytes (64·128²/3), so activity splits near the median and
+    * segment lengths vary; pure integer comparison, no float hazard.
+    */
+  val multimodalAudioVad: Q = (s, _) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"f")
+    val segW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"f_start")
+    graft.multimodal.Multimodal
+      .audioFrameEnergies(graft.multimodal.Multimodal.syntheticCorpus(s, 200), 64)
+      .toDF()
+      .filter($"e" >= 350000L)
+      .withColumn("g", $"f" - row_number().over(w))
+      .groupBy($"media_id", $"g")
+      .agg(min($"f").as("f_start"), max($"f").as("f_end"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum($"e").as("seg_energy"))
+      .select($"media_id", row_number().over(segW).as("seg_id"),
+        $"f_start", $"f_end", $"n_frames", $"seg_energy")
+      .orderBy($"media_id", $"seg_id")
+  }
+
+  /** DuckDB mirror: the audio oracle's LCG/frame/energy CTEs, then the
+    * same islands grouping (`f − row_number`) and per-media segment
+    * numbering.
+    */
+  val multimodalAudioVadSql: String =
+    """WITH RECURSIVE ids AS (
+      |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 = 1
+      |),
+      |lcg AS (
+      |  SELECT id, 0 AS i,
+      |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+      |         (256 + id % 512) AS len
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT id, i + 1,
+      |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+      |         len
+      |  FROM lcg WHERE i < len - 1
+      |),
+      |vals AS (
+      |  SELECT id, i, len,
+      |         CASE WHEN (s // 72057594037927936) >= 128
+      |              THEN (s // 72057594037927936) - 256
+      |              ELSE (s // 72057594037927936) END::INT AS v
+      |  FROM lcg
+      |),
+      |fe AS (
+      |  SELECT id, i // 64 AS f, CAST(SUM(v::BIGINT * v) AS BIGINT) AS e
+      |  FROM vals WHERE i < (len // 64) * 64
+      |  GROUP BY id, i // 64
+      |),
+      |isl AS (
+      |  SELECT id, f, e,
+      |         f - row_number() OVER (PARTITION BY id ORDER BY f) AS g
+      |  FROM fe WHERE e >= 350000
+      |),
+      |seg AS (
+      |  SELECT id, MIN(f) AS f_start, MAX(f) AS f_end,
+      |         COUNT(*) AS n_frames, CAST(SUM(e) AS BIGINT) AS seg_energy
+      |  FROM isl GROUP BY id, g
+      |)
+      |SELECT id AS media_id,
+      |       CAST(row_number() OVER (PARTITION BY id ORDER BY f_start) AS INTEGER) AS seg_id,
+      |       CAST(f_start AS INTEGER) AS f_start, CAST(f_end AS INTEGER) AS f_end,
+      |       CAST(n_frames AS INTEGER) AS n_frames, seg_energy
+      |FROM seg ORDER BY media_id, seg_id""".stripMargin
+
   /** Video leg: uniform-stride frame sampling (stride 2) + per-frame
     * byte-sum/digest features over the synthetic corpus's video rows
     * (every `id % 3 == 2`). Hash-gates the slice arithmetic itself:
@@ -330,6 +409,7 @@ object Queries {
         "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql)),
         "multimodal_video_frames" -> (multimodalVideo, Some(multimodalVideoSql)),
         "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql)),
+        "multimodal_audio_vad" -> (multimodalAudioVad, Some(multimodalAudioVadSql)),
         "multimodal_image_simjoin" -> (multimodalImageSim, Some(multimodalImageSimSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all,

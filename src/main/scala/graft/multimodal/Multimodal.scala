@@ -241,6 +241,32 @@ object Multimodal {
     }
   }
 
+  /** One framed-PCM energy reading (the per-frame granularity that
+    * [[analyzeAudio]] rolls up).
+    */
+  final case class FrameEnergy(media_id: Long, f: Int, e: Long)
+
+  /** Per-frame energies for the audio rows: the same framing and Σv²
+    * arithmetic as [[analyzeAudio]] but emitted one row per frame, for
+    * downstream segmentation. Lazy flatMap — constant memory per task.
+    */
+  def audioFrameEnergies(ds: Dataset[MediaFile], frameLen: Int): Dataset[FrameEnergy] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      if (m.kind != "audio" || m.data.length < frameLen) Iterator.empty
+      else Iterator.range(0, m.data.length / frameLen).map { f =>
+        var e = 0L
+        var i = f * frameLen
+        while (i < (f + 1) * frameLen) {
+          val v = m.data(i).toInt
+          e += v.toLong * v
+          i += 1
+        }
+        FrameEnergy(m.media_id, f, e)
+      }
+    }
+  }
+
   /** Per-sampled-frame features — the video leg of the surface. */
   final case class FrameFeatures(media_id: Long, frame_idx: Int,
                                  n_frame_bytes: Int, frame_sum: Long,

@@ -83,6 +83,38 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(x => x.n_frames == x.n_samples / 64))
   }
 
+  test("audioFrameEnergies matches analyzeAudio's rollup frame-for-frame") {
+    val s = spark
+    val base = syntheticCorpus(s, 60)
+    val byMedia = audioFrameEnergies(base, 64).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.f)).toMap
+    analyzeAudio(base, 64).collect().foreach { a =>
+      val fr = byMedia(a.media_id)
+      assert(fr.length == a.n_frames)
+      assert(fr.map(_.f).toSeq == (0 until a.n_frames))
+      assert(fr.map(_.e).sum == a.total_energy)
+    }
+    assert(byMedia.keySet == analyzeAudio(base, 64).collect().map(_.media_id).toSet)
+  }
+
+  test("VAD islands merge exactly the consecutive above-threshold frames") {
+    // hand-built media: 6 full frames with energies straddling the
+    // threshold in the pattern hi hi lo hi lo hi -> segments [0,1] [3] [5]
+    val s = spark
+    import s.implicits._
+    val frameLen = 4
+    // per-frame energy of constant byte v is 4*v^2: v=100 -> 40000 (hi), v=1 -> 4 (lo)
+    val bytes = Array(100, 100, 1, 100, 1, 100)
+      .flatMap(v => Array.fill(frameLen)(v.toByte))
+    val corpus = s.createDataset(Seq(MediaFile(7L, "audio", bytes, 1, 1, 1)))
+    val fr = audioFrameEnergies(corpus, frameLen).collect().sortBy(_.f)
+    assert(fr.map(_.e).toSeq == Seq(40000L, 40000L, 4L, 40000L, 4L, 40000L))
+    val active = fr.filter(_.e >= 40000L)
+    val islands = active.map(x => x.f - (active.indexWhere(_.f == x.f) + 1))
+    assert(active.groupBy(x => islands(active.indexOf(x))).values
+      .map(_.map(_.f).toSeq.sorted).toSet == Set(Seq(0, 1), Seq(3), Seq(5)))
+  }
+
   test("resize preserves corner pixels; decode stub is total on any payload") {
     val px = Codecs.decodeImage(Array[Byte](1, 2, 3), 4, 4)
     assert(px.length == 16 && px.forall(p => p >= 0 && p <= 255))
