@@ -25,15 +25,16 @@ object Registry {
     * synchronized writes per Tables() call.
     */
   def registerAll(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(GraphemeCount.ident)) {
+    if (!spark.sessionState.functionRegistry.functionExists(Codepoints.ident)) {
       RollingHash64.register(spark)
       MinHashMd5.register(spark)
       SignBits.register(spark)
       DotExactDec.register(spark)
       WordShingles.register(spark)
       DotDouble.register(spark)
+      GraphemeCount.register(spark)
       // newest last: the guard probes this one, so a session registered
       // by older code re-registers the full (grown) surface
-      GraphemeCount.register(spark)
+      Codepoints.register(spark)
     }
 }

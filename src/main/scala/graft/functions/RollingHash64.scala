@@ -101,5 +101,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((DotDouble.ident, DotDouble.info, DotDouble.builder))
     ext.injectFunction((WordShingles.ident, WordShingles.info, WordShingles.builder))
     ext.injectFunction((GraphemeCount.ident, GraphemeCount.info, GraphemeCount.builder))
+    ext.injectFunction((Codepoints.ident, Codepoints.info, Codepoints.builder))
   }
 }

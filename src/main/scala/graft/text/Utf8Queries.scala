@@ -249,7 +249,111 @@ object Utf8Queries {
        |FROM grapheme_docs ORDER BY doc_id""".stripMargin
   }
 
+  /** Unicode-script classes as inclusive code-point ranges — ONE Scala
+    * definition rendered to both dialects, so the classification cannot
+    * drift between engines. Letter classes first (the dominant-script
+    * candidates, in the fixed tie-break priority the CASE chains use),
+    * then digits and emoji/symbols; anything unmatched (ASCII punct,
+    * whitespace, combining marks) counts as other. Ranges are disjoint;
+    * the Latin block excludes × (U+00D7) and ÷ (U+00F7).
+    */
+  private val letterClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+      (0xF8, 0x24F)),
+    "cyrillic" -> Seq((0x400, 0x4FF)),
+    "greek" -> Seq((0x370, 0x3FF), (0x1F00, 0x1FFF)),
+    "devanagari" -> Seq((0x900, 0x97F)),
+    "hangul" -> Seq((0x1100, 0x11FF), (0x3130, 0x318F), (0xAC00, 0xD7AF)),
+    "kana" -> Seq((0x3040, 0x309F), (0x30A0, 0x30FF)),
+    "cjk" -> Seq((0x3400, 0x4DBF), (0x4E00, 0x9FFF)))
+
+  private val otherClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "digit" -> Seq((0x30, 0x39)),
+    "emoji" -> Seq((0x200D, 0x200D), (0x2600, 0x27BF), (0xFE00, 0xFE0F),
+      (0x1F000, 0x1FAFF)))
+
+  private def rangePred(c: org.apache.spark.sql.Column,
+                        ranges: Seq[(Int, Int)]): org.apache.spark.sql.Column =
+    ranges.map { case (a, b) => c >= lit(a) && c <= lit(b) }.reduce(_ || _)
+
+  private def sqlRangePred(c: String, ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (a, b) => s"($c >= $a AND $c <= $b)" }.mkString(" OR ")
+
+  /** Script-mix report — the multilingual-curation heuristic that
+    * catches mixed-script spam, mojibake, and wrong-language routing
+    * before any model sees the text: per document, the code-point count
+    * per Unicode script class, the dominant letter script (max count,
+    * ties broken by the fixed class order), how many letter scripts
+    * appear, and a mixed-script flag. Rides the native `codepoints`
+    * expression (surrogate-safe — `split(s, '')` would halve every
+    * emoji) behind the tokenize-once Generate barrier so the array is
+    * built once per row; classification is pure integer-range HOF
+    * arithmetic after that, scan-local with no shuffle — a map-only op
+    * at any corpus size.
+    */
+  val utf8ScriptMix: Q = (s, _) => {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val classes = letterClasses ++ otherClasses
+    val counted = (docs ++ graphemeExtra).toDF("doc_id", "text", "lang")
+      .select($"doc_id",
+        explode(array(expr("codepoints(text)"))).as("cps"))
+      .select(($"doc_id" +: size($"cps").as("n_cp") +:
+        classes.map { case (name, rs) =>
+          size(filter($"cps", c => rangePred(c, rs))).as(s"n_$name")
+        }): _*)
+    val letters = letterClasses.map { case (n, _) => col(s"n_$n") }
+    val nLetter = letters.reduce(_ + _).as("n_letter")
+    val nScripts = letters.map(c => (c > 0).cast("int")).reduce(_ + _)
+    val m = greatest(letters: _*)
+    val dominant = letterClasses.foldRight(lit("none")) {
+      case ((name, _), rest) =>
+        when(col(s"n_$name") === m, lit(name)).otherwise(rest)
+    }
+    counted
+      .withColumn("n_other",
+        $"n_cp" - (letters ++ otherClasses.map { case (n, _) => col(s"n_$n") })
+          .reduce(_ + _))
+      .withColumn("n_letter", nLetter)
+      .withColumn("n_scripts", nScripts)
+      .withColumn("dominant_script",
+        when($"n_letter" === 0, lit("none")).otherwise(dominant))
+      .withColumn("mixed_script", ($"n_scripts" >= 2).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val utf8ScriptMixSql: String = {
+    val classes = letterClasses ++ otherClasses
+    val cnt = classes.map { case (name, rs) =>
+      s"CAST(len(list_filter(cps, c -> ${sqlRangePred("c", rs)})) AS INTEGER) AS n_$name"
+    }.mkString(",\n    ")
+    val letters = letterClasses.map { case (n, _) => s"n_$n" }
+    val sumLetters = letters.mkString(" + ")
+    val sumAll = classes.map { case (n, _) => s"n_$n" }.mkString(" + ")
+    val nScripts = letters.map(n => s"CAST($n > 0 AS INT)").mkString(" + ")
+    val m = s"greatest(${letters.mkString(", ")})"
+    val dominant = letterClasses.map { case (name, _) =>
+      s"WHEN n_$name = $m THEN '$name'"
+    }.mkString(" ")
+    s"""WITH ${valuesCte("script_docs", docs ++ graphemeExtra)},
+       |cp AS (
+       |  SELECT doc_id, ${graft.functions.Codepoints.sql("text")} AS cps
+       |  FROM script_docs),
+       |counted AS (
+       |  SELECT doc_id, CAST(len(cps) AS INTEGER) AS n_cp,
+       |    $cnt
+       |  FROM cp)
+       |SELECT doc_id, n_cp, ${classes.map { case (n, _) => s"n_$n" }.mkString(", ")},
+       |  n_cp - ($sumAll) AS n_other,
+       |  $sumLetters AS n_letter,
+       |  $nScripts AS n_scripts,
+       |  CASE WHEN $sumLetters = 0 THEN 'none' $dominant END AS dominant_script,
+       |  CAST(($nScripts) >= 2 AS INT) AS mixed_script
+       |FROM counted ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_utf8_script_mix" -> (utf8ScriptMix, Some(utf8ScriptMixSql)),
     "text_utf8_grapheme_stats" ->
       (utf8GraphemeStats, Some(utf8GraphemeStatsSql)),
     "text_utf8_rolling_fingerprint" ->
