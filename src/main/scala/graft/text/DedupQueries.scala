@@ -814,7 +814,176 @@ object DedupQueries {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** URL canonicalization + dedup — the step-zero dedup a web-crawl
+    * pipeline runs before any content hashing: the same page arrives
+    * under scheme/host case variants, default ports, www prefixes,
+    * trailing slashes, tracking parameters (utm_*, fbclid, gclid, ref),
+    * shuffled query-parameter order, and fragments. Each document gets
+    * a deterministically-messy synthetic URL (pure doc_id/source
+    * arithmetic, identical in both dialects), the canonicalizer
+    * normalizes all seven mess axes, and dedup groups by the canonical
+    * form keeping the lowest doc_id.
+    *
+    * Scale shape: URL derivation + canonicalization are map-only
+    * string/regex work in the scan (all codegen built-ins, no UDF);
+    * the only shuffle is the groupBy on the canonical URL — exactly
+    * the one a 100 TB crawl dedup needs. Regexes are RE2-safe (no
+    * backrefs/lookarounds); param sorting is binary on ASCII, so both
+    * engines order identically.
+    */
+  val urlCanonical: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables(s, dir, "documents")
+      .select($"doc_id",
+        concat($"source", lit(".example.org")).as("hb"),
+        $"doc_id".%(4).as("m4"), $"doc_id".%(3).as("m3"),
+        $"doc_id".%(5).as("m5"), $"doc_id".%(7).as("m7"),
+        $"doc_id".%(6).as("m6"), $"doc_id".%(2).as("m2"),
+        $"doc_id".%(11).as("m11"), expr("doc_id div 10").as("pg"))
+      .withColumn("scheme_raw",
+        when($"m4" === 0, "http").when($"m4" === 1, "HTTP")
+          .when($"m4" === 2, "https").otherwise("HTTPS"))
+      .withColumn("host_www",
+        when($"m5" === 0, concat(lit("www."), $"hb")).otherwise($"hb"))
+      .withColumn("host_raw",
+        when($"m3" === 0, upper($"host_www")).otherwise($"host_www"))
+      .withColumn("port_raw",
+        when($"m7" === 0, when($"m4" >= 2, ":443").otherwise(":80"))
+          .otherwise(""))
+      .withColumn("path_raw",
+        concat(lit("/docs/"), $"pg".cast("string"),
+          when($"m2" === 0, "/").otherwise("")))
+      .withColumn("idp", concat(lit("id="), ($"doc_id" % 5).cast("string")))
+      .withColumn("utm", concat(lit("utm_source=u"), $"m3".cast("string")))
+      .withColumn("query_raw",
+        when($"m6" === 0, concat(lit("?"), $"utm", lit("&"), $"idp"))
+          .when($"m6" === 3, concat(lit("?"), $"idp", lit("&"), $"utm"))
+          .when($"m6" === 1 || $"m6" === 4, concat(lit("?"), $"idp"))
+          .otherwise(""))
+      .withColumn("frag_raw",
+        when($"m11" === 0, concat(lit("#sec"), $"m3".cast("string")))
+          .otherwise(""))
+      .select($"doc_id",
+        concat($"scheme_raw", lit("://"), $"host_raw", $"port_raw",
+          $"path_raw", $"query_raw", $"frag_raw").as("url"))
+    val canon = canonicalizeUrls(s, raw)
+    canon.groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_variants"),
+        min($"doc_id").as("kept_id"),
+        concat_ws(",", transform(sort_array(collect_list($"doc_id")),
+          i => i.cast("string"))).as("variant_ids"))
+      .orderBy($"canonical_url")
+  }
+
+  /** The canonicalizer itself (input: any frame with a `url` column;
+    * output: + `canonical_url`) — split out so UrlCanonicalSpec can pin
+    * each mess axis on hand-built URLs independent of the corpus.
+    */
+  private[text] def canonicalizeUrls(s: org.apache.spark.sql.SparkSession,
+      raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    raw
+      .withColumn("nofrag", regexp_replace($"url", "#.*", ""))
+      .withColumn("scheme",
+        lower(regexp_extract($"nofrag", "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("hostport",
+        lower(regexp_extract($"nofrag",
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)))
+      .withColumn("h1",
+        when($"scheme" === "http" && $"hostport".endsWith(":80"),
+          expr("substring(hostport, 1, length(hostport) - 3)"))
+          .when($"scheme" === "https" && $"hostport".endsWith(":443"),
+            expr("substring(hostport, 1, length(hostport) - 4)"))
+          .otherwise($"hostport"))
+      .withColumn("host",
+        when(expr("substring(h1, 1, 4)") === "www.", expr("substring(h1, 5)"))
+          .otherwise($"h1"))
+      .withColumn("p1",
+        regexp_replace(regexp_extract($"nofrag",
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", ""))
+      .withColumn("cpath", when($"p1" === "", "/").otherwise($"p1"))
+      .withColumn("qsort", array_join(array_sort(
+        filter(split(regexp_extract($"nofrag", "\\?(.*)", 1), "&"),
+          p => p =!= "" &&
+            !(substring(p, 1, 4) === "utm_" || substring(p, 1, 7) === "fbclid=" ||
+              substring(p, 1, 6) === "gclid=" || substring(p, 1, 4) === "ref="))),
+        "&"))
+      .withColumn("canonical_url",
+        concat($"scheme", lit("://"), $"host", $"cpath",
+          when($"qsort" =!= "", concat(lit("?"), $"qsort")).otherwise("")))
+  }
+
+  val urlCanonicalSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+      |          WHEN 2 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN upper(hw) ELSE hw END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN
+      |       (CASE WHEN doc_id % 4 >= 2 THEN ':443' ELSE ':80' END)
+      |     ELSE '' END) ||
+      |    '/docs/' || CAST(doc_id // 10 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '?' || utm || '&' || idp
+      |          WHEN doc_id % 6 = 3 THEN '?' || idp || '&' || utm
+      |          WHEN doc_id % 6 IN (1, 4) THEN '?' || idp
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0
+      |          THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+      |    AS url
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 5 = 0 THEN 'www.' || source || '.example.org'
+      |           ELSE source || '.example.org' END AS hw,
+      |      'id=' || CAST(doc_id % 5 AS VARCHAR) AS idp,
+      |      'utm_source=u' || CAST(doc_id % 3 AS VARCHAR) AS utm
+      |    FROM documents)),
+      |c1 AS (
+      |  SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM raw),
+      |c2 AS (
+      |  SELECT doc_id, nofrag,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      |      AS hostport
+      |  FROM c1),
+      |c3 AS (
+      |  SELECT doc_id, nofrag, scheme,
+      |    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+      |           THEN substring(hostport, 1, length(hostport) - 3)
+      |         WHEN scheme = 'https' AND hostport LIKE '%:443'
+      |           THEN substring(hostport, 1, length(hostport) - 4)
+      |         ELSE hostport END AS h1
+      |  FROM c2),
+      |c4 AS (
+      |  SELECT doc_id, nofrag, scheme,
+      |    CASE WHEN substring(h1, 1, 4) = 'www.' THEN substring(h1, 5)
+      |         ELSE h1 END AS host,
+      |    regexp_replace(
+      |      regexp_extract(nofrag,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+      |      AS p1,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(nofrag, '\?(.*)', 1), '&'),
+      |      p -> p <> '' AND NOT (
+      |        substring(p, 1, 4) = 'utm_' OR substring(p, 1, 7) = 'fbclid=' OR
+      |        substring(p, 1, 6) = 'gclid=' OR substring(p, 1, 4) = 'ref='))),
+      |      '&') AS qsort
+      |  FROM c3),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN p1 = '' THEN '/' ELSE p1 END) ||
+      |    (CASE WHEN qsort <> '' THEN '?' || qsort ELSE '' END)
+      |      AS canonical_url
+      |  FROM c4)
+      |SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS kept_id,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS variant_ids
+      |FROM canon GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_url_canonical" -> (urlCanonical, Some(urlCanonicalSql)),
     "dedup_exact_substring" -> (exactSubstring, Some(exactSubstringSql)),
     "dedup_lsh_hot_band" -> (lshHotBand, Some(lshHotBandSql)),
     "dedup_contamination_check" -> (contaminationCheck, Some(contaminationCheckSql)),
