@@ -2590,7 +2590,104 @@ object SimilarityQueries {
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  /** Semi-supervised k-NN label assignment — the weak-supervision
+    * labeling pass a curation pipeline runs on each incoming batch:
+    * every unlabeled vector gets the majority label of its 5 nearest
+    * labeled neighbors by exact cosine (ties: vote count desc, label
+    * asc). The batch is a FIXED id slice (64 queries), so cost is
+    * batch × corpus — the incremental-ingest shape, never quadratic.
+    *
+    * Read path: double-screened like the recall reports — the cheap
+    * IEEE fold ranks all pool×batch pairs, the per-query 5th screen
+    * score minus a 1e-6 margin (≫ the <1e-12 screen/exact divergence)
+    * bounds the candidates, and the interpreted exact-decimal kernel
+    * runs only on those. The hash gates the full prediction table
+    * including the agree flag against ground-truth labels, so the
+    * screen, the exact rank, and the vote tie-breaks are all pinned.
+    */
+  val knnLabelAssign: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    def isBatch(id: org.apache.spark.sql.Column) =
+      id % 31 === 0 && id < 1984
+    val fast = emb.select($"vec_id", $"embedding",
+      sqrt(dotFast($"embedding", $"embedding")).as("fn"))
+    val qF = fast.filter(isBatch($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"fn".as("qfn"))
+    // persist = the screen/verdict barrier (CollapseProject would
+    // otherwise re-inline the screen into the exact projection)
+    val approx = graft.CacheTracker.persistTracked(
+      fast.filter(!isBatch($"vec_id")).crossJoin(broadcast(qF))
+        .select($"q_id", $"vec_id",
+          (dotFast($"embedding", $"q_emb") / ($"fn" * $"qfn")).as("ascore")))
+    val wA = Window.partitionBy($"q_id").orderBy($"ascore".desc, $"vec_id")
+    val thr = approx.withColumn("rk", row_number().over(wA))
+      .filter($"rk" === 5).select($"q_id", $"ascore".as("sk"))
+    val cand = approx.join(broadcast(thr), Seq("q_id"), "left")
+      .filter($"sk".isNull || $"ascore" >= $"sk" - lit(1e-6))
+      .select($"q_id", $"vec_id")
+    val ex = emb.select($"vec_id", $"label", $"embedding",
+      normExact($"embedding").as("xn"))
+    val qX = ex.filter(isBatch($"vec_id"))
+      .select($"vec_id".as("q_id"), $"label".as("true_label"),
+        $"embedding".as("q_emb"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val top = cand.join(ex.filter(!isBatch($"vec_id")), "vec_id")
+      .join(broadcast(qX.select($"q_id", $"q_emb", $"qxn")), "q_id")
+      .select($"q_id", $"vec_id", $"label",
+        (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+    val pred = majorityVote(top.select($"q_id", $"label"))
+    qX.select($"q_id", $"true_label")
+      .join(pred, "q_id")
+      .withColumn("agree", ($"true_label" === $"pred_label").cast("int"))
+      .orderBy($"q_id")
+  }
+
+  /** Majority vote over (q_id, label) ballot rows: winner = highest
+    * count, ties to the LOWEST label — one aggregation pass via the
+    * max(struct(cnt, -label)) trick, no per-group rank window. Split
+    * out so KnnVoteSpec pins the tie-break on hand-built ballots.
+    */
+  private[vector] def majorityVote(
+      ballots: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import ballots.sparkSession.implicits._
+    ballots.groupBy($"q_id", $"label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"q_id")
+      .agg(max(struct($"cnt", (-$"label").as("neg"))).as("m"))
+      .select($"q_id", (-$"m.neg").as("pred_label"), $"m.cnt".as("n_votes"))
+  }
+
+  val knnLabelAssignSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS true_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 1984),
+       |pool AS (
+       |  SELECT * FROM embeddings
+       |  WHERE NOT (vec_id % 31 = 0 AND vec_id < 1984)),
+       |d AS (
+       |  SELECT q_id, vec_id, label,
+       |    ${sqlCosine("embedding", "q_emb")} AS cosine
+       |  FROM pool CROSS JOIN q),
+       |top AS (SELECT q_id, label FROM (
+       |    SELECT q_id, label, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk FROM d)
+       |  WHERE rk <= 5),
+       |v AS (SELECT q_id, label, COUNT(*) AS cnt
+       |      FROM top GROUP BY q_id, label),
+       |p AS (SELECT q_id, label AS pred_label, cnt AS n_votes FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cnt DESC, label) AS rk FROM v)
+       |  WHERE rk = 1)
+       |SELECT q.q_id, q.true_label, p.pred_label, p.n_votes,
+       |  CAST(q.true_label = p.pred_label AS INT) AS agree
+       |FROM q JOIN p USING (q_id) ORDER BY q_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
     "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
