@@ -199,6 +199,24 @@ object SimilarityQueries {
             when(d === 0, x.cast("double") + lit(0.05))
               .otherwise(x.cast("double"))).as("v")))).as("r"))
       .select($"r.vec_id", $"r.v")
+    lshPairCosines(raw)
+      .filter($"cosine" >= 0.98)
+      .select($"va".as("vec_a"), $"vb".as("vec_b"),
+        round($"cosine", 9).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The banded-LSH near-dup pair engine over any (vec_id, v) corpus:
+    * mean-centered sign-LSH banding for candidates, `dot_double`
+    * prefilter at 0.9, exact-decimal cosine on survivors. Returns
+    * (va, vb, cosine) with va < vb and cosine UNROUNDED — callers
+    * apply their own threshold/rounding. Shared by [[cosineNearDup]]
+    * and the DBSCAN clustering gate.
+    */
+  private[graft] def lshPairCosines(
+      raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
     // mean-center before hashing: a corpus with a common per-dim offset
     // pushes uncentered hyperplane projections toward one shared sign —
     // the bits lose entropy and band buckets inflate. With the md5
@@ -255,23 +273,18 @@ object SimilarityQueries {
       .select($"va", $"vb", $"a.v".as("av"), $"b.v".as("bv"),
         $"a.xn".as("axn"), $"b.xn".as("bxn"))
       .transform(graft.CacheTracker.persistTracked)
-    pre.select($"va".as("vec_a"), $"vb".as("vec_b"),
-        (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("cosine"))
-      .filter($"cosine" >= 0.98)
-      .withColumn("cosine", round($"cosine", 9))
-      .orderBy($"vec_a", $"vec_b")
+    pre.select($"va", $"vb",
+      (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("cosine"))
   }
 
-  val cosineNearDupSql: String =
-    s"""WITH corpus AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 10000, list_transform(range(1, 65),
-       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
-       |              ELSE CAST(embedding[d] AS DOUBLE) END)
-       |  FROM embeddings),
-       |cells AS (
+  /** DuckDB mirror of [[lshPairCosines]] downstream of a `corpus`
+    * (vec_id, v) CTE: centering, sign banding, candidates — shared by
+    * the near-dup and DBSCAN oracles (the [[graft.text.NearDup]]
+    * fragment pattern). Ends with `cand(va, vb)` and `b(vec_id, v, sig)`
+    * for the caller's exact-cosine verdict.
+    */
+  private val sqlLshChain: String =
+    s"""cells AS (
        |  SELECT vec_id, d AS pos, v[d] AS val
        |  FROM corpus CROSS JOIN range(1, 65) t(d)),
        |mu0 AS (
@@ -290,12 +303,164 @@ object SimilarityQueries {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
        |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bkey = b2.bkey
-       |  WHERE a.vec_id < b2.vec_id)
+       |  WHERE a.vec_id < b2.vec_id)""".stripMargin
+
+  val cosineNearDupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |              ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings),
+       |$sqlLshChain
        |SELECT va AS vec_a, vb AS vec_b,
        |  round(${sqlCosine("ca.v", "cb.v")}, 9) AS cosine
        |FROM cand JOIN b ca ON va = ca.vec_id JOIN b cb ON vb = cb.vec_id
        |WHERE ${sqlCosine("ca.v", "cb.v")} >= 0.98
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Density clustering (DBSCAN) over the near-dup similarity graph —
+    * the cluster-then-curate step that groups whole families of
+    * near-identical embeddings rather than pairwise dropping them:
+    * edges are exact-cosine ≥ 0.98 pairs recovered through the shared
+    * banded-LSH engine ([[lshPairCosines]] — candidates bounded by the
+    * banding, never all-pairs), a vector is CORE with ≥ 3 such
+    * neighbors, core components become clusters (the shared
+    * [[graft.operators.ConnectedComponents]] min-label propagation),
+    * non-core vectors with a core neighbor join that neighbor's
+    * cluster as BORDER points (lowest cluster id on ties), and the
+    * rest is NOISE (cluster −1). The corpus plants a 4-member family
+    * (base + three one-dimension perturbations) on every 20th vector
+    * so the density structure is known; natural pairs sit near cosine
+    * 0.5 and stay noise.
+    *
+    * Scale shape: banding bounds the edge work exactly as the near-dup
+    * gate's; degrees/roles are one shuffle on the node id; components
+    * cost O(diameter) rounds over the (tiny) core-core edge set.
+    */
+  val dbscanCluster: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    def planted(off: Int, dim: Int) = emb.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + off).as("vec_id"),
+        transform($"embedding", (x, d) =>
+          when(d === dim, x.cast("double") + lit(0.05))
+            .otherwise(x.cast("double"))).as("v"))
+    val raw = emb
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .unionByName(planted(10000, 0))
+      .unionByName(planted(20000, 1))
+      .unionByName(planted(30000, 2))
+    // read by the degree pass AND the core-core projection
+    val edges = graft.CacheTracker.persistTracked(
+      lshPairCosines(raw).filter($"cosine" >= 0.98).select($"va", $"vb"))
+    dbscanRoles(raw.select($"vec_id"), edges, minPts = 3)
+  }
+
+  /** The DBSCAN role/cluster derivation over any similarity-edge graph:
+    * ids = every point, edges = (va, vb) pairs (each once, persisted by
+    * the caller), minPts = the core degree floor. Split out so
+    * DbscanSpec pins core/border/noise semantics on hand-built graphs
+    * independent of the LSH edge recovery.
+    */
+  private[graft] def dbscanRoles(ids: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame, minPts: Int):
+      org.apache.spark.sql.DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val und = edges.select($"va".as("node"), $"vb".as("nbr"))
+      .unionByName(edges.select($"vb".as("node"), $"va".as("nbr")))
+    val deg = graft.CacheTracker.persistTracked(
+      und.groupBy($"node").agg(count(lit(1)).as("deg")))
+    val core = deg.filter($"deg" >= minPts).select($"node")
+    // CC wants a materialized edge frame (operator contract)
+    val cedges = edges
+      .join(core.withColumnRenamed("node", "va"), Seq("va"), "left_semi")
+      .join(core.withColumnRenamed("node", "vb"), Seq("vb"), "left_semi")
+      .localCheckpoint(true)
+    val comp = graft.operators.ConnectedComponents.run(cedges, "va", "vb")
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreCl = graft.CacheTracker.persistTracked(
+      core.join(comp, Seq("node"), "left")
+        .select($"node", coalesce($"comp", $"node").as("cluster")))
+    val borderCl = und
+      .join(coreCl.select($"node".as("nbr"), $"cluster"), "nbr")
+      .join(core, Seq("node"), "left_anti")
+      .groupBy($"node").agg(min($"cluster").as("cluster"))
+    ids
+      .join(deg.toDF("vec_id", "deg"), Seq("vec_id"), "left")
+      .join(coreCl.toDF("vec_id", "core_cl"), Seq("vec_id"), "left")
+      .join(borderCl.toDF("vec_id", "border_cl"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"deg", lit(0L)).as("deg"),
+        when($"core_cl".isNotNull, "core")
+          .when($"border_cl".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"core_cl", $"border_cl", lit(-1L)).as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  val dbscanClusterSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 1 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |              ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings WHERE vec_id % 20 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 20000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 2 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |              ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings WHERE vec_id % 20 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 30000, list_transform(range(1, 65),
+       |    d -> CASE WHEN d = 3 THEN CAST(embedding[d] AS DOUBLE) + 0.05
+       |              ELSE CAST(embedding[d] AS DOUBLE) END)
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |$sqlLshChain,
+       |edges AS MATERIALIZED (
+       |  SELECT va, vb
+       |  FROM cand JOIN b ca ON va = ca.vec_id JOIN b cb ON vb = cb.vec_id
+       |  WHERE ${sqlCosine("ca.v", "cb.v")} >= 0.98),
+       |und AS MATERIALIZED (
+       |  SELECT va AS node, vb AS nbr FROM edges
+       |  UNION ALL SELECT vb, va FROM edges),
+       |deg AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS deg FROM und GROUP BY node),
+       |core AS MATERIALIZED (SELECT node FROM deg WHERE deg >= 3),
+       |cund AS MATERIALIZED (
+       |  SELECT node, nbr FROM und
+       |  WHERE node IN (SELECT node FROM core)
+       |    AND nbr IN (SELECT node FROM core)),
+       |reach(node, comp) AS (
+       |  SELECT node, node FROM core
+       |  WHERE node IN (SELECT node FROM cund)
+       |  UNION
+       |  SELECT u.nbr, r.comp FROM reach r JOIN cund u ON r.node = u.node),
+       |cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+       |corecl AS MATERIALIZED (
+       |  SELECT core.node, COALESCE(cc.comp, core.node) AS cluster
+       |  FROM core LEFT JOIN cc ON core.node = cc.node),
+       |bordercl AS (
+       |  SELECT u.node, MIN(c.cluster) AS cluster
+       |  FROM und u JOIN corecl c ON u.nbr = c.node
+       |  WHERE u.node NOT IN (SELECT node FROM core)
+       |  GROUP BY u.node)
+       |SELECT corpus.vec_id,
+       |  COALESCE(deg.deg, 0) AS deg,
+       |  CASE WHEN k.cluster IS NOT NULL THEN 'core'
+       |       WHEN br.cluster IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(k.cluster, br.cluster, -1) AS cluster
+       |FROM corpus
+       |LEFT JOIN deg ON corpus.vec_id = deg.node
+       |LEFT JOIN corecl k ON corpus.vec_id = k.node
+       |LEFT JOIN bordercl br ON corpus.vec_id = br.node
+       |ORDER BY corpus.vec_id""".stripMargin
 
   /** IVF coarse quantizer constants (env-overridable via [[graft.Tuning]]):
     * [[IvfProbes]] cells probed per query, [[IvfLloyd]] k-means rounds,
@@ -2688,6 +2853,7 @@ object SimilarityQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
+    "sim_dbscan_cluster" -> (dbscanCluster, Some(dbscanClusterSql)),
     "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
