@@ -516,7 +516,91 @@ object EventQueries {
        |FROM dev JOIN mad USING (event_type)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Autocorrelation lags (hours) the seasonality report probes. */
+  private val AcfLags = Seq(1, 2, 3, 6, 12, 24)
+
+  /** Lag-k autocorrelation of the hourly event-count series — the
+    * seasonality diagnostic run before time-slicing a corpus (a daily
+    * cycle shows up as a high lag-24 coefficient). Entirely INTEGER
+    * arithmetic: with S = Σx and n hours, ACF_k's numerator and
+    * denominator are emitted as the exact integers
+    * num_k = Σ (n·x_t − S)(n·x_{t+k} − S) and den = Σ (n·x_t − S)²
+    * (the mean-centered sums scaled by n² so no rational mean ever
+    * materializes — the ratio num/den is the textbook coefficient,
+    * left to the consumer so no float touches the hash). Gaps in the
+    * hour spine count as zero (a dense series is the ACF contract).
+    *
+    * Scale shape: one scan to hourly counts (shuffle on the hour key),
+    * then every downstream row count is DOMAIN-sized (hours in the
+    * corpus' time span) — the [[graft.pipeline.CurationQueries]]
+    * quantile-bins precedent for the unpartitioned lead window. Sums
+    * ride DECIMAL(38,0)/HUGEINT so a century-long span cannot
+    * silently overflow; the final BIGINT cast fails loudly instead.
+    */
+  val autocorrelation: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables(s, dir, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("x"))
+    val spine = counts.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(sequence($"h0", $"h1")).as("h"))
+    val series = graft.CacheTracker.persistTracked(
+      spine.join(counts, Seq("h"), "left")
+        .select($"h", coalesce($"x", lit(0L)).as("x")))
+    val st = series.agg(count(lit(1)).as("n"), sum($"x").as("ss"))
+    val w = Window.orderBy($"h")
+    val dv = series.crossJoin(broadcast(st))
+      .select($"h", $"n", $"ss", ($"n" * $"x" - $"ss").as("dev"))
+    val led = AcfLags.foldLeft(dv)((df, k) =>
+      df.withColumn(s"d$k", lead($"dev", k).over(w)))
+    val dec = "decimal(38,0)"
+    val aggCols = max($"n").as("n") +: max($"ss").as("s") +:
+      sum(($"dev" * $"dev").cast(dec)).cast("long").as("den") +:
+      AcfLags.map(k =>
+        sum(($"dev" * col(s"d$k")).cast(dec)).cast("long").as(s"num$k"))
+    val aggRow = led.agg(aggCols.head, aggCols.tail: _*)
+    aggRow.select(explode(array(AcfLags.map(k =>
+        struct(lit(k).as("lag"), $"n", $"s",
+          col(s"num$k").as("num"), $"den".as("den"))): _*)).as("r"))
+      .select($"r.lag", $"r.n", $"r.s", $"r.num", $"r.den")
+      .orderBy($"lag")
+  }
+
+  val autocorrelationSql: String = {
+    val leads = AcfLags.map(k =>
+      s"lead(dev, $k) OVER (ORDER BY h) AS d$k").mkString(",\n    ")
+    val nums = AcfLags.map(k =>
+      s"CAST(SUM(CAST(dev AS HUGEINT) * d$k) AS BIGINT) AS num$k")
+      .mkString(",\n    ")
+    val rows = AcfLags.map(k =>
+      s"SELECT CAST($k AS INT) AS lag, n, s, num$k AS num, den FROM agg")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cnt AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS x
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cnt),
+       |spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds),
+       |series AS (
+       |  SELECT s.h, COALESCE(c.x, 0) AS x
+       |  FROM spine s LEFT JOIN cnt c USING (h)),
+       |st AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS ss FROM series),
+       |dv AS (
+       |  SELECT h, n, ss, n * x - ss AS dev FROM series CROSS JOIN st),
+       |led AS (
+       |  SELECT n, ss, dev,
+       |    $leads
+       |  FROM dv),
+       |agg AS (
+       |  SELECT MAX(n) AS n, MAX(ss) AS s,
+       |    CAST(SUM(CAST(dev AS HUGEINT) * dev) AS BIGINT) AS den,
+       |    $nums
+       |  FROM led)
+       |$rows
+       |ORDER BY lag""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_autocorrelation" -> (autocorrelation, Some(autocorrelationSql)),
     "events_anomaly_mad" -> (anomalyMad, Some(anomalyMadSql)),
     "events_markov_transitions" -> (markovTransitions, Some(markovTransitionsSql)),
     "events_gap_fill" -> (gapFill, Some(gapFillSql)),
