@@ -584,4 +584,79 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("explode"),
       "the rank-bucket side must double via explode:\n" + p)
   }
+
+  test("url dedup: pruned 2-column scan, map-side partials, no window") {
+    val p = plan("dedup_url_canonical")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "URL derivation must prune the documents scan to (doc_id, source):\n" + p)
+    // canonicalization is map-only; the ONLY wide ops are the canonical
+    // groupBy (partial + final ObjectHashAggregate) and the output sort
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "canonical grouping must map-side partial-aggregate:\n" + p)
+    assert(!p.contains("Window ["),
+      "no window may appear — dedup is one aggregation:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("knn labeling screens with dot_double behind a persist barrier") {
+    val p = plan("sim_knn_label_assign")
+    assert(p.contains("dot_double"),
+      "the pool x batch pass must be the IEEE screen:\n" + p)
+    assert(p.contains("dot_exact_dec"),
+      "the verdict must use the exact decimal kernel:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "screen/verdict persist barrier missing:\n" + p)
+    assert(p.contains("Broadcast"),
+      "the fixed query batch must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dbscan rides the banded-LSH edge engine, never all-pairs") {
+    // the edge engine itself (shared with sim_cosine_neardup): native
+    // sign-LSH banding, double screen, exact verdict, no cross product
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.transform
+    val raw = Tables(s, sf0001, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val edges = graft.vector.SimilarityQueries.lshPairCosines(raw)
+      .filter($"cosine" >= 0.98)
+    edges.collect()
+    val pe = edges.queryExecution.executedPlan.toString
+    graft.CacheTracker.releaseAll()
+    assert(pe.contains("sign_bits"),
+      "edges must come from the shared sign-LSH banding:\n" + pe)
+    // the dot_double screen lives inside the persisted candidate cache
+    // (same visibility as the sim_cosine_neardup pin); the exact
+    // verdict kernel must be the one deciding above it
+    assert(pe.contains("dot_exact_dec"),
+      "the verdict must use the exact decimal kernel:\n" + pe)
+    assert(pe.contains("InMemoryTableScan"),
+      "screen/verdict persist barrier missing:\n" + pe)
+    assert(!pe.contains("CartesianProduct"),
+      "candidates must come from the (band, key) equi-join:\n" + pe)
+    // the gate's output phase: degrees/roles ride the persisted edge
+    // set (InMemoryTableScan) and checkpointed CC leaves — the exact
+    // kernels are paid once in the edge job, never re-run here
+    val p = plan("sim_dbscan_cluster")
+    assert(p.contains("InMemoryTableScan"),
+      "edge set must persist (degree pass + core-core projection):\n" + p)
+    // (the kernel names still appear inside the InMemoryRelation's
+    // cached-plan print — the scan itself is what the phase reads)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("autocorrelation prunes to ts and partial-aggregates hourly counts") {
+    val p = plan("events_autocorrelation")
+    assert(p.contains("ReadSchema: struct<ts"),
+      "the events scan must read only the timestamp column:\n" + p)
+    // hourly counts: partial + final HashAggregate around one exchange;
+    // everything after is domain-sized (hours), incl. the single lead
+    // window — the quantile-bins precedent
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "hourly counting must map-side partial-aggregate:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      "the 1-row stats frame must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
