@@ -516,7 +516,96 @@ object AdvancedJoins {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
       |ORDER BY click_id""".stripMargin
 
+  /** Nearest as-of — the third direction beside backward and forward:
+    * each click pairs with the purchase of MINIMAL |Δt| in either
+    * direction, ties to the earlier (backward) purchase. One shuffle on
+    * user_id carries BOTH directions: the click∪purchase union is
+    * sorted twice inside the same partitioning (ascending tag order for
+    * the forward window, purchase-first for the backward one), so the
+    * plan is exchange + two sorts — never a join, the scale-safe as-of
+    * formulation shared with the sibling gates. Purchases are deduped
+    * per (user, ts) exactly as the forward gate does, and Δt compares
+    * in exact integer microseconds (`delta_us` is signed: negative =
+    * matched backward).
+    */
+  val asofNearestClickPurchase: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val dd = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .withColumn("rn", row_number().over(dd)).filter($"rn" === 1)
+      .select($"user_id", $"ts", lit(1).as("tag"),
+        $"event_id".as("purchase_id"), lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"), $"event_id".as("click_id"))
+    val u = clicks.unionByName(purchases)
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+    // forward: click sorts before a same-ts purchase, frame looks ahead
+    val wF = Window.partitionBy($"user_id").orderBy($"us", $"tag")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // backward: purchase sorts first at equal ts, frame looks back —
+    // a same-ts purchase is visible to BOTH directions (Δ = 0)
+    val wB = Window.partitionBy($"user_id").orderBy($"us", $"tag".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fwd(c: org.apache.spark.sql.Column) =
+      first(when($"tag" === 1, c), ignoreNulls = true).over(wF)
+    def bwd(c: org.apache.spark.sql.Column) =
+      last(when($"tag" === 1, c), ignoreNulls = true).over(wB)
+    val annotated = u
+      .withColumn("n_us", fwd($"us")).withColumn("n_id", fwd($"purchase_id"))
+      .withColumn("n_ts", fwd($"ts"))
+      .withColumn("p_us", bwd($"us")).withColumn("p_id", bwd($"purchase_id"))
+      .withColumn("p_ts", bwd($"ts"))
+      .filter($"tag" === 0)
+    val pickPrev = $"n_us".isNull ||
+      ($"p_us".isNotNull && ($"us" - $"p_us") <= ($"n_us" - $"us"))
+    annotated.select($"user_id", $"click_id", $"ts".as("click_ts"),
+        when(pickPrev, $"p_id").otherwise($"n_id").as("purchase_id"),
+        when(pickPrev, $"p_ts").otherwise($"n_ts").as("purchase_ts"),
+        when(pickPrev, $"p_us" - $"us").otherwise($"n_us" - $"us")
+          .as("delta_us"))
+      .orderBy($"click_id")
+  }
+
+  val asofNearestSql: String =
+    """WITH p0 AS (
+      |  SELECT user_id, ts, event_id AS purchase_id,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, ts, purchase_id FROM p0 WHERE rn = 1),
+      |c AS (SELECT user_id, event_id AS click_id, ts
+      |      FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT c.user_id, c.click_id, c.ts, p.ts AS p_ts,
+      |    p.purchase_id AS p_id
+      |  FROM c ASOF LEFT JOIN p
+      |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+      |f AS (
+      |  SELECT c.click_id, p.ts AS n_ts, p.purchase_id AS n_id
+      |  FROM c ASOF LEFT JOIN p
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT b.user_id, b.click_id, b.ts AS click_ts,
+      |  CASE WHEN f.n_ts IS NULL OR (b.p_ts IS NOT NULL AND
+      |         (epoch_us(b.ts) - epoch_us(b.p_ts))
+      |           <= (epoch_us(f.n_ts) - epoch_us(b.ts)))
+      |       THEN b.p_id ELSE f.n_id END AS purchase_id,
+      |  CASE WHEN f.n_ts IS NULL OR (b.p_ts IS NOT NULL AND
+      |         (epoch_us(b.ts) - epoch_us(b.p_ts))
+      |           <= (epoch_us(f.n_ts) - epoch_us(b.ts)))
+      |       THEN b.p_ts ELSE f.n_ts END AS purchase_ts,
+      |  CASE WHEN f.n_ts IS NULL OR (b.p_ts IS NOT NULL AND
+      |         (epoch_us(b.ts) - epoch_us(b.p_ts))
+      |           <= (epoch_us(f.n_ts) - epoch_us(b.ts)))
+      |       THEN epoch_us(b.p_ts) - epoch_us(b.ts)
+      |       ELSE epoch_us(f.n_ts) - epoch_us(b.ts) END AS delta_us
+      |FROM b JOIN f USING (click_id)
+      |ORDER BY click_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "join_asof_nearest" ->
+      (asofNearestClickPurchase, Some(asofNearestSql)),
     "join_asof_forward" ->
       (asofForwardClickPurchase, Some(asofForwardSql)),
     "agg_countmin_probe" -> (countminProbe, Some(countminProbeSql)),
