@@ -2816,7 +2816,7 @@ object SimilarityQueries {
     * max(struct(cnt, -label)) trick, no per-group rank window. Split
     * out so KnnVoteSpec pins the tie-break on hand-built ballots.
     */
-  private[vector] def majorityVote(
+  private[graft] def majorityVote(
       ballots: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import ballots.sparkSession.implicits._
     ballots.groupBy($"q_id", $"label")

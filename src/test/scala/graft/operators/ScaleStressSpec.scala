@@ -456,6 +456,55 @@ class ScaleStressSpec extends SparkSpec {
     info(f"vocab shift on ${docs10.count()} docs: $secs%.1f s")
   }
 
+  test("dbscan roles: 25k planted 4-cliques + 10k isolates at 110k nodes") {
+    // nodes 0..99999 in complete 4-cliques (every member deg 3 -> core,
+    // cluster = the clique's lowest id); nodes 100000..109999 edgeless
+    // (noise). ~40x the gate's corpus; pins that the role derivation
+    // and the CC pass stay exact when the cluster count is huge.
+    val cliques = 25000L
+    val offsets = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    val edges = spark.range(cliques)
+      .select(explode(array(offsets.map { case (a, b) =>
+        struct(($"id" * 4 + a).as("va"), ($"id" * 4 + b).as("vb"))
+      }: _*)).as("e"))
+      .select($"e.va", $"e.vb")
+      .localCheckpoint(true)
+    val ids = spark.range(cliques * 4 + 10000).select($"id".as("vec_id"))
+    val (out, secs) = timed {
+      graft.vector.SimilarityQueries.dbscanRoles(ids, edges, minPts = 3)
+        .localCheckpoint(true)
+    }
+    val n = out.count()
+    assert(n == cliques * 4 + 10000)
+    val badCore = out.filter($"vec_id" < cliques * 4 &&
+      ($"role" =!= "core" || $"deg" =!= 3L ||
+        $"cluster" =!= expr("(vec_id div 4) * 4"))).count()
+    val badNoise = out.filter($"vec_id" >= cliques * 4 &&
+      ($"role" =!= "noise" || $"cluster" =!= -1L)).count()
+    graft.CacheTracker.releaseAll()
+    assert(badCore == 0, s"$badCore clique members mis-labeled")
+    assert(badNoise == 0, s"$badNoise isolates mis-labeled")
+    info(f"dbscan on ${n} nodes / ${cliques * 6} edges: $secs%.1f s")
+  }
+
+  test("majority vote stays exact at 1M ballots over 100k groups") {
+    // group q votes: 6 ballots of label (q % 5), 4 of label (q % 5 + 1)
+    // -> winner is always (q % 5) with 6 votes; a tie-break or count
+    // error anywhere in 100k groups fails the full-table comparison
+    val ballots = spark.range(100000L * 10)
+      .select(expr("id div 10").as("q_id"),
+        when($"id" % 10 < 6, expr("(id div 10) % 5"))
+          .otherwise(expr("(id div 10) % 5 + 1")).cast("int").as("label"))
+    val (bad, secs) = timed {
+      graft.vector.SimilarityQueries.majorityVote(ballots)
+        .filter($"pred_label" =!= ($"q_id" % 5).cast("int") ||
+          $"n_votes" =!= 6L)
+        .count()
+    }
+    assert(bad == 0, s"$bad groups got a wrong majority")
+    info(f"vote on 1M ballots: $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
