@@ -267,6 +267,41 @@ object Multimodal {
     }
   }
 
+  /** One aHash fingerprint row: the 64-bit average-hash as a '0'/'1'
+    * string (engine-portable, no signed-long bit-63 hazard).
+    */
+  final case class ImageHash(media_id: Long, variant: String, hash: String)
+
+  /** Average-hash (aHash) fingerprints for the image rows: decode →
+    * nearest-neighbour 8×8 resize → each bit is pixel > integer mean —
+    * the standard perceptual fingerprint whose defining property is
+    * brightness invariance. Each image also emits a +`shift`
+    * brightness-shifted twin (clamped at 255, media_id + 1000): where
+    * no pixel clamps the mean shifts exactly with the pixels and the
+    * hash is IDENTICAL; clamping flips only bits near the mean, so
+    * twins sit at small Hamming distance — the property the dedup gate
+    * hashes. Lazy flatMap, constant memory per task.
+    */
+  def imageAhashes(ds: Dataset[MediaFile], shift: Int): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      if (m.kind != "image") Iterator.empty
+      else {
+        def hashOf(p: Array[Int]): String = {
+          val mean = p.sum / p.length
+          p.map(v => if (v > mean) '1' else '0').mkString
+        }
+        val px = Codecs.resize(
+          Codecs.decodeImage(m.data, m.width, m.height),
+          m.width, m.height, 8, 8)
+        Iterator(
+          ImageHash(m.media_id, "base", hashOf(px)),
+          ImageHash(m.media_id + 1000, "bright",
+            hashOf(px.map(v => math.min(v + shift, 255)))))
+      }
+    }
+  }
+
   /** Per-sampled-frame features — the video leg of the surface. */
   final case class FrameFeatures(media_id: Long, frame_idx: Int,
                                  n_frame_bytes: Int, frame_sum: Long,

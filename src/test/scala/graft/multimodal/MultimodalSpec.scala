@@ -115,6 +115,29 @@ class MultimodalSpec extends SparkSpec {
       .map(_.map(_.f).toSeq.sorted).toSet == Set(Seq(0, 1), Seq(3), Seq(5)))
   }
 
+  test("aHash is exactly brightness-invariant below the clamp") {
+    val s = spark
+    import s.implicits._
+    // 64-byte payload (one pixel per output cell at 8x8 from an 8x8
+    // image): pixels all <= 239, so +16 never clamps -> the shifted
+    // twin's mean moves exactly with the pixels and the hash is
+    // IDENTICAL; a clamping corpus (+16 from 250) must differ
+    val low = Array.tabulate(64)(i => ((i * 3) % 200).toByte)
+    val corpus = s.createDataset(Seq(
+      MediaFile(0L, "image", low, 8, 8, 1)))
+    val h = imageAhashes(corpus, 16).collect().sortBy(_.media_id)
+    assert(h.length == 2 && h(0).hash == h(1).hash)
+    assert(h.forall(_.hash.length == 64))
+    assert(h.map(_.variant).toSeq == Seq("base", "bright"))
+    // clamped case: bytes near 255 (unsigned) flip bits near the mean
+    val hi = Array.tabulate(64)(i => (200 + i % 56).toByte)
+    val h2 = imageAhashes(
+      s.createDataset(Seq(MediaFile(1L, "image", hi, 8, 8, 1))), 60)
+      .collect().sortBy(_.media_id)
+    assert(h2(0).hash != h2(1).hash,
+      "a clamping shift must perturb the fingerprint")
+  }
+
   test("resize preserves corner pixels; decode stub is total on any payload") {
     val px = Codecs.decodeImage(Array[Byte](1, 2, 3), 4, 4)
     assert(px.length == 16 && px.forall(p => p >= 0 && p <= 255))
