@@ -1680,7 +1680,88 @@ object CurationQueries {
        |FROM ranked r JOIN st s USING (dataset)
        |WHERE r.rk <= 3 ORDER BY r.dataset, r.rk""".stripMargin
 
+  /** Curriculum ordering — the easy→hard staging step of a curriculum
+    * pretraining run: per document an INTEGER vocabulary-familiarity
+    * score (token-instance mean document frequency in ppm — high =
+    * common vocabulary = easy), quartile stages cut from a COARSE
+    * score-bucket histogram (score div 1e5), so the cutpoint pass runs
+    * on a bounded bucket table (the quantile-bins precedent), never a
+    * corpus-sized sort. Stage boundaries land at bucket granularity —
+    * a boundary bucket's rows all take the earlier stage — which is
+    * the documented, deterministic approximation that keeps the global
+    * rank out of the plan; within a stage, training-time order is the
+    * md5 shuffle (`curate_hash_split` discipline). Everything is
+    * int64: df sums, the ppm division, the cumulative histogram, and
+    * the stage CASE are identical arithmetic in both engines.
+    */
+  val curriculumOrder: Q = (s, dir) => {
+    import s.implicits._
+    val toked = Tables(s, dir, "documents")
+      .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 1)
+    // read twice: the df table and the per-doc rollup
+    val inst = graft.CacheTracker.persistTracked(
+      toked.select($"doc_id", explode($"toks").as("term")))
+    val dfTab = inst.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"))
+    val perDoc = graft.CacheTracker.persistTracked(
+      inst.join(dfTab, "term")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum($"df").as("sum_df"))
+        .withColumn("mean_df_ppm", expr("sum_df * 1000000 div n_toks"))
+        .withColumn("b", expr("(sum_df * 1000000 div n_toks) div 100000")))
+    val hist = perDoc.groupBy($"b").agg(count(lit(1)).as("c"))
+    // bucket-count histogram is bounded (score range / 1e7), so the
+    // descending cumulative window is domain-sized, not corpus-sized
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy($"b".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum($"c").over(wDesc))
+    val totals = perDoc.agg(count(lit(1)).as("n"))
+    val cuts = cum.crossJoin(broadcast(totals))
+      .agg(max(when($"cum" * 4 >= $"n", $"b")).as("cut1"),
+        max(when($"cum" * 4 >= $"n" * 2, $"b")).as("cut2"),
+        max(when($"cum" * 4 >= $"n" * 3, $"b")).as("cut3"))
+    perDoc.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"n_toks", $"sum_df", $"mean_df_ppm",
+        when($"b" >= $"cut1", 1).when($"b" >= $"cut2", 2)
+          .when($"b" >= $"cut3", 3).otherwise(4).as("stage"))
+      .orderBy($"doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, ${graft.text.TextAnalysis.sqlTokens("text")} AS toks
+       |  FROM documents),
+       |ok AS (SELECT * FROM toked WHERE len(toks) >= 1),
+       |inst AS (SELECT doc_id, unnest(toks) AS term FROM ok),
+       |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+       |        FROM inst GROUP BY term),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |         CAST(SUM(df) AS BIGINT) AS sum_df
+       |  FROM inst JOIN dft USING (term) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_toks, sum_df,
+       |    sum_df * 1000000 // n_toks AS mean_df_ppm,
+       |    (sum_df * 1000000 // n_toks) // 100000 AS b
+       |  FROM perdoc),
+       |hist AS (SELECT b, COUNT(*) AS c FROM scored GROUP BY b),
+       |cum AS (SELECT b, CAST(SUM(c) OVER (ORDER BY b DESC) AS BIGINT) AS cum
+       |        FROM hist),
+       |tot AS (SELECT COUNT(*) AS n FROM scored),
+       |cuts AS (
+       |  SELECT MAX(CASE WHEN cum * 4 >= n THEN b END) AS cut1,
+       |         MAX(CASE WHEN cum * 4 >= n * 2 THEN b END) AS cut2,
+       |         MAX(CASE WHEN cum * 4 >= n * 3 THEN b END) AS cut3
+       |  FROM cum CROSS JOIN tot)
+       |SELECT doc_id, n_toks, sum_df, mean_df_ppm,
+       |  CASE WHEN b >= cut1 THEN 1 WHEN b >= cut2 THEN 2
+       |       WHEN b >= cut3 THEN 3 ELSE 4 END AS stage
+       |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_curriculum_order" -> (curriculumOrder, Some(curriculumOrderSql)),
     "curate_skew_report" -> (skewReport, Some(skewReportSql)),
     "curate_validate_constraints" ->
       (validateConstraints, Some(validateConstraintsSql)),
