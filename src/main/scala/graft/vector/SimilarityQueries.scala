@@ -2826,6 +2826,111 @@ object SimilarityQueries {
       .select($"q_id", (-$"m.neg").as("pred_label"), $"m.cnt".as("n_votes"))
   }
 
+  /** Hard-negative mining — the contrastive-training-pair construction
+    * step: for each query in the fixed batch, retrieve its exact-cosine
+    * top-12 labeled neighborhood (double-screened, cost ∝ batch ×
+    * corpus) and mine from the window the way production miners do:
+    * the POSITIVE is the highest-ranked same-label neighbor (null when
+    * the window holds none — that query yields no pair), the HARD
+    * negatives are the top-3 different-label neighbors (the
+    * near-but-wrong examples contrastive losses need), and the easy
+    * negative is the window's last different-label rank. Mining inside
+    * the retrieved window keeps the operator bounded — no global
+    * same-label search — and every choice is rank-deterministic.
+    */
+  val negativeMining: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    def isBatch(id: org.apache.spark.sql.Column) =
+      id % 31 === 0 && id < 1984
+    val fast = emb.select($"vec_id", $"embedding",
+      sqrt(dotFast($"embedding", $"embedding")).as("fn"))
+    val qF = fast.filter(isBatch($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"fn".as("qfn"))
+    val approx = graft.CacheTracker.persistTracked(
+      fast.filter(!isBatch($"vec_id")).crossJoin(broadcast(qF))
+        .select($"q_id", $"vec_id",
+          (dotFast($"embedding", $"q_emb") / ($"fn" * $"qfn")).as("ascore")))
+    val wA = Window.partitionBy($"q_id").orderBy($"ascore".desc, $"vec_id")
+    val thr = approx.withColumn("rk", row_number().over(wA))
+      .filter($"rk" === 12).select($"q_id", $"ascore".as("sk"))
+    val cand = approx.join(broadcast(thr), Seq("q_id"), "left")
+      .filter($"sk".isNull || $"ascore" >= $"sk" - lit(1e-6))
+      .select($"q_id", $"vec_id")
+    val ex = emb.select($"vec_id", $"label", $"embedding",
+      normExact($"embedding").as("xn"))
+    val qX = ex.filter(isBatch($"vec_id"))
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val top = graft.CacheTracker.persistTracked(
+      cand.join(ex.filter(!isBatch($"vec_id")), "vec_id")
+        .join(broadcast(qX), "q_id")
+        .select($"q_id", $"q_label", $"vec_id", $"label",
+          (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 12))
+    val pos = top.filter($"label" === $"q_label")
+      .groupBy($"q_id")
+      .agg(min(struct($"rank", $"vec_id", round($"cosine", 9).as("c"))).as("p"))
+      .select($"q_id", $"p.vec_id".as("pos_id"), $"p.c".as("pos_cos"))
+    val negW = Window.partitionBy($"q_id").orderBy($"rank")
+    val negs = top.filter($"label" =!= $"q_label")
+      .withColumn("nrk", row_number().over(negW))
+      .groupBy($"q_id")
+      .agg(concat_ws(",", transform(
+          array_sort(collect_list(when($"nrk" <= 3,
+            struct($"nrk", $"vec_id".as("v"))))),
+          x => x.getField("v").cast("string"))).as("hard_negs"),
+        max(struct($"nrk", $"vec_id".as("v"))).as("e"))
+      .select($"q_id", $"hard_negs", $"e.v".as("easy_neg_id"))
+    qX.select($"q_id", $"q_label")
+      .join(pos, Seq("q_id"), "left")
+      .join(negs, Seq("q_id"), "left")
+      .select($"q_id", $"q_label", $"pos_id", $"pos_cos",
+        coalesce($"hard_negs", lit("")).as("hard_negs"), $"easy_neg_id")
+      .orderBy($"q_id")
+  }
+
+  val negativeMiningSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < 1984),
+       |pool AS (
+       |  SELECT * FROM embeddings
+       |  WHERE NOT (vec_id % 31 = 0 AND vec_id < 1984)),
+       |d AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |    ${sqlCosine("embedding", "q_emb")} AS cosine
+       |  FROM pool CROSS JOIN q),
+       |top AS (SELECT * FROM (
+       |    SELECT q_id, q_label, vec_id, label, cosine, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM d)
+       |  WHERE rank <= 12),
+       |pos AS (SELECT q_id, vec_id AS pos_id, round(cosine, 9) AS pos_cos
+       |  FROM (SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rank) AS prk
+       |    FROM top WHERE label = q_label)
+       |  WHERE prk = 1),
+       |nr AS (
+       |  SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rank) AS nrk,
+       |    COUNT(*) OVER (PARTITION BY q_id) AS nn
+       |  FROM top WHERE label <> q_label),
+       |negs AS (
+       |  SELECT q_id,
+       |    string_agg(CASE WHEN nrk <= 3 THEN CAST(vec_id AS VARCHAR) END,
+       |               ',' ORDER BY nrk) AS hard_negs,
+       |    MAX(CASE WHEN nrk = nn THEN vec_id END) AS easy_neg_id
+       |  FROM nr GROUP BY q_id)
+       |SELECT q.q_id, q.q_label, pos.pos_id, pos.pos_cos,
+       |  COALESCE(negs.hard_negs, '') AS hard_negs, negs.easy_neg_id
+       |FROM q
+       |LEFT JOIN pos ON q.q_id = pos.q_id
+       |LEFT JOIN negs ON q.q_id = negs.q_id
+       |ORDER BY q.q_id""".stripMargin
+
   val knnLabelAssignSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS q_id, label AS true_label, embedding AS q_emb
@@ -2853,6 +2958,7 @@ object SimilarityQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
+    "sim_negative_mining" -> (negativeMining, Some(negativeMiningSql)),
     "sim_dbscan_cluster" -> (dbscanCluster, Some(dbscanClusterSql)),
     "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
