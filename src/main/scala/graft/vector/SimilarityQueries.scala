@@ -2625,10 +2625,17 @@ object SimilarityQueries {
     * reports ride this instead of paying a full corpus×queries
     * interpreted-decimal pass for their ground truth).
     */
+  /** Exact-cosine top-`k` ids for the 5 standard queries, double-
+    * screened; `dims > 0` truncates every vector to its first `dims`
+    * dimensions first (the matryoshka-style low-dim read path).
+    */
   private def exactCosineTopIds(s: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+      dir: String, k: Int, dims: Int = 0): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val embFull = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val emb =
+      if (dims <= 0) embFull
+      else embFull.select($"vec_id", slice($"embedding", 1, dims).as("embedding"))
     val fast = emb.select($"vec_id", $"embedding",
       sqrt(dotFast($"embedding", $"embedding")).as("fn"))
     val qF = fast.filter($"vec_id" < 5)
@@ -2658,6 +2665,56 @@ object SimilarityQueries {
       .filter($"rank" <= k)
       .select($"q_id", $"vec_id")
   }
+
+  /** Matryoshka truncation recall — the dimension-cost tradeoff
+    * monitor run before shipping a low-dim index tier: top-10 by exact
+    * cosine over only the FIRST 16 of 64 dimensions, scored against
+    * the full-dimension exact top-10 (the same shared double-screened
+    * ground truth the Hamming/PQ reports use). Per query: overlap
+    * count and recall percent — integer-exact, and the report costs
+    * two screened batch × corpus passes, nothing quadratic.
+    */
+  val matryoshkaRecall: Q = (s, dir) => {
+    import s.implicits._
+    val exact = exactCosineTopIds(s, dir, 10)
+    val trunc = exactCosineTopIds(s, dir, 10, dims = 16)
+    val hits = trunc.join(exact, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    Tables(s, dir, "embeddings").filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"h", lit(0L)).as("hits"),
+        (coalesce($"h", lit(0L)) * 10).as("recall_pct"))
+      .orderBy($"q_id")
+  }
+
+  val matryoshkaRecallSql: String =
+    s"""WITH qq AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |            FROM embeddings WHERE vec_id < 5),
+       |full_top AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM (SELECT q_id, vec_id,
+       |        ${sqlCosine("embedding", "q_emb")} AS cosine
+       |      FROM embeddings CROSS JOIN qq WHERE vec_id <> q_id))
+       |  WHERE rank <= 10),
+       |tq AS (SELECT vec_id AS q_id, list_slice(embedding, 1, 16) AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |tcorp AS (SELECT vec_id, list_slice(embedding, 1, 16) AS emb16
+       |          FROM embeddings),
+       |trunc_top AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM (SELECT q_id, vec_id,
+       |        ${sqlCosine("emb16", "q_emb")} AS cosine
+       |      FROM tcorp CROSS JOIN tq WHERE vec_id <> q_id))
+       |  WHERE rank <= 10),
+       |hits AS (
+       |  SELECT q_id, COUNT(*) AS h
+       |  FROM trunc_top JOIN full_top USING (q_id, vec_id) GROUP BY q_id)
+       |SELECT qq.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
+       |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
 
   val hammingRecall: Q = (s, dir) => {
     import s.implicits._
@@ -2959,6 +3016,7 @@ object SimilarityQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
     "sim_negative_mining" -> (negativeMining, Some(negativeMiningSql)),
+    "sim_matryoshka_recall" -> (matryoshkaRecall, Some(matryoshkaRecallSql)),
     "sim_dbscan_cluster" -> (dbscanCluster, Some(dbscanClusterSql)),
     "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
