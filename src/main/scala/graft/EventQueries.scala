@@ -599,7 +599,64 @@ object EventQueries {
        |ORDER BY lag""".stripMargin
   }
 
+  /** Per-segment trend detection — the "is this event type growing?"
+    * diagnostic, as exact-integer OLS: per event_type the daily-count
+    * series (x = day index rebased to the corpus' first day, y =
+    * count) yields slope = num/den with
+    * num = n·Σxy − Σx·Σy and den = n·Σxx − (Σx)² — both EXACT
+    * integers (the [[autocorrelation]] discipline: clear the rational
+    * mean, emit the integer pair, let no float near the hash). The
+    * verdict column is the slope's sign. One shuffle to (type, day)
+    * counts, one to per-type sums; day gaps count as missing points
+    * (OLS over observed days — the n in the formula is observed days,
+    * so the two engines agree by construction).
+    */
+  val trendSlope: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min($"day").as("d0"))
+    val xy = daily.crossJoin(broadcast(d0))
+      .select($"event_type", ($"day" - $"d0").as("x"), $"y")
+    xy.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n_days",
+        ($"n_days" * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n_days" * $"sxx" - $"sx" * $"sx").as("den"))
+      .withColumn("trend",
+        when($"num" > 0, "up").when($"num" < 0, "down").otherwise("flat"))
+      .orderBy($"event_type")
+  }
+
+  val trendSlopeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |xy AS (
+      |  SELECT event_type, day - d0 AS x, CAST(y AS BIGINT) AS y
+      |  FROM daily CROSS JOIN d0),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  n_days * sxy - sx * sy AS num,
+      |  n_days * sxx - sx * sx AS den,
+      |  CASE WHEN n_days * sxy - sx * sy > 0 THEN 'up'
+      |       WHEN n_days * sxy - sx * sy < 0 THEN 'down'
+      |       ELSE 'flat' END AS trend
+      |FROM sums ORDER BY event_type""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_trend_slope" -> (trendSlope, Some(trendSlopeSql)),
     "events_autocorrelation" -> (autocorrelation, Some(autocorrelationSql)),
     "events_anomaly_mad" -> (anomalyMad, Some(anomalyMadSql)),
     "events_markov_transitions" -> (markovTransitions, Some(markovTransitionsSql)),

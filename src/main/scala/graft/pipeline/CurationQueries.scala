@@ -1680,6 +1680,89 @@ object CurationQueries {
        |FROM ranked r JOIN st s USING (dataset)
        |WHERE r.rk <= 3 ORDER BY r.dataset, r.rk""".stripMargin
 
+  /** HITS hubs-and-authorities over the deterministic link graph — the
+    * classic dual of PageRank (a good HUB links to many good
+    * authorities; a good AUTHORITY is linked by many good hubs): 4
+    * alternating power-iteration rounds in int64 FIXED-POINT, each
+    * half-step one contribution shuffle + an L1 re-normalization done
+    * entirely in scaled integer arithmetic
+    * (`(v * 1e5) div (t div 1e7)` — headroom-checked: contributions
+    * stay ≤ 3·10¹⁷ ≪ 2⁶³, so no decimal detour is needed and both
+    * engines floor-divide identically on the non-negative values).
+    * Same iterative discipline as [[pprLoop]]: edge table materialized
+    * once, every generation cut with an eager localCheckpoint. Output
+    * = top-50 authorities with both scores (TakeOrderedAndProject).
+    */
+  val hitsScores: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+    val n = docs.count()
+    val edges = linkEdges(docs, n).distinct().localCheckpoint(true)
+    val nodes = docs.select($"doc_id".as("node")).localCheckpoint(true)
+    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
+      .localCheckpoint(true)
+    var auth = hub.select($"node", $"h".as("a"))
+    for (_ <- 1 to 4) {
+      val a0 = edges.join(hub, $"src" === $"node")
+        .groupBy($"dst").agg(sum($"h").as("v"))
+      val at = a0.agg(sum($"v").as("t"))
+      auth = nodes.join(a0, $"node" === $"dst", "left")
+        .crossJoin(broadcast(at))
+        .select($"node",
+          expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("a"))
+        .localCheckpoint(true)
+      val h0 = edges.join(auth, $"dst" === $"node")
+        .groupBy($"src").agg(sum($"a").as("v"))
+      val ht = h0.agg(sum($"v").as("t"))
+      hub = nodes.join(h0, $"node" === $"src", "left")
+        .crossJoin(broadcast(ht))
+        .select($"node",
+          expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("h"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, "node")
+      .select($"node", $"a".as("authority"), $"h".as("hub_score"))
+      .orderBy($"authority".desc, $"node").limit(50)
+  }
+
+  val hitsScoresSql: String = {
+    val steps = (1 to 4).map { k =>
+      s"""ca$k AS (
+         |  SELECT dst, CAST(SUM(h) AS BIGINT) AS v
+         |  FROM h${k - 1} JOIN edges ON node = src GROUP BY dst),
+         |at$k AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM ca$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT d.doc_id AS node,
+         |    (COALESCE(v, 0) * 100000) // (t // 10000000) AS a
+         |  FROM docs d CROSS JOIN at$k LEFT JOIN ca$k ON d.doc_id = ca$k.dst),
+         |ch$k AS (
+         |  SELECT src, CAST(SUM(a) AS BIGINT) AS v
+         |  FROM a$k JOIN edges ON node = dst GROUP BY src),
+         |ht$k AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM ch$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT d.doc_id AS node,
+         |    (COALESCE(v, 0) * 100000) // (t // 10000000) AS h
+         |  FROM docs d CROSS JOIN ht$k LEFT JOIN ch$k ON d.doc_id = ch$k.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM docs),
+       |edges0 AS (
+       |  SELECT doc_id AS src,
+       |    CASE j WHEN 0 THEN (doc_id * 7 + 1) % n
+       |           WHEN 1 THEN (doc_id * 13 + 2) % n
+       |           ELSE (doc_id * 29 + 3) % n END AS dst
+       |  FROM docs CROSS JOIN stats CROSS JOIN range(0, 3) t(j)),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+       |h0 AS (SELECT doc_id AS node, 1000000000000 // n AS h
+       |       FROM docs CROSS JOIN stats),
+       |$steps
+       |SELECT a4.node, a4.a AS authority, h4.h AS hub_score
+       |FROM a4 JOIN h4 ON a4.node = h4.node
+       |ORDER BY authority DESC, a4.node LIMIT 50""".stripMargin
+  }
+
   /** Curriculum ordering — the easy→hard staging step of a curriculum
     * pretraining run: per document an INTEGER vocabulary-familiarity
     * score (token-instance mean document frequency in ppm — high =
@@ -1762,6 +1845,7 @@ object CurationQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "curate_curriculum_order" -> (curriculumOrder, Some(curriculumOrderSql)),
+    "graph_hits" -> (hitsScores, Some(hitsScoresSql)),
     "curate_skew_report" -> (skewReport, Some(skewReportSql)),
     "curate_validate_constraints" ->
       (validateConstraints, Some(validateConstraintsSql)),
