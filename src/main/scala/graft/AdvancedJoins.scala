@@ -603,7 +603,44 @@ object AdvancedJoins {
       |FROM b JOIN f USING (click_id)
       |ORDER BY click_id""".stripMargin
 
+  /** Market-basket frequent pairs (a-priori level 2): part pairs
+    * co-purchased within an order, support-counted corpus-wide, the
+    * classic affinity primitive. The pair generator is the
+    * within-order self-join on the (persisted) distinct item set —
+    * bounded by ORDER SIZE (≤ 7 lines in this schema), so candidates
+    * are Σ C(|order|, 2), linear in orders — never a parts×parts
+    * blowup; the support count is one shuffle on the pair key and the
+    * report is a TakeOrderedAndProject top-100. Deterministic total
+    * order (support desc, then both part keys).
+    */
+  val frequentPairs: Q = (s, dir) => {
+    import s.implicits._
+    // read by both sides of the within-order self-join
+    val items = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct())
+    items.alias("a").join(items.alias("b"), Seq("l_orderkey"))
+      .where($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .orderBy($"support".desc, $"part_a", $"part_b").limit(100)
+  }
+
+  val frequentPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey < b.l_partkey)
+      |SELECT part_a, part_b, COUNT(*) AS support
+      |FROM pairs GROUP BY part_a, part_b
+      |HAVING COUNT(*) >= 2
+      |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "agg_frequent_pairs" -> (frequentPairs, Some(frequentPairsSql)),
     "join_asof_nearest" ->
       (asofNearestClickPurchase, Some(asofNearestSql)),
     "join_asof_forward" ->
