@@ -655,7 +655,93 @@ object EventQueries {
       |       ELSE 'flat' END AS trend
       |FROM sums ORDER BY event_type""".stripMargin
 
+  /** CUSUM change-point detection per event type — the level-shift
+    * diagnostic run beside [[trendSlope]] before time-slicing a corpus:
+    * for each type's DAILY count series on the corpus' dense day spine
+    * (gaps are zero — absence of events IS the signal a change detector
+    * must see), the cumulative sum of n-scaled mean deviations
+    * C_d = Σ_{i≤d} (n·y_i − S) peaks in magnitude at the most likely
+    * change point. Entirely INTEGER (the [[autocorrelation]]
+    * discipline): scaling by n clears the rational mean, so the peak
+    * day, its C value and the sign (positive C = the level DROPPED
+    * after that day; counts ran above the mean before it) are exact in
+    * both engines. Ties on |C| break to the earliest day.
+    *
+    * Scale shape: one shuffle to (type, day) counts, then every row
+    * count is DOMAIN-sized (types × days in the corpus' span) — the
+    * quantile-bins precedent for the per-type running-sum window.
+    * Headroom: C ≤ n²·max_y ≤ 3650²·(corpus/365) — int64-safe past
+    * 10¹² events/day over a decade; the LONG sums would overflow
+    * loudly, not wrap silently, only far beyond that.
+    */
+  val cusumChangepoint: Q = (s, dir) => {
+    import s.implicits._
+    // read three times (bounds, type list, spine join): persist the
+    // domain-sized count table so the events scan runs once
+    val daily = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y")))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val types = daily.select($"event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("day"), $"d0")
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", $"d0", coalesce($"y", lit(0L)).as("y"))
+    val st = Window.partitionBy($"event_type")
+    val run = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = series
+      .withColumn("n", count(lit(1)).over(st))
+      .withColumn("ss", sum($"y").over(st))
+      .withColumn("c", sum($"n" * $"y" - $"ss").over(run))
+    cus.withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"c").desc, $"day")))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n".as("n_days"),
+        ($"day" - $"d0").as("change_day"), $"c".as("cusum"),
+        when($"c" > 0, "drop_after").when($"c" < 0, "rise_after")
+          .otherwise("flat").as("shift"))
+      .orderBy($"event_type")
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, unnest(range(b.d0, b.d1 + 1)) AS day, b.d0
+      |  FROM types t CROSS JOIN bounds b),
+      |series AS (
+      |  SELECT s.event_type, s.day, s.d0, COALESCE(d.y, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day),
+      |st AS (
+      |  SELECT event_type, day, d0, y,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+      |  FROM series),
+      |cus AS (
+      |  SELECT event_type, day, d0, n,
+      |    CAST(SUM(n * y - ss) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      |  FROM st),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(c) DESC, day) AS r
+      |  FROM cus)
+      |SELECT event_type, n AS n_days, day - d0 AS change_day, c AS cusum,
+      |  CASE WHEN c > 0 THEN 'drop_after' WHEN c < 0 THEN 'rise_after'
+      |       ELSE 'flat' END AS shift
+      |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_cusum_changepoint" ->
+      (cusumChangepoint, Some(cusumChangepointSql)),
     "events_trend_slope" -> (trendSlope, Some(trendSlopeSql)),
     "events_autocorrelation" -> (autocorrelation, Some(autocorrelationSql)),
     "events_anomaly_mad" -> (anomalyMad, Some(anomalyMadSql)),

@@ -1843,7 +1843,109 @@ object CurationQueries {
        |       WHEN b >= cut3 THEN 3 ELSE 4 END AS stage
        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
 
+  /** l-diversity audit — the companion to [[kAnonymity]] a privacy
+    * reviewer runs next: k-anonymity bounds GROUP SIZE but a group whose
+    * sensitive attribute is constant still leaks it for every member, so
+    * each quasi-identifier group (nation × balance band, the same QI as
+    * the k-report) is scored by l = distinct sensitive values
+    * (market segment here) and groups with l < 3 are flagged. The
+    * per-nation accounting mirrors the k-report: group count, low-l
+    * group count, rows those groups expose, and the nation's worst l.
+    *
+    * Scale shape: one shuffle on the QI tuple (count-distinct rides the
+    * same exchange as the group count), one rollup on its prefix —
+    * integer-only output, no corpus-sized state anywhere.
+    */
+  val lDiversity: Q = (s, dir) => {
+    import s.implicits._
+    val l = 3
+    val groups = Tables(s, dir, "customer")
+      .select($"c_nationkey".as("nation"),
+        floor($"c_acctbal" / 2000.0).cast("long").as("bal_band"),
+        $"c_mktsegment".as("sens"))
+      .groupBy($"nation", $"bal_band")
+      .agg(countDistinct($"sens").as("lv"), count(lit(1)).as("n"))
+    groups.groupBy($"nation")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"lv" < l, 1L).otherwise(0L)).as("n_low_l_groups"),
+        sum(when($"lv" < l, $"n").otherwise(0L)).as("n_exposed"),
+        min($"lv").as("min_l"))
+      .orderBy($"nation")
+  }
+
+  val lDiversitySql: String =
+    """WITH q AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+      |    c_mktsegment AS sens
+      |  FROM customer),
+      |g AS (
+      |  SELECT nation, bal_band, COUNT(DISTINCT sens) AS lv, COUNT(*) AS n
+      |  FROM q GROUP BY nation, bal_band)
+      |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(CASE WHEN lv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_l_groups,
+      |  CAST(SUM(CASE WHEN lv < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_exposed,
+      |  CAST(MIN(lv) AS BIGINT) AS min_l
+      |FROM g GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** Training-shard assignment by RENDEZVOUS (highest-random-weight)
+    * hashing — how a pipeline distributes a corpus over N writer shards
+    * so that resizing moves only the mathematically-minimal share of
+    * documents: shard(doc) = argmax over shards of md5(doc ':' shard).
+    * Unlike `hash(doc) mod N` (where changing N reassigns ~all docs),
+    * dropping one shard moves ONLY that shard's documents — the
+    * stability property ShardAssignSpec pins. The report is the balance
+    * sheet a reviewer reads before a long write: per-shard doc count,
+    * character mass, and the exact ppm share of the corpus.
+    *
+    * Scale shape: the 16-way candidate explode is map-side (rows × 16,
+    * in the scan projection), the argmax is ONE shuffle with map-side
+    * combine (`max(struct(hash, shard))` — no per-doc window), and the
+    * report aggregate is 16 rows. Nothing here is corpus-sized state.
+    */
+  val shardAssign: Q = (s, dir) => {
+    import s.implicits._
+    val nShards = 16
+    val cand = Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        explode(sequence(lit(0), lit(nShards - 1))).as("shard"))
+      .withColumn("h", md5(concat($"doc_id".cast("string"), lit(":"),
+        $"shard".cast("string")).cast("binary")))
+    val assigned = cand.groupBy($"doc_id", $"n_chars")
+      .agg(max(struct($"h", $"shard")).getField("shard").as("shard"))
+    // 16-row report read twice (its own total + the final select):
+    // persist so the corpus-wide argmax aggregation runs once
+    val per = graft.CacheTracker.persistTracked(assigned.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("char_mass")))
+    val tot = per.agg(sum($"n_docs").as("total"))
+    per.crossJoin(broadcast(tot))
+      .select($"shard", $"n_docs", $"char_mass",
+        expr("(1000000 * n_docs) div total").as("share_ppm"))
+      .orderBy($"shard")
+  }
+
+  val shardAssignSql: String =
+    """WITH cand AS (
+      |  SELECT doc_id, n_chars, CAST(s AS INTEGER) AS shard,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+      |  FROM documents CROSS JOIN range(0, 16) t(s)),
+      |asg AS (
+      |  SELECT doc_id, MAX(n_chars) AS n_chars, arg_max(shard, h) AS shard
+      |  FROM cand GROUP BY doc_id),
+      |per AS (
+      |  SELECT shard, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS char_mass
+      |  FROM asg GROUP BY shard),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per)
+      |SELECT shard, n_docs, char_mass,
+      |  CAST((1000000 * n_docs) // total AS BIGINT) AS share_ppm
+      |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_l_diversity" -> (lDiversity, Some(lDiversitySql)),
+    "curate_shard_assign" -> (shardAssign, Some(shardAssignSql)),
     "curate_curriculum_order" -> (curriculumOrder, Some(curriculumOrderSql)),
     "graph_hits" -> (hitsScores, Some(hitsScoresSql)),
     "curate_skew_report" -> (skewReport, Some(skewReportSql)),

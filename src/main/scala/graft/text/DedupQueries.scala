@@ -982,7 +982,92 @@ object DedupQueries {
       |FROM canon GROUP BY canonical_url
       |ORDER BY canonical_url""".stripMargin
 
+  /** Containment-based fragment dedup — the asymmetric measure Jaccard
+    * dedup is blind to: a document whose text is a PREFIX of another
+    * (quote-and-extend posts, partial recrawls, truncated mirrors) has
+    * every shingle contained in the original (C = |A∩B|/|A| = 1) while
+    * its Jaccard is only ≈ the length ratio, below any sane near-dup
+    * threshold. The gate plants a 70%-prefix fragment per long doc —
+    * prefix shingles are a SUBSET of the original's by construction —
+    * and recovers (fragment, original) pairs whose max-side containment
+    * clears 0.9, reported in exact integer ppm (no float near the
+    * hash). Banding is the SAME MinHash-LSH engine as
+    * [[minhashLsh]] (signatures in the scan, one shuffle on the capped
+    * band key, exact set math only on candidate pairs) — the fragment's
+    * ~0.7 Jaccard is exactly what the r=2 multi-band shape is
+    * AND/OR-amplified to recover.
+    */
+  val shingleContainment: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    val corpus = base.select(explode(array(
+        struct($"doc_id", $"toks"),
+        struct(($"doc_id" + 20000).as("doc_id"),
+          slice($"toks", lit(1),
+            expr("cast((size(toks) * 7) div 10 as int)")).as("toks")))).as("r"))
+      .select($"r.doc_id", $"r.toks")
+    // read three times (signatures + both sides of the exact verify)
+    val shingled = graft.CacheTracker.persistTracked(
+      corpus.select($"doc_id", wordShingles($"toks", 3).as("sh")))
+    val bands = graft.CacheTracker.persistTracked(bandRows(
+      shingled.select($"doc_id", posexplode(expr(s"minhash_md5(sh, $K)"))),
+      "doc_id", R))
+    lshCandidates(bands, "doc_id")
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).as("inter"),
+        size($"sh_a").as("size_a"), size($"sh_b").as("size_b"))
+      .select($"doc_a", $"doc_b", $"inter", $"size_a", $"size_b",
+        expr("(1000000 * cast(inter as bigint)) div size_a").as("cont_a_ppm"),
+        expr("(1000000 * cast(inter as bigint)) div size_b").as("cont_b_ppm"))
+      .filter(greatest($"cont_a_ppm", $"cont_b_ppm") >= 900000)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val shingleContainmentSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 20000, list_slice(toks, 1, (len(toks) * 7) // 10)
+       |  FROM base),
+       |shingled AS (
+       |  SELECT doc_id, ${sqlShingles("toks")} AS sh FROM corpus),
+       |sig0 AS (
+       |  SELECT doc_id, ${sqlMinhash("sh", K)} AS mh0 FROM shingled),
+       |sig AS (
+       |  SELECT doc_id, ${sqlBandedKeys("mh0", Bands, R)} AS mh FROM sig0),
+       |bands AS (
+       |  SELECT doc_id, struct_extract(u, 'band') AS band, struct_extract(u, 'mh') AS mh
+       |  FROM (SELECT doc_id, unnest(list_transform(range(0, $Bands),
+       |        i -> {'band': i, 'mh': mh[i + 1]})) AS u FROM sig)),
+       |${sqlCappedCand("doc_id")},
+       |m AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS INTEGER) AS inter,
+       |    CAST(len(sa.sh) AS INTEGER) AS size_a,
+       |    CAST(len(sb.sh) AS INTEGER) AS size_b
+       |  FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+       |            JOIN shingled sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, inter, size_a, size_b,
+       |  CAST((1000000 * CAST(inter AS BIGINT)) // size_a AS BIGINT)
+       |    AS cont_a_ppm,
+       |  CAST((1000000 * CAST(inter AS BIGINT)) // size_b AS BIGINT)
+       |    AS cont_b_ppm
+       |FROM m
+       |WHERE greatest(
+       |    (1000000 * CAST(inter AS BIGINT)) // size_a,
+       |    (1000000 * CAST(inter AS BIGINT)) // size_b) >= 900000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_shingle_containment" ->
+      (shingleContainment, Some(shingleContainmentSql)),
     "dedup_url_canonical" -> (urlCanonical, Some(urlCanonicalSql)),
     "dedup_exact_substring" -> (exactSubstring, Some(exactSubstringSql)),
     "dedup_lsh_hot_band" -> (lshHotBand, Some(lshHotBandSql)),

@@ -971,7 +971,90 @@ object TextQueries {
        |  (oov_b * 1000000) // tot_b AS oov_b_ppm
        |FROM ov, na, nb, oa, ob, sa, sb""".stripMargin
 
+  /** RAKE's stoplist is domain-tuned by design: generic English function
+    * words plus this corpus' high-frequency low-content modifiers
+    * (fast/slow/big/small run at full vocabulary frequency and carry no
+    * topical signal — exactly what a practitioner prunes).
+    */
+  private val rakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
+    "on", "for", "with", "fast", "slow", "big", "small")
+
+  /** RAKE keyword extraction (degree-scored) — the unsupervised
+    * keyphrase pass a corpus-exploration pipeline runs before any
+    * model: candidate phrases are maximal stopword-free token runs
+    * (capped at 3 words, RAKE's standard cut), each word scores by its
+    * corpus-wide DEGREE (Σ of the lengths of phrases containing it —
+    * co-occurrence mass), and a phrase scores the sum of its words'
+    * degrees. Degree is the integer-exact member of RAKE's metric
+    * family (deg, freq, deg/freq), so no ratio ever nears the hash.
+    *
+    * Scale shape: posexplode is map-side; the island window and the
+    * phrase group-by ride ONE shuffle keyed on doc_id (per-doc
+    * partitions, reducer-bounded by doc length); word stats are
+    * vocabulary-sized and broadcast back into the phrase scoring; the
+    * report is a top-50 TakeOrderedAndProject with a total order.
+    */
+  val rakeKeywords: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", posexplode($"toks").as(Seq("p", "t")))
+    val ns = pos.filter(!$"t".isInCollection(rakeStop))
+    val isl = ns.withColumn("g",
+      $"p" - row_number().over(Window.partitionBy($"doc_id").orderBy($"p")))
+    val ph = isl.groupBy($"doc_id", $"g")
+      .agg(array_join(transform(array_sort(collect_list(struct($"p", $"t"))),
+          x => x.getField("t")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+    // read twice: word-degree stats and the distinct-phrase table
+    val kept = graft.CacheTracker.persistTracked(
+      ph.filter($"len" <= 3).select($"phrase", $"len"))
+    val wstat = kept
+      .select(explode(split($"phrase", " ")).as("w"), $"len")
+      .groupBy($"w").agg(sum($"len").as("deg"))
+    val pu = kept.groupBy($"phrase").agg(count(lit(1)).as("n_occ"))
+    pu.select($"phrase", $"n_occ", explode(split($"phrase", " ")).as("w"))
+      .join(wstat, "w")
+      .groupBy($"phrase", $"n_occ").agg(sum($"deg").as("score"))
+      .orderBy($"score".desc, $"phrase").limit(50)
+  }
+
+  val rakeKeywordsSql: String = {
+    val stoplist = rakeStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, struct_extract(u, 'p') AS p,
+       |    struct_extract(u, 't') AS t
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |        i -> {'p': i, 't': toks[i]})) AS u FROM docs)),
+       |ns AS (SELECT * FROM pos WHERE t NOT IN ($stoplist)),
+       |isl AS (
+       |  SELECT doc_id, p, t,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM ns),
+       |ph AS (
+       |  SELECT doc_id, g, array_to_string(list(t ORDER BY p), ' ') AS phrase,
+       |    COUNT(*) AS len
+       |  FROM isl GROUP BY doc_id, g),
+       |kept AS (SELECT phrase, len FROM ph WHERE len <= 3),
+       |wstat AS (
+       |  SELECT w, CAST(SUM(len) AS BIGINT) AS deg
+       |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM kept)
+       |  GROUP BY w),
+       |pu AS (SELECT phrase, COUNT(*) AS n_occ FROM kept GROUP BY phrase),
+       |pw AS (
+       |  SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+       |  FROM pu)
+       |SELECT pw.phrase, pw.n_occ, CAST(SUM(ws.deg) AS BIGINT) AS score
+       |FROM pw JOIN wstat ws ON pw.w = ws.w
+       |GROUP BY pw.phrase, pw.n_occ
+       |ORDER BY score DESC, pw.phrase LIMIT 50""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_rake_keywords" -> (rakeKeywords, Some(rakeKeywordsSql)),
     "text_vocab_shift" -> (vocabShift, Some(vocabShiftSql)),
     "curate_dataset_card" -> (datasetCard, Some(datasetCardSql)),
     "text_bm25_topk" -> (bm25Topk, Some(bm25TopkSql)),

@@ -27,6 +27,27 @@ class CurationInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("l-diversity agrees with the k-anonymity report on the shared QI grid") {
+    // both audits group by the SAME quasi-identifier tuple
+    // (nation × balance band), so the per-nation group counts and row
+    // totals must be identical between the two reports, and l is
+    // bounded by group size (distinct sensitive values can't exceed
+    // members) so min_l >= 1 always
+    val ld = Queries.queries("curate_l_diversity")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val ka = Queries.queries("curate_k_anonymity")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ld.keySet == ka.keySet, "same nations on both reports")
+    ld.foreach { case (nation, (_, nGroups, nLow, nExposed, minL)) =>
+      assert(nGroups == ka(nation)._2,
+        s"nation $nation group counts diverge between the QI audits")
+      assert(minL >= 1 && nLow <= nGroups && nExposed >= nLow,
+        s"nation $nation: exposed rows must cover each low-l group")
+    }
+  }
+
   test("every history chain is contiguous, rooted, and singly-current") {
     val rows = Queries.queries("scd2_dimension_history")(spark, sf0001)
       .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect()
