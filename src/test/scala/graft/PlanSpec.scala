@@ -646,6 +646,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("shard assignment: pruned scan, argmax by aggregation, no per-doc window") {
+    val p = plan("curate_shard_assign")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "rendezvous hashing must prune the documents scan to 2 columns:\n" + p)
+    assert(!p.contains("Window ["),
+      "the per-doc argmax must be max-of-struct, never a rank window:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the 16-row report is read twice and must persist:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cusum: persisted domain-sized counts, pruned scan, per-type windows") {
+    val p = plan("events_cusum_changepoint")
+    assert(p.contains("InMemoryTableScan"),
+      "the (type, day) count table is read three times and must persist:\n" + p)
+    // inside the cached plan: the events scan reads only (ts, event_type)
+    // — ts's decoded type is corpus-dependent (the TESTDATA nanos/micros
+    // drift), so pin the column set, not the timestamp flavor
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      p.contains(",event_type:string>"),
+      "the events scan must prune to the two used columns:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("containment dedup: cached shingles + bands, candidates from the band equi-join") {
+    val p = plan("dedup_shingle_containment")
+    assert(p.contains("InMemoryTableScan"),
+      "shingle sets and band keys are read multiply and must persist:\n" + p)
+    assert(p.contains("minhash_md5") || p.contains("word_shingles"),
+      "signatures must come from the native kernels:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the (band, key) equi-join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rake: one persisted phrase table, broadcast word stats, top-50 as a limit") {
+    val p = plan("text_rake_keywords")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the report must be a top-k, not a global sort:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the kept-phrase table is read twice and must persist:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary-sized word stats must broadcast into phrase scoring:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("autocorrelation prunes to ts and partial-aggregates hourly counts") {
     val p = plan("events_autocorrelation")
     assert(p.contains("ReadSchema: struct<ts"),
