@@ -739,7 +739,76 @@ object EventQueries {
       |       ELSE 'flat' END AS shift
       |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin
 
+  /** Day-of-week seasonality profile per event type — the weekly-cycle
+    * companion to [[cusumChangepoint]] and [[autocorrelation]]: on the
+    * same dense day spine (absent days count zero), each (type, dow)
+    * cell reports its day count, event total, and the exact integer
+    * rate `1000·events div days`; the per-type peak weekday is flagged
+    * (rate rank with dow tie-break — integer comparisons only, so both
+    * engines agree even when rates tie). Weekday is computed from the
+    * epoch-day index ((day + 4) mod 7, 0 = Sunday) — pure arithmetic,
+    * immune to locale/timezone WEEKDAY() divergence.
+    *
+    * Scale shape: one shuffle to (type, day) counts, then domain-sized
+    * rows (types × days → types × 7); the rank window is over 7 rows
+    * per type.
+    */
+  val seasonalityDow: Q = (s, dir) => {
+    import s.implicits._
+    // read three times (bounds, type list, spine join): persist the
+    // domain-sized count table so the events scan runs once
+    val daily = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y")))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val types = daily.select($"event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"y", lit(0L)).as("y"),
+        expr("pmod(day + 4, 7)").as("dow"))
+    val cells = series.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"y").as("n_events"))
+      .withColumn("rate_permille",
+        expr("(1000 * n_events) div n_days"))
+    cells.withColumn("is_peak", row_number().over(
+        Window.partitionBy($"event_type")
+          .orderBy($"rate_permille".desc, $"dow")) === 1)
+      .orderBy($"event_type", $"dow")
+  }
+
+  val seasonalityDowSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, unnest(range(b.d0, b.d1 + 1)) AS day
+      |  FROM types t CROSS JOIN bounds b),
+      |series AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.y, 0) AS y,
+      |    ((s.day + 4) % 7 + 7) % 7 AS dow
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day),
+      |cells AS (
+      |  SELECT event_type, dow, COUNT(*) AS n_days,
+      |    CAST(SUM(y) AS BIGINT) AS n_events
+      |  FROM series GROUP BY event_type, dow),
+      |rated AS (
+      |  SELECT *, CAST((1000 * n_events) // n_days AS BIGINT)
+      |    AS rate_permille
+      |  FROM cells)
+      |SELECT event_type, dow, n_days, n_events, rate_permille,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY rate_permille DESC, dow) = 1 AS is_peak
+      |FROM rated ORDER BY event_type, dow""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_seasonality_dow" -> (seasonalityDow, Some(seasonalityDowSql)),
     "events_cusum_changepoint" ->
       (cusumChangepoint, Some(cusumChangepointSql)),
     "events_trend_slope" -> (trendSlope, Some(trendSlopeSql)),

@@ -1943,7 +1943,74 @@ object CurationQueries {
       |  CAST((1000000 * n_docs) // total AS BIGINT) AS share_ppm
       |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
 
+  /** Per-source token-budget trim — the allocation step that turns a
+    * mixture recipe into a concrete corpus: each source gets a fixed
+    * token budget (800 here) and contributes the PREFIX of its
+    * documents, ordered by a salted key hash (deterministic sampling
+    * order — stable under corpus growth like every selection here),
+    * whose running token total stays within budget. The prefix rule
+    * (first overflow closes the source, no backfilling with smaller
+    * later docs) keeps the decision a pure function of the running
+    * sum, so both engines agree by construction. The report is the
+    * per-source accounting: docs and tokens kept vs available, and the
+    * exact utilization in ppm of budget.
+    *
+    * Scale shape: one window shuffle on the source key (running sum +
+    * the final rollup ride the same exchange); per-source partitions
+    * are bounded by source size, the report by source count. At 100 TB
+    * the running-sum window is the same per-key shape as any
+    * sessionization — no global sort, no driver state.
+    */
+  val tokenBudgetTrim: Q = (s, dir) => {
+    import s.implicits._
+    val budget = 800L
+    val docs = Tables(s, dir, "documents")
+      .select($"source", $"doc_id",
+        graft.text.TextAnalysis.nTokens($"text").cast("long").as("n_toks"),
+        graft.functions.KeyHash.hash48("budget", $"doc_id").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("cum", sum($"n_toks").over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"cum" <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum($"n_toks").as("tokens_total"),
+        sum(when($"cum" <= budget, $"n_toks").otherwise(0L))
+          .as("tokens_kept"))
+      .select($"source", $"n_docs", $"n_kept", $"tokens_total",
+        $"tokens_kept",
+        expr(s"(1000000 * tokens_kept) div $budget").as("util_ppm"))
+      .orderBy($"source")
+  }
+
+  val tokenBudgetTrimSql: String = {
+    val h = graft.functions.KeyHash.sqlHash48("budget", "doc_id")
+    val nt = graft.text.TextAnalysis.sqlNTokens("text")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST($nt AS BIGINT) AS n_toks, $h AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_toks,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN cum <= 800 THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept,
+       |  CAST((1000000 *
+       |    SUM(CASE WHEN cum <= 800 THEN n_toks ELSE 0 END)) // 800
+       |    AS BIGINT) AS util_ppm
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_token_budget_trim" ->
+      (tokenBudgetTrim, Some(tokenBudgetTrimSql)),
     "curate_l_diversity" -> (lDiversity, Some(lDiversitySql)),
     "curate_shard_assign" -> (shardAssign, Some(shardAssignSql)),
     "curate_curriculum_order" -> (curriculumOrder, Some(curriculumOrderSql)),
