@@ -2812,6 +2812,119 @@ object SimilarityQueries {
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  /** Recall-vs-nprobe tuning sweep — the curve an IVF deployment reads
+    * to pick its probe count: for nprobe ∈ {1, 2, 4, 8}, each query's
+    * candidate set is the corpus indexed under its top-nprobe cells,
+    * exact-rescored top-10, scored against the brute-force exact
+    * top-10 (the shared double-screened ground truth every recall
+    * report here uses). Per (nprobe, query): candidate count (the COST
+    * axis), hits, recall percent — the whole curve integer-exact.
+    *
+    * Scale shape: probe ranks are computed ONCE to the max level and
+    * each vector's BEST probe rank per query is one aggregation, so
+    * the sweep pays a single candidate-scoring pass (the nprobe=8 set)
+    * plus 4 window ranks over the persisted scores — not 4 searches.
+    * Candidates remain ~(replicas·nprobe/k) of the corpus per query.
+    */
+  val ivfNprobeSweep: Q = (s, dir) => {
+    import s.implicits._
+    val levels = Seq(1, 2, 4, 8)
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    val wp = Window.partitionBy($"q_id").orderBy($"cos_c".desc, $"c_label")
+    val probes = vectors.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v", $"xn")
+      .crossJoin(broadcast(centroidArr.select($"c_label", $"cv", $"cn")))
+      .select($"q_id", $"c_label",
+        (dotExact($"v", $"cv") / ($"xn" * $"cn")).as("cos_c"))
+      .withColumn("prn", row_number().over(wp))
+      .filter($"prn" <= levels.max)
+      .select($"q_id", $"c_label".as("probe_label"), $"prn")
+    val cand = assigned.select($"vec_id", $"nearest_label")
+      .join(broadcast(probes), $"nearest_label" === $"probe_label")
+      .where($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id").agg(min($"prn").as("best_prn"))
+    val q = vectors.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn"))
+    // one exact-rescore pass at the widest level; every narrower level
+    // is a filter over these persisted scores
+    val scored = graft.CacheTracker.persistTracked(
+      cand.join(vectors.select($"vec_id", $"v", $"xn"), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select($"q_id", $"vec_id", $"best_prn",
+          (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cosine")))
+    val exact = graft.CacheTracker.persistTracked(
+      exactCosineTopIds(s, dir, 10).withColumn("gt", lit(1)))
+    val ranked = levels.map(lv => scored.filter($"best_prn" <= lv)
+        .withColumn("nprobe", lit(lv))).reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"nprobe", $"q_id")
+          .orderBy($"cosine".desc, $"vec_id")))
+    val agg = ranked.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy($"nprobe", $"q_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when($"rank" <= 10 && $"gt".isNotNull, 1L).otherwise(0L))
+          .as("hits"))
+    val grid = Tables(s, dir, "embeddings").filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"))
+      .crossJoin(broadcast(levels.toDF("nprobe")))
+    grid.join(agg, Seq("nprobe", "q_id"), "left")
+      .select($"nprobe", $"q_id",
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"hits", lit(0L)).as("hits"),
+        (coalesce($"hits", lit(0L)) * 10).as("recall_pct"))
+      .orderBy($"nprobe", $"q_id")
+  }
+
+  val ivfNprobeSweepSql: String =
+    s"""WITH $sqlIvfCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label, rn AS prn FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS rn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE rn <= 8),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, MIN(p.prn) AS best_prn
+       |  FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |  WHERE a.vec_id <> p.q_id
+       |  GROUP BY p.q_id, a.vec_id),
+       |resc AS (
+       |  SELECT c.q_id, c.vec_id, c.best_prn,
+       |    ${sqlCosine("e.embedding", "qe.embedding")} AS cosine
+       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+       |              JOIN embeddings qe ON c.q_id = qe.vec_id),
+       |lv AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |ranked AS (
+       |  SELECT l.nprobe, r.q_id, r.vec_id,
+       |    row_number() OVER (PARTITION BY l.nprobe, r.q_id
+       |      ORDER BY r.cosine DESC, r.vec_id) AS rank
+       |  FROM resc r JOIN lv l ON r.best_prn <= l.nprobe),
+       |qq AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |br AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM (SELECT q_id, vec_id,
+       |        ${sqlCosine("embedding", "q_emb")} AS cosine
+       |      FROM embeddings CROSS JOIN qq WHERE vec_id <> q_id))
+       |  WHERE rank <= 10),
+       |agg AS (
+       |  SELECT r.nprobe, r.q_id, COUNT(*) AS n_cand,
+       |    CAST(SUM(CASE WHEN r.rank <= 10 AND b.vec_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM ranked r LEFT JOIN br b
+       |    ON r.q_id = b.q_id AND r.vec_id = b.vec_id
+       |  GROUP BY r.nprobe, r.q_id),
+       |grid AS (
+       |  SELECT l.nprobe, q.q_id FROM lv l CROSS JOIN qq q)
+       |SELECT CAST(g.nprobe AS INTEGER) AS nprobe, g.q_id,
+       |  CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(a.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(a.hits, 0) * 10 AS BIGINT) AS recall_pct
+       |FROM grid g LEFT JOIN agg a
+       |  ON g.nprobe = a.nprobe AND g.q_id = a.q_id
+       |ORDER BY g.nprobe, g.q_id""".stripMargin
+
   /** Semi-supervised k-NN label assignment — the weak-supervision
     * labeling pass a curation pipeline runs on each incoming batch:
     * every unlabeled vector gets the majority label of its 5 nearest
@@ -3021,6 +3134,7 @@ object SimilarityQueries {
     "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
+    "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep, Some(ivfNprobeSweepSql)),
     "sim_centroid_drift" -> (centroidDrift, Some(centroidDriftSql)),
     "sim_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
     "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),

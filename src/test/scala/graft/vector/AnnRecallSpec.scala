@@ -41,6 +41,31 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("nprobe sweep: recall and cost strictly widen with the probe count") {
+    val rows = graft.Queries.queries("sim_ivf_nprobe_sweep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("q_id"),
+        r.getAs[Long]("n_cand"), r.getAs[Long]("hits")))
+    graft.CacheTracker.releaseAll()
+    val byQ = rows.groupBy(_._2)
+    assert(byQ.nonEmpty && rows.length == byQ.size * 4)
+    byQ.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_._1)
+      // widening the probe set can only ADD candidates, and the exact
+      // top-10 over a superset can only gain ground-truth hits... the
+      // hit count itself is monotone because candidates are ranked by
+      // the same exact cosine at every level
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 <= b._3, s"q $q: candidates shrank ${a._1}->${b._1}")
+          assert(a._4 <= b._4, s"q $q: hits shrank ${a._1}->${b._1}")
+        case _ =>
+      }
+      assert(ordered.last._4 >= 5,
+        s"q $q: probing 8 of 10 cells must recover most of the top-10")
+    }
+  }
+
   test("PQ-ADC ranking recalls the exact top-5 from 16 one-byte codes") {
     val exact = graft.Queries.queries("sim_knn_brute")(spark, sf0001)
       .select("q_id", "vec_id", "rank").collect()
