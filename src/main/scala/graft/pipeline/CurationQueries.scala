@@ -1284,6 +1284,100 @@ object CurationQueries {
        |GROUP BY lab ORDER BY size DESC, community LIMIT 100""".stripMargin
   }
 
+  /** Modularity scoring of the [[labelPropagation]] communities — the
+    * quality number that tells a curation pipeline whether its LPA
+    * communities are real structure or noise. Per community c:
+    * size, internal edge count L_c, degree mass d_c, and the EXACT
+    * integer modularity contribution num_c = 4m·L_c − d_c² over the
+    * shared denominator 4m² (Q = Σ num_c / 4m² is the textbook
+    * Newman-Girvan sum — the ratio is left to the consumer, so no
+    * float nears the hash; the [[graft.EventQueries]] ratio-statistics
+    * discipline). Products ride DECIMAL(38,0)/HUGEINT with a loud
+    * BIGINT cast — int64 headroom to m ≈ 1.5·10⁹ edges, overflow
+    * fails loudly past it.
+    *
+    * Scale shape: the LPA loop is the [[lpaLoop]] checkpointed
+    * fixpoint; the three per-community aggregates are ONE shuffle each
+    * on the (bounded) label key over the persisted label table; edge
+    * labeling is two equi-joins on node ids. Top-50 communities by
+    * size with a total order.
+    */
+  val modularity: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    val adj = linkAdj(docs, n)
+    // read four times (edge labeling twice, degrees, sizes): persist
+    val labels = graft.CacheTracker.persistTracked(lpaLoop(docs, adj, 5))
+    val und = adj.filter($"src" < $"dst")
+    val m = und.count()
+    val lab2 = und
+      .join(labels.select($"node".as("src"), $"lab".as("la")), "src")
+      .join(labels.select($"node".as("dst"), $"lab".as("lb")), "dst")
+    val intra = lab2.filter($"la" === $"lb")
+      .groupBy($"la".as("community")).agg(count(lit(1)).as("internal_edges"))
+    val degs = adj.join(labels.select($"node".as("src"), $"lab"), "src")
+      .groupBy($"lab".as("community")).agg(count(lit(1)).as("degree_sum"))
+    val sizes = labels.groupBy($"lab".as("community"))
+      .agg(count(lit(1)).as("size"))
+    val dec = "decimal(38,0)"
+    sizes.join(degs, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .select($"community", $"size",
+        coalesce($"internal_edges", lit(0L)).as("internal_edges"),
+        coalesce($"degree_sum", lit(0L)).as("degree_sum"))
+      .select($"community", $"size", $"internal_edges", $"degree_sum",
+        (lit(4L * m).cast(dec) * $"internal_edges".cast(dec) -
+          $"degree_sum".cast(dec) * $"degree_sum".cast(dec))
+          .cast("long").as("mod_num"),
+        lit(4L * m * m).as("mod_den"))
+      .orderBy($"size".desc, $"community").limit(50)
+  }
+
+  val modularitySql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""h$k AS (
+         |  SELECT src, lab FROM (
+         |    SELECT a.src, e.lab,
+         |      row_number() OVER (PARTITION BY a.src
+         |        ORDER BY COUNT(*) DESC, e.lab) AS rk
+         |    FROM adj a JOIN e${k - 1} e ON a.dst = e.node
+         |    GROUP BY a.src, e.lab)
+         |  WHERE rk = 1),
+         |e$k AS MATERIALIZED (SELECT e.node, COALESCE(h.lab, e.lab) AS lab
+         |        FROM e${k - 1} e LEFT JOIN h$k h ON e.node = h.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlAdjPrefix,
+       |e0 AS (SELECT doc_id AS node, doc_id AS lab FROM docs),
+       |$steps,
+       |mm AS (SELECT COUNT(*) AS m FROM und),
+       |lab2 AS (
+       |  SELECT u.a, u.b, ea.lab AS la, eb.lab AS lb
+       |  FROM und u JOIN e5 ea ON u.a = ea.node
+       |             JOIN e5 eb ON u.b = eb.node),
+       |intra AS (
+       |  SELECT la AS community, COUNT(*) AS internal_edges
+       |  FROM lab2 WHERE la = lb GROUP BY la),
+       |degs AS (
+       |  SELECT e.lab AS community, COUNT(*) AS degree_sum
+       |  FROM adj a JOIN e5 e ON a.src = e.node GROUP BY e.lab),
+       |sizes AS (
+       |  SELECT lab AS community, COUNT(*) AS size FROM e5 GROUP BY lab)
+       |SELECT s.community, s.size,
+       |  COALESCE(i.internal_edges, 0) AS internal_edges,
+       |  COALESCE(d.degree_sum, 0) AS degree_sum,
+       |  CAST(4 * CAST(mm.m AS HUGEINT) * COALESCE(i.internal_edges, 0)
+       |    - CAST(COALESCE(d.degree_sum, 0) AS HUGEINT)
+       |      * COALESCE(d.degree_sum, 0) AS BIGINT) AS mod_num,
+       |  CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS BIGINT) AS mod_den
+       |FROM sizes s
+       |  LEFT JOIN degs d ON s.community = d.community
+       |  LEFT JOIN intra i ON s.community = i.community
+       |  CROSS JOIN mm
+       |ORDER BY s.size DESC, s.community LIMIT 50""".stripMargin
+  }
+
   /** Single-source BFS layers from node 0 — hop-distance labeling, the
     * reachability primitive under crawl-frontier analysis, influence
     * radii, and link-graph QA. Distances relax min-plus style: a FIXED
@@ -2027,6 +2121,7 @@ object CurationQueries {
     "graph_kcore" -> (kcore, Some(kcoreSql)),
     "graph_label_propagation" ->
       (labelPropagation, Some(labelPropagationSql)),
+    "graph_modularity" -> (modularity, Some(modularitySql)),
     "graph_bfs_layers" -> (bfsLayers, Some(bfsLayersSql)),
     "graph_jaccard_link_prediction" ->
       (jaccardLinkPrediction, Some(jaccardLinkPredictionSql)),
