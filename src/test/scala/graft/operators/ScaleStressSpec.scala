@@ -505,6 +505,121 @@ class ScaleStressSpec extends SparkSpec {
     info(f"vote on 1M ballots: $secs%.1f s")
   }
 
+  test("rendezvous sharding stays balanced and drop-stable at 1M docs") {
+    // the two properties the 100 TB writer relies on, at 1M ids: md5
+    // rendezvous balance (each of 16 shards within ±5% of 62 500) and
+    // minimal disruption (re-assigning WITHOUT shard 7 changes nothing
+    // for docs that weren't on shard 7) — both via the gate's exact
+    // shapes: candidate explode + max-of-struct argmax, no window
+    val n = 1000000L
+    def assign(shards: Seq[Int]) = spark.range(n)
+      .select($"id".as("doc_id"),
+        explode(array(shards.map(lit): _*)).as("shard"))
+      .withColumn("h", md5(concat($"doc_id".cast("string"), lit(":"),
+        $"shard".cast("string")).cast("binary")))
+      .groupBy($"doc_id")
+      .agg(max(struct($"h", $"shard")).getField("shard").as("shard"))
+    val (full, secs) = timed(assign(0 until 16).localCheckpoint(true))
+    val counts = full.groupBy($"shard").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.size == 16)
+    counts.foreach { case (sh, c) =>
+      assert(math.abs(c - 62500L) <= 3125L,
+        s"shard $sh holds $c of 1M — rendezvous balance broke")
+    }
+    val reduced = assign((0 until 16).filterNot(_ == 7))
+    val moved = full.filter($"shard" =!= 7)
+      .join(reduced.toDF("doc_id", "shard2"), "doc_id")
+      .filter($"shard" =!= $"shard2").count()
+    assert(moved == 0, s"$moved docs off shard 7 moved when 7 dropped")
+    info(f"rendezvous 1M x 16: $secs%.1f s")
+  }
+
+  test("frequent pairs stay order-size-bounded with an exact planted count") {
+    // 500k synthetic orders, 3 items each from a 97-part catalog via a
+    // rotating formula: order i holds {i%97, (i+1)%97, (i+2)%97}. Every
+    // candidate count is exactly C(3,2) per order (the Σ C(|order|,2)
+    // bound with equality), and each unordered catalog pair (p, p+1 mod
+    // 97) appears in exactly the orders whose window covers it — a
+    // closed-form support the shuffle must reproduce at 1.5M rows.
+    val n = 500000L
+    val items = spark.range(n).select($"id".as("ord"),
+        explode(array($"id" % 97, ($"id" + 1) % 97, ($"id" + 2) % 97))
+          .as("part"))
+      .distinct().localCheckpoint(true)
+    val (pairs, secs) = timed {
+      items.alias("a").join(items.alias("b"), Seq("ord"))
+        .where($"a.part" < $"b.part")
+        .groupBy($"a.part".as("pa"), $"b.part".as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .localCheckpoint(true)
+    }
+    val totalCand = pairs.agg(sum($"support")).head.getLong(0)
+    assert(totalCand == 3L * n,
+      s"candidates must be exactly C(3,2) per order: $totalCand")
+    // adjacent catalog pairs {p, p+1}: covered by 2 of every 97-cycle's
+    // windows; distance-2 pairs {p, p+2}: by 1 — spot-check both bands
+    val bySupport = pairs
+      .select(($"pb" - $"pa").as("d"), $"support")
+      .groupBy($"d").agg(sum($"support").as("s"), count(lit(1)).as("k"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // d=1 adjacent (plus the wrap pair at d=96), d=2 (plus wraps at 95)
+    assert(bySupport(1L)._1 + bySupport(96L)._1 == 2L * n,
+      "adjacent-pair support mass must be 2 per order")
+    assert(bySupport(2L)._1 + bySupport(95L)._1 == n,
+      "distance-2 support mass must be 1 per order")
+    info(f"frequent pairs on 1.5M items: $secs%.1f s")
+  }
+
+  test("containment dedup recovers planted prefixes at a 5x corpus, banding-bounded") {
+    import graft.text.NearDup
+    // 5 replicas of every sf0.1 doc (offset ids), each with its
+    // 70%-prefix fragment — 50k documents through the gate's exact
+    // pipeline: shingles, minhash bands, capped candidates, exact
+    // containment. Pins at scale: candidate count stays within the
+    // banding bound n*bands*cap, the planted fragments keep >= 60%
+    // recovery, and every recovered planted pair is EXACTLY contained
+    // (inter == |fragment shingles|).
+    val base = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+      .crossJoin(spark.range(5))
+      .select(($"doc_id" + $"id" * 1000000L).as("doc_id"), $"toks")
+    val corpus = base.select(explode(array(
+        struct($"doc_id", $"toks"),
+        struct(($"doc_id" + 20000000L).as("doc_id"),
+          slice($"toks", lit(1),
+            expr("cast((size(toks) * 7) div 10 as int)")).as("toks")))).as("r"))
+      .select($"r.doc_id", $"r.toks")
+    val shingled = corpus
+      .select($"doc_id", NearDup.wordShingles($"toks", 3).as("sh"))
+      .localCheckpoint(true)
+    val nDocs = shingled.count()
+    val nBase = nDocs / 2
+    val (cand, secs) = timed {
+      NearDup.lshCandidates(
+        NearDup.bandRows(
+          shingled.select($"doc_id", posexplode(expr("minhash_md5(sh, 8)"))),
+          "doc_id", 2),
+        "doc_id").localCheckpoint(true)
+    }
+    val nCand = cand.count()
+    assert(nCand <= nDocs * 4L * graft.Tuning.lshBandCap,
+      s"candidates $nCand exceed the banding bound at $nDocs docs")
+    val planted = cand.filter($"doc_b" === $"doc_a" + 20000000L)
+      .localCheckpoint(true)
+    assert(planted.count() >= (nBase * 6L) / 10L,
+      s"only ${planted.count()} of $nBase planted fragments recovered")
+    val broken = planted
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+      .filter(size(array_intersect($"sh_a", $"sh_b")) =!= size($"sh_b"))
+      .count()
+    assert(broken == 0,
+      s"$broken recovered prefixes not exactly contained")
+    info(f"containment on $nDocs docs: $nCand candidates, $secs%.1f s")
+  }
+
   test("bpe training is invariant under 10x corpus replication") {
     val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
       .select($"text")
