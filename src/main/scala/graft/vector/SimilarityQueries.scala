@@ -2812,6 +2812,60 @@ object SimilarityQueries {
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  /** IVF cell-population report — the index-health monitor a
+    * deployment runs per build, beside the recall reports: per cell
+    * its primary population (rn = 1), its replicated index size
+    * (rn ≤ replicas), and the exact ppm share of the corpus. A
+    * collapsed Lloyd run (one mega-cell), an empty cell, or a skewed
+    * split shows up here before it shows up as latency. Counts-only —
+    * no kernel work beyond the shared assignment build.
+    *
+    * Scale shape: two aggregations on the (bounded) cell key over the
+    * persisted assignment; the report is k rows.
+    */
+  val ivfCellStats: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, _, assigned) = ivfStructure(s, dir)
+    // read twice (primary + indexed counts): persist
+    val a = graft.CacheTracker.persistTracked(assigned)
+    val prim = graft.CacheTracker.persistTracked(
+      a.filter($"rn" === 1)
+        .groupBy($"nearest_label".as("c_label"))
+        .agg(count(lit(1)).as("n_primary")))
+    val idx = a.groupBy($"nearest_label".as("c_label"))
+      .agg(count(lit(1)).as("n_indexed"))
+    val tot = prim.agg(sum($"n_primary").as("total"))
+    centroidArr.select($"c_label")
+      .join(prim, Seq("c_label"), "left")
+      .join(idx, Seq("c_label"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"c_label",
+        coalesce($"n_primary", lit(0L)).as("n_primary"),
+        coalesce($"n_indexed", lit(0L)).as("n_indexed"), $"total")
+      .select($"c_label", $"n_primary", $"n_indexed",
+        expr("(1000000 * n_primary) div total").as("share_ppm"))
+      .orderBy($"c_label")
+  }
+
+  val ivfCellStatsSql: String =
+    s"""WITH $sqlIvfCtes,
+       |ap AS (
+       |  SELECT c_label, COUNT(*) AS n_primary
+       |  FROM assign WHERE rn = 1 GROUP BY c_label),
+       |ai AS (
+       |  SELECT c_label, COUNT(*) AS n_indexed
+       |  FROM assign GROUP BY c_label),
+       |cl AS (SELECT c_label FROM cnorm),
+       |tot AS (SELECT CAST(SUM(n_primary) AS BIGINT) AS total FROM ap)
+       |SELECT cl.c_label,
+       |  CAST(COALESCE(ap.n_primary, 0) AS BIGINT) AS n_primary,
+       |  CAST(COALESCE(ai.n_indexed, 0) AS BIGINT) AS n_indexed,
+       |  CAST((1000000 * COALESCE(ap.n_primary, 0)) // total AS BIGINT)
+       |    AS share_ppm
+       |FROM cl LEFT JOIN ap USING (c_label) LEFT JOIN ai USING (c_label)
+       |  CROSS JOIN tot
+       |ORDER BY cl.c_label""".stripMargin
+
   /** Recall-vs-nprobe tuning sweep — the curve an IVF deployment reads
     * to pick its probe count: for nprobe ∈ {1, 2, 4, 8}, each query's
     * candidate set is the corpus indexed under its top-nprobe cells,
@@ -3135,6 +3189,7 @@ object SimilarityQueries {
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
     "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep, Some(ivfNprobeSweepSql)),
+    "sim_ivf_cell_stats" -> (ivfCellStats, Some(ivfCellStatsSql)),
     "sim_centroid_drift" -> (centroidDrift, Some(centroidDriftSql)),
     "sim_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
     "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),

@@ -41,6 +41,24 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("cell stats: populations partition the corpus, index holds replicas x corpus") {
+    val rows = graft.Queries.queries("sim_ivf_cell_stats")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("c_label"), r.getAs[Long]("n_primary"),
+        r.getAs[Long]("n_indexed"), r.getAs[Long]("share_ppm")))
+    val n = graft.Tables(spark, sf0001, "embeddings").count()
+    graft.CacheTracker.releaseAll()
+    assert(rows.length == 10, "one row per trained cell")
+    assert(rows.map(_._2).sum == n,
+      "primary assignment must partition the corpus")
+    assert(rows.map(_._3).sum == graft.Tuning.ivfReplicas * n,
+      "replicated index must hold exactly replicas x corpus entries")
+    rows.foreach { case (c, p, i, share) =>
+      assert(i >= p, s"cell $c: replicated index can't be under primary")
+      assert(share == 1000000L * p / n, s"cell $c share_ppm")
+    }
+  }
+
   test("nprobe sweep: recall and cost strictly widen with the probe count") {
     val rows = graft.Queries.queries("sim_ivf_nprobe_sweep")(spark, sf0001)
       .collect()
