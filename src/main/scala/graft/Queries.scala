@@ -448,6 +448,98 @@ object Queries {
       |GROUP BY id, i // frame_len
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Scene-cut detection over the video frames — the shot-boundary step
+    * a video-data pipeline runs before per-scene sampling/captioning:
+    * every frame (stride 1) carries its byte-sum feature; a CUT opens
+    * where the inter-frame feature jump clears 16·frame_bytes (a pure
+    * integer rule — |Δsum| scales with frame length, so the threshold
+    * is length-normalized without division); scenes are the runs
+    * between cuts (running cut count as the scene id — the VAD islands
+    * shape driven by a lag, not a threshold filter). Per scene: frame
+    * span, frame count, byte mass.
+    *
+    * Scale shape: both windows partition by media_id (per-media frame
+    * counts are payload-bounded), the scene rollup rides the same
+    * keying — one shuffle end to end after the frame map.
+    */
+  val multimodalSceneCuts: Q = (s, _) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.multimodal.Multimodal
+      .analyzeFrames(graft.multimodal.Multimodal.syntheticCorpus(s, 200), 1)
+      .toDF()
+      .withColumn("prev", lag($"frame_sum", 1).over(w))
+      .withColumn("cut",
+        when($"prev".isNotNull &&
+          abs($"frame_sum" - $"prev") > lit(16L) * $"n_frame_bytes", 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum($"cut").over(run).cast("int"))
+      .groupBy($"media_id", $"scene_id")
+      .agg(min($"frame_idx").as("f_start"), max($"frame_idx").as("f_end"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum($"frame_sum").as("scene_sum"))
+      .orderBy($"media_id", $"scene_id")
+  }
+
+  /** DuckDB mirror: the video LCG/frame CTEs at stride 1, the same
+    * integer cut rule via lag, running cut count, scene rollup.
+    */
+  val multimodalSceneCutsSql: String =
+    """WITH RECURSIVE ids AS (
+      |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 = 2
+      |),
+      |lcg AS (
+      |  SELECT id, 0 AS i,
+      |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+      |         (256 + id % 512) AS len
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT id, i + 1,
+      |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+      |         len
+      |  FROM lcg WHERE i < len - 1
+      |),
+      |vals AS (
+      |  SELECT id, i, len, (s // 72057594037927936)::INT AS b,
+      |         (8 + id % 8) AS n_frames,
+      |         len // (8 + id % 8) AS frame_len
+      |  FROM lcg
+      |),
+      |frames AS (
+      |  SELECT id AS media_id, CAST(i // frame_len AS INT) AS frame_idx,
+      |         CAST(COUNT(*) AS INT) AS n_frame_bytes,
+      |         CAST(SUM(b) AS BIGINT) AS frame_sum
+      |  FROM vals
+      |  WHERE i < n_frames * frame_len
+      |  GROUP BY id, i // frame_len
+      |),
+      |cuts AS (
+      |  SELECT *, CASE WHEN lag(frame_sum) OVER
+      |      (PARTITION BY media_id ORDER BY frame_idx) IS NOT NULL
+      |    AND abs(frame_sum - lag(frame_sum) OVER
+      |      (PARTITION BY media_id ORDER BY frame_idx)) > 16 * n_frame_bytes
+      |    THEN 1 ELSE 0 END AS cut
+      |  FROM frames
+      |),
+      |scenes AS (
+      |  SELECT *, CAST(SUM(cut) OVER (PARTITION BY media_id
+      |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS INT) AS scene_id
+      |  FROM cuts
+      |)
+      |SELECT media_id, scene_id,
+      |  CAST(MIN(frame_idx) AS INT) AS f_start,
+      |  CAST(MAX(frame_idx) AS INT) AS f_end,
+      |  CAST(COUNT(*) AS INT) AS n_frames,
+      |  CAST(SUM(frame_sum) AS BIGINT) AS scene_sum
+      |FROM scenes GROUP BY media_id, scene_id
+      |ORDER BY media_id, scene_id""".stripMargin
+
   /** Image near-duplicate search over the DECODED multimodal corpus —
     * the media-side analogue of the text/embedding dedup gates, and the
     * composition they imply: decode → resize → 16-bin histogram feature
@@ -543,6 +635,8 @@ object Queries {
         "q1_pricing_summary" -> (q1PricingSummary, Some(q1PricingSummarySql)),
         "multimodal_pipeline" -> (multimodalPipeline, Some(multimodalPipelineSql)),
         "multimodal_video_frames" -> (multimodalVideo, Some(multimodalVideoSql)),
+        "multimodal_video_scene_cuts" ->
+          (multimodalSceneCuts, Some(multimodalSceneCutsSql)),
         "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql)),
         "multimodal_audio_vad" -> (multimodalAudioVad, Some(multimodalAudioVadSql)),
         "multimodal_image_ahash" -> (multimodalImageAhash, Some(multimodalImageAhashSql)),

@@ -200,6 +200,86 @@ object TextQueries {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm) — the fingerprint DENSITY-bounded document
+    * signature a plagiarism/overlap pipeline stores instead of every
+    * k-gram: positional 4-gram md5 keys, and from every window of 5
+    * consecutive hashes the (hash, position)-minimum is selected
+    * (leftmost tie — encoded as the lexicographic min of
+    * `hash|zero-padded-pos` so both engines pick the identical gram
+    * with ONE string min, no struct-window support needed). The
+    * guarantee: any shared token run of length ≥ w+k−1 = 8 yields a
+    * shared fingerprint; expected density is 2/(w+1) of windows.
+    * Report per document: gram/window/selected counts, exact ppm
+    * density, and the md5 digest of the sorted selected set (the
+    * signature itself, fully pinned).
+    *
+    * Scale shape: grams and windows are per-document (one doc-keyed
+    * window shuffle, reducer-bounded by doc length); the report is one
+    * rollup on the same key. The selected-set size — what a deployment
+    * would SHUFFLE for cross-doc matching — is ~2/(w+1) of the corpus'
+    * grams, the point of winnowing.
+    */
+  val winnowingFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 5
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 4 + w - 1)
+      .select($"doc_id",
+        posexplode(NearDup.posGramKeys($"toks", 4)).as(Seq("p", "g")))
+      .select($"doc_id", $"p",
+        concat($"g", lit("|"), lpad($"p".cast("string"), 6, "0")).as("pg"))
+    val wf = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val cnt = Window.partitionBy($"doc_id")
+    val sel = grams
+      .withColumn("n_grams", count(lit(1)).over(cnt))
+      .withColumn("m", min($"pg").over(wf))
+      .filter($"p" <= $"n_grams" - w) // full windows only
+      .groupBy($"doc_id", $"n_grams")
+      .agg(countDistinct($"m").as("n_selected"),
+        md5(concat_ws(",", array_sort(collect_set($"m"))).cast("binary"))
+          .as("fp_digest"))
+    sel.select($"doc_id", $"n_grams",
+        ($"n_grams" - (w - 1)).as("n_windows"), $"n_selected",
+        expr(s"(1000000 * n_selected) div (n_grams - ${w - 1})")
+          .as("density_ppm"),
+        $"fp_digest")
+      .orderBy($"doc_id")
+  }
+
+  val winnowingFingerprintSql: String = {
+    val pgs = NearDup.sqlPosGramStructs("toks", 4)
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |eligible AS (SELECT * FROM docs WHERE len(toks) >= 8),
+       |grams AS (
+       |  SELECT doc_id, struct_extract(u, 'p') AS p,
+       |    struct_extract(u, 'g') || '|' ||
+       |      lpad(CAST(struct_extract(u, 'p') AS VARCHAR), 6, '0') AS pg
+       |  FROM (SELECT doc_id, unnest($pgs) AS u FROM eligible)),
+       |sized AS (
+       |  SELECT doc_id, p, pg,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+       |    MIN(pg) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+       |  FROM grams),
+       |sel AS (
+       |  SELECT doc_id, n_grams, COUNT(DISTINCT m) AS n_selected,
+       |    md5(array_to_string(list_sort(list(DISTINCT m)), ',')) AS fp_digest
+       |  FROM sized WHERE p <= n_grams - 5
+       |  GROUP BY doc_id, n_grams)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_grams - 4 AS BIGINT) AS n_windows,
+       |  CAST(n_selected AS BIGINT) AS n_selected,
+       |  CAST((1000000 * n_selected) // (n_grams - 4) AS BIGINT)
+       |    AS density_ppm,
+       |  fp_digest
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus term frequencies: explode tokens, drop stopwords/one-char
     * tokens, top-20. The canonical explode → partial-agg shape: the
     * shuffle carries |vocabulary| rows, not |tokens|.
@@ -1054,6 +1134,8 @@ object TextQueries {
   }
 
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_winnowing_fingerprint" ->
+      (winnowingFingerprint, Some(winnowingFingerprintSql)),
     "text_rake_keywords" -> (rakeKeywords, Some(rakeKeywordsSql)),
     "text_vocab_shift" -> (vocabShift, Some(vocabShiftSql)),
     "curate_dataset_card" -> (datasetCard, Some(datasetCardSql)),

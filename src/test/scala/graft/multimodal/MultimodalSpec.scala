@@ -115,6 +115,41 @@ class MultimodalSpec extends SparkSpec {
       .map(_.map(_.f).toSeq.sorted).toSet == Set(Seq(0, 1), Seq(3), Seq(5)))
   }
 
+  test("scene cuts partition each video's frames contiguously, mass-preserving") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val scenes = graft.Queries.queries("multimodal_video_scene_cuts")(s, sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("scene_id"),
+        r.getAs[Int]("f_start"), r.getAs[Int]("f_end"),
+        r.getAs[Int]("n_frames"), r.getAs[Long]("scene_sum")))
+      .groupBy(_._1)
+    val frames = analyzeFrames(syntheticCorpus(s, 200), 1).collect()
+      .groupBy(_.media_id)
+    assert(scenes.keySet == frames.keySet)
+    scenes.foreach { case (m, ss) =>
+      val chain = ss.sortBy(_._2)
+      assert(chain.head._2 == 0 && chain.head._3 == 0,
+        s"media $m: scene 0 must open at frame 0")
+      assert(chain.map(_._2).toSeq == chain.indices,
+        s"media $m: scene ids must be consecutive")
+      chain.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4 + 1,
+          s"media $m: scene ${b._2} must open right after scene ${a._2}")
+        case _ =>
+      }
+      chain.foreach { c =>
+        assert(c._5 == c._4 - c._3 + 1, s"media $m scene ${c._2} count")
+      }
+      val fs = frames(m)
+      assert(chain.map(_._5.toLong).sum == fs.length.toLong,
+        s"media $m: scenes must cover every frame exactly once")
+      assert(chain.map(_._6).sum == fs.map(_.frame_sum).sum,
+        s"media $m: scene byte mass must equal total frame mass")
+    }
+  }
+
   test("aHash is exactly brightness-invariant below the clamp") {
     val s = spark
     import s.implicits._
