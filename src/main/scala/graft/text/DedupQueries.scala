@@ -1065,7 +1065,96 @@ object DedupQueries {
        |    (1000000 * CAST(inter AS BIGINT)) // size_b) >= 900000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Decontamination REMOVAL — the step after [[contaminationCheck]]'s
+    * detection: every train-doc token covered by a 5-gram window that
+    * appears in the eval set (the same hash-selected planted spans) is
+    * cut, with overlapping/adjacent contaminated windows merged into
+    * maximal spans first (the [[exactSubstring]] telescope: a new span
+    * opens when the next matched window starts more than 5 tokens after
+    * the previous — window coverage [p, p+4], so p ≤ prev+5 chains).
+    * Report per contaminated doc: tokens before, merged span count,
+    * tokens removed, tokens after — the accounting a release audit
+    * signs, integer-only.
+    *
+    * Scale shape: the eval gram set is eval-sized and BROADCAST (md5
+    * keys); matched positions ride one doc-keyed window shuffle
+    * (reducer-bounded by doc length); the report is a rollup on the
+    * same key. Train-side work is one scan however large the corpus.
+    */
+  val decontaminateSpans: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    val isEval = graft.functions.KeyHash.bucket100("eval|", $"doc_id") < 3
+    val evalG = base.filter(isEval && size($"toks") >= 32)
+      .select(explode(wordShingles(slice($"toks", lit(8), lit(25)), 5)).as("t"))
+      .select(md5($"t".cast("binary")).as("g")).distinct()
+    val pos = base.filter(size($"toks") >= 5)
+      .select($"doc_id", size($"toks").as("n_toks"),
+        posexplode(posGramKeys($"toks", 5)).as(Seq("p", "g")))
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    val run = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = pos.join(broadcast(evalG), "g")
+      .withColumn("prev", lag($"p", 1).over(w))
+      .withColumn("ns",
+        when($"prev".isNull || $"p" > $"prev" + 5, 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(run))
+      .groupBy($"doc_id", $"span_id")
+      .agg(max($"n_toks").as("n_toks"),
+        (max($"p") + 4 - min($"p") + 1).cast("long").as("covered"))
+    spans.groupBy($"doc_id")
+      .agg(max($"n_toks").cast("long").as("tokens_before"),
+        count(lit(1)).as("n_spans"),
+        sum($"covered").as("tokens_removed"))
+      .select($"doc_id", $"tokens_before", $"n_spans", $"tokens_removed",
+        ($"tokens_before" - $"tokens_removed").as("tokens_after"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSpansSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("eval|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |evsh AS (
+       |  SELECT ${sqlShingles("list_slice(toks, 8, 32)", 5)} AS sh
+       |  FROM docs WHERE $b < 3 AND len(toks) >= 32),
+       |ev AS (SELECT DISTINCT md5(x) AS g
+       |       FROM (SELECT unnest(sh) AS x FROM evsh)),
+       |pos AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    struct_extract(u, 'p') AS p, struct_extract(u, 'g') AS g
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(${sqlPosGramStructs("toks", 5)}) AS u
+       |        FROM docs WHERE len(toks) >= 5)),
+       |hits AS (
+       |  SELECT doc_id, n_toks, p,
+       |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |  FROM pos JOIN ev USING (g)),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev IS NULL OR p > prev + 5
+       |                 THEN 1 ELSE 0 END AS ns
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_id, n_toks,
+       |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) AS span_id, p
+       |  FROM flagged),
+       |merged AS (
+       |  SELECT doc_id, span_id, MAX(n_toks) AS n_toks,
+       |    CAST(MAX(p) + 4 - MIN(p) + 1 AS BIGINT) AS covered
+       |  FROM spans GROUP BY doc_id, span_id)
+       |SELECT doc_id, CAST(MAX(n_toks) AS BIGINT) AS tokens_before,
+       |  COUNT(*) AS n_spans,
+       |  CAST(SUM(covered) AS BIGINT) AS tokens_removed,
+       |  CAST(MAX(n_toks) - SUM(covered) AS BIGINT) AS tokens_after
+       |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_decontaminate_spans" ->
+      (decontaminateSpans, Some(decontaminateSpansSql)),
     "dedup_shingle_containment" ->
       (shingleContainment, Some(shingleContainmentSql)),
     "dedup_url_canonical" -> (urlCanonical, Some(urlCanonicalSql)),
