@@ -1284,6 +1284,75 @@ object CurationQueries {
        |GROUP BY lab ORDER BY size DESC, community LIMIT 100""".stripMargin
   }
 
+  /** Degree assortativity of the link graph — the graph-QA number that
+    * says whether high-degree nodes preferentially link to each other
+    * (r > 0, social-network-like) or to leaves (r < 0, web/biology
+    * -like): the Pearson correlation of endpoint degrees over the
+    * DIRECTED edge list (both orientations — the standard undirected
+    * convention). Emitted as EXACT INTEGERS (the autocorrelation
+    * discipline): m, Σx, and the cleared-mean products
+    * num = m·Σxy − Σx·Σy, den_x/den_y = m·Σx² − (Σx)², so
+    * r = num / √(den_x·den_y) is the textbook value with no float near
+    * the hash (den_x = den_y here by symmetry — emitted both as a
+    * structural self-check). Sums ride DECIMAL(38,0)/HUGEINT with loud
+    * BIGINT casts.
+    *
+    * Scale shape: one degree aggregation + two equi-joins on node ids
+    * (degrees domain-sized, checkpointed once) and a single global
+    * aggregate — no window, no quadratic anything.
+    */
+  val assortativity: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    val adj = linkAdj(docs, n)
+    val deg = adj.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val pairs = adj
+      .join(deg.toDF("src", "dx"), "src")
+      .join(deg.toDF("dst", "dy"), "dst")
+    val dec = "decimal(38,0)"
+    pairs.agg(count(lit(1)).as("m_edges"),
+        sum($"dx".cast(dec)).cast("long").as("sx"),
+        sum($"dy".cast(dec)).cast("long").as("sy"),
+        sum(($"dx" * $"dy").cast(dec)).cast("long").as("sxy"),
+        sum(($"dx" * $"dx").cast(dec)).cast("long").as("sxx"),
+        sum(($"dy" * $"dy").cast(dec)).cast("long").as("syy"))
+      .select($"m_edges", $"sx", $"sy",
+        ($"m_edges".cast(dec) * $"sxy".cast(dec) -
+          $"sx".cast(dec) * $"sy".cast(dec)).cast("long").as("num"),
+        ($"m_edges".cast(dec) * $"sxx".cast(dec) -
+          $"sx".cast(dec) * $"sx".cast(dec)).cast("long").as("den_x"),
+        ($"m_edges".cast(dec) * $"syy".cast(dec) -
+          $"sy".cast(dec) * $"sy".cast(dec)).cast("long").as("den_y"))
+      .orderBy($"m_edges")
+  }
+
+  val assortativitySql: String =
+    s"""$sqlAdjPrefix,
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY src),
+       |pairs AS (
+       |  SELECT da.deg AS dx, db.deg AS dy
+       |  FROM adj a JOIN deg da ON a.src = da.node
+       |             JOIN deg db ON a.dst = db.node),
+       |sums AS (
+       |  SELECT COUNT(*) AS m_edges,
+       |    CAST(SUM(CAST(dx AS HUGEINT)) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(dy AS HUGEINT)) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(dx AS HUGEINT) * dy) AS BIGINT) AS sxy,
+       |    CAST(SUM(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(dy AS HUGEINT) * dy) AS BIGINT) AS syy
+       |  FROM pairs)
+       |SELECT m_edges, sx, sy,
+       |  CAST(CAST(m_edges AS HUGEINT) * sxy
+       |    - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+       |  CAST(CAST(m_edges AS HUGEINT) * sxx
+       |    - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+       |  CAST(CAST(m_edges AS HUGEINT) * syy
+       |    - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y
+       |FROM sums ORDER BY m_edges""".stripMargin
+
   /** Modularity scoring of the [[labelPropagation]] communities — the
     * quality number that tells a curation pipeline whether its LPA
     * communities are real structure or noise. Per community c:
@@ -2122,6 +2191,7 @@ object CurationQueries {
     "graph_label_propagation" ->
       (labelPropagation, Some(labelPropagationSql)),
     "graph_modularity" -> (modularity, Some(modularitySql)),
+    "graph_assortativity" -> (assortativity, Some(assortativitySql)),
     "graph_bfs_layers" -> (bfsLayers, Some(bfsLayersSql)),
     "graph_jaccard_link_prediction" ->
       (jaccardLinkPrediction, Some(jaccardLinkPredictionSql)),

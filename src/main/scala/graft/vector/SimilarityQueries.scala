@@ -1348,6 +1348,63 @@ object SimilarityQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  /** PQ quantization-distortion report — the OTHER index-health number
+    * beside recall: per subspace the corpus' total ||x_m − c(x)_m||²
+    * against the assigned codebook entry, decomposed into the three
+    * exact-decimal sums Σ|x|², Σ x·c, Σ|c|² (distortion =
+    * sxx − 2·sdot + scc, the assignment-score identity — each sum an
+    * order-independent decimal detour, the final combination two IEEE
+    * ops, everything 9-rounded). A drifted corpus or a bad Lloyd init
+    * shows up as a distortion jump per subspace before recall moves.
+    *
+    * Scale shape: encode is the shared broadcast-codebook assignment;
+    * the residual pass is one scan of the persisted slices joined to
+    * the k·M-row codebook; the report is M rows.
+    */
+  val pqDistortion: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact.dsum
+    // read twice (assignment + residual pass): persist the slices
+    val subs = graft.CacheTracker.persistTracked(pqSubs(s, dir))
+    val cbF = pqCbRead(s, pqTrain(s, dir, subs))
+    val enc = pqAssign(subs, cbF)
+    subs.join(enc, Seq("vec_id", "m"))
+      .join(broadcast(cbF), Seq("m", "c_code"))
+      .select($"m", $"vec_id",
+        dotExact($"sub", $"sub").as("xx"),
+        dotExact($"sub", $"cbv").as("xd"), $"cc")
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(dsum($"xx"), 9).as("sum_xx"),
+        round(dsum($"xd"), 9).as("sum_dot"),
+        round(dsum($"cc"), 9).as("sum_cc"),
+        round(dsum($"xx") - lit(2.0) * dsum($"xd") + dsum($"cc"), 9)
+          .as("distortion"))
+      .orderBy($"m")
+  }
+
+  val pqDistortionSql: String = {
+    import graft.functions.Exact.sqlDsum
+    s"""WITH $sqlPqCtes,
+       |res AS (
+       |  SELECT s.m, s.vec_id,
+       |    CAST(SUM(CAST(s.val * s.val AS DECIMAL(30,15))) AS DOUBLE) AS xx,
+       |    CAST(SUM(CAST(s.val * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS xd,
+       |    CAST(SUM(CAST(cb.c * cb.c AS DECIMAL(30,15))) AS DOUBLE) AS cc
+       |  FROM sub s
+       |    JOIN enc e ON s.vec_id = e.vec_id AND s.m = e.m
+       |    JOIN pqcb$PqLloyd cb
+       |      ON cb.m = s.m AND cb.pos = s.pos AND cb.c_code = e.code
+       |  GROUP BY s.m, s.vec_id)
+       |SELECT m, COUNT(*) AS n_vecs,
+       |  round(${sqlDsum("xx")}, 9) AS sum_xx,
+       |  round(${sqlDsum("xd")}, 9) AS sum_dot,
+       |  round(${sqlDsum("cc")}, 9) AS sum_cc,
+       |  round(${sqlDsum("xx")} - 2.0 * ${sqlDsum("xd")}
+       |    + ${sqlDsum("cc")}, 9) AS distortion
+       |FROM res GROUP BY m ORDER BY m""".stripMargin
+  }
+
   /** PQ training + encode + LUT CTE chain (one definition, two oracles
     * — the [[graft.text.NearDup]] fragment-helper pattern): replays
     * seed means, each Lloyd round's assign/re-average, the final
@@ -3190,6 +3247,7 @@ object SimilarityQueries {
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
     "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep, Some(ivfNprobeSweepSql)),
     "sim_ivf_cell_stats" -> (ivfCellStats, Some(ivfCellStatsSql)),
+    "sim_pq_distortion" -> (pqDistortion, Some(pqDistortionSql)),
     "sim_centroid_drift" -> (centroidDrift, Some(centroidDriftSql)),
     "sim_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
     "sim_maxsim_multivector" -> (maxsimLate, Some(maxsimLateSql)),

@@ -10,6 +10,36 @@ package graft
   */
 class ModularitySpec extends SparkSpec {
 
+  test("assortativity gate matches a plain-Scala recompute of the cleared-mean sums") {
+    import spark.implicits._
+    val row = Queries.queries("graph_assortativity")(spark, sf0001)
+      .collect().head
+    val ids = Tables(spark, sf0001, "documents")
+      .select($"doc_id").as[Long].collect().sorted
+    graft.CacheTracker.releaseAll()
+    val n = ids.length.toLong
+    val und = ids.flatMap(i => Seq((i * 7 + 1) % n, (i * 13 + 2) % n,
+        (i * 29 + 3) % n).filter(_ != i)
+      .map(j => (math.min(i, j), math.max(i, j)))).toSet
+    val dir = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = dir.map { case (a, _) => BigInt(deg(a)) }
+    val ys = dir.map { case (_, b) => BigInt(deg(b)) }
+    val m = BigInt(dir.size)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    assert(BigInt(row.getAs[Long]("m_edges")) == m)
+    assert(BigInt(row.getAs[Long]("sx")) == sx)
+    assert(BigInt(row.getAs[Long]("sy")) == sy)
+    assert(BigInt(row.getAs[Long]("num")) == m * sxy - sx * sy)
+    assert(BigInt(row.getAs[Long]("den_x")) == m * sxx - sx * sx)
+    assert(BigInt(row.getAs[Long]("den_y")) == m * syy - sy * sy)
+    // both orientations included => the two denominators must coincide
+    assert(row.getAs[Long]("den_x") == row.getAs[Long]("den_y"))
+  }
+
   test("modularity gate matches a plain-Scala recompute of LPA + Newman-Girvan") {
     import spark.implicits._
     val rows = Queries.queries("graph_modularity")(spark, sf0001)

@@ -41,6 +41,26 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("pq distortion: nonnegative, identity-consistent, full-corpus per subspace") {
+    val rows = graft.Queries.queries("sim_pq_distortion")(spark, sf0001)
+      .collect()
+    val n = graft.Tables(spark, sf0001, "embeddings").count()
+    graft.CacheTracker.releaseAll()
+    assert(rows.length == 16, "one row per subspace")
+    rows.foreach { r =>
+      val (xx, xd, cc, d) = (r.getAs[Double]("sum_xx"),
+        r.getAs[Double]("sum_dot"), r.getAs[Double]("sum_cc"),
+        r.getAs[Double]("distortion"))
+      assert(r.getAs[Long]("n_vecs") == n, "every vector encoded")
+      assert(d >= -1e-9, s"subspace ${r.getAs[Int]("m")}: negative distortion $d")
+      assert(math.abs(d - (xx - 2 * xd + cc)) < 4e-9,
+        s"subspace ${r.getAs[Int]("m")}: identity broke")
+      assert(d <= xx + 1e-9,
+        "nearest-code distortion can't exceed the zero-code bound when " +
+          s"codebooks are data means: $d vs $xx")
+    }
+  }
+
   test("cell stats: populations partition the corpus, index holds replicas x corpus") {
     val rows = graft.Queries.queries("sim_ivf_cell_stats")(spark, sf0001)
       .collect()
