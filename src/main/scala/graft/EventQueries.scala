@@ -807,7 +807,80 @@ object EventQueries {
       |    ORDER BY rate_permille DESC, dow) = 1 AS is_peak
       |FROM rated ORDER BY event_type, dow""".stripMargin
 
+  /** Burstiness (index of dispersion) per event type — the Poisson-ness
+    * diagnostic beside [[trendSlope]]/[[cusumChangepoint]]: on the dense
+    * day spine, the Fano factor F = Var/Mean distinguishes bursty
+    * (F ≫ 1), Poisson-like (F ≈ 1), and clock-regular (F < 1) streams.
+    * Emitted as EXACT INTEGERS (the autocorrelation discipline):
+    * n days, total S, var_num = n·Σy² − S², so
+    * F = var_num / (n·S) is the textbook value (population variance
+    * over mean) with no float near the hash; the verdict column
+    * compares var_num against n·S in integers.
+    *
+    * Scale shape: one shuffle to the persisted (type, day) counts, one
+    * per-type aggregate over domain-sized rows.
+    */
+  val burstiness: Q = (s, dir) => {
+    import s.implicits._
+    val daily = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "events")
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+        .groupBy($"event_type", $"day").agg(count(lit(1)).as("y")))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val types = daily.select($"event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", coalesce($"y", lit(0L)).as("y"))
+    val dec = "decimal(38,0)"
+    series.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"y").as("s"),
+        sum(($"y" * $"y").cast(dec)).cast("long").as("syy"))
+      .select($"event_type", $"n_days", $"s",
+        ($"n_days".cast(dec) * $"syy".cast(dec) -
+          $"s".cast(dec) * $"s".cast(dec)).cast("long").as("var_num"),
+        ($"n_days" * $"s").as("mean_den"))
+      .withColumn("regime",
+        when($"var_num" > $"mean_den" * 2, "bursty")
+          .when($"var_num" * 2 < $"mean_den", "regular")
+          .otherwise("poisson_like"))
+      .orderBy($"event_type")
+  }
+
+  val burstinessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, unnest(range(b.d0, b.d1 + 1)) AS day
+      |  FROM types t CROSS JOIN bounds b),
+      |series AS (
+      |  SELECT s.event_type, COALESCE(d.y, 0) AS y
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(y) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+      |  FROM series GROUP BY event_type),
+      |stats AS (
+      |  SELECT event_type, n_days, s,
+      |    CAST(CAST(n_days AS HUGEINT) * syy
+      |      - CAST(s AS HUGEINT) * s AS BIGINT) AS var_num,
+      |    n_days * s AS mean_den
+      |  FROM sums)
+      |SELECT event_type, n_days, s, var_num, mean_den,
+      |  CASE WHEN var_num > mean_den * 2 THEN 'bursty'
+      |       WHEN var_num * 2 < mean_den THEN 'regular'
+      |       ELSE 'poisson_like' END AS regime
+      |FROM stats ORDER BY event_type""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_burstiness" -> (burstiness, Some(burstinessSql)),
     "events_seasonality_dow" -> (seasonalityDow, Some(seasonalityDowSql)),
     "events_cusum_changepoint" ->
       (cusumChangepoint, Some(cusumChangepointSql)),
