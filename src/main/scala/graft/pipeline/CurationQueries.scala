@@ -2053,6 +2053,85 @@ object CurationQueries {
       |  CAST(MIN(lv) AS BIGINT) AS min_l
       |FROM g GROUP BY nation ORDER BY nation""".stripMargin
 
+  /** t-closeness audit — the third member of the privacy-audit family
+    * ([[kAnonymity]] bounds group SIZE, [[lDiversity]] sensitive
+    * DIVERSITY; this bounds sensitive-distribution SKEW): per
+    * quasi-identifier group, the total-variation distance between the
+    * group's market-segment distribution and the corpus-wide one,
+    * t = ½·Σ_s |p_g(s) − p(s)| — a group whose segment mix diverges far
+    * from the corpus leaks membership signal even when large and
+    * diverse. Emitted EXACT (the ratio-statistics discipline): per
+    * group the integer numerator Σ|cnt_g·N − g_cnt·n_g| over the
+    * shared denominator 2·n_g·N (both rational distributions cleared),
+    * and the t > 0.2 flag compared in integers (5·num > den). The sum
+    * runs over the FULL segment grid — a segment absent from the group
+    * still contributes |0 − p(s)| mass, so the grid is built by
+    * crossing groups with the broadcast global distribution.
+    *
+    * Scale shape: one shuffle on the (QI, sensitive) cell key; the
+    * grid join is groups × |segments| against the domain-sized
+    * broadcast; one rollup. Integer-only.
+    */
+  val tCloseness: Q = (s, dir) => {
+    import s.implicits._
+    // read three times (group sizes, global marginal, grid terms)
+    val cells = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "customer")
+        .select($"c_nationkey".as("nation"),
+          floor($"c_acctbal" / 2000.0).cast("long").as("bal_band"),
+          $"c_mktsegment".as("sens"))
+        .groupBy($"nation", $"bal_band", $"sens")
+        .agg(count(lit(1)).as("cnt")))
+    val groups = cells.groupBy($"nation", $"bal_band")
+      .agg(sum($"cnt").as("n_g"))
+    val global = cells.groupBy($"sens").agg(sum($"cnt").as("g_cnt"))
+    val tot = global.agg(sum($"g_cnt").as("nn"))
+    val dec = "decimal(38,0)"
+    groups.crossJoin(broadcast(global)).crossJoin(broadcast(tot))
+      .join(cells, Seq("nation", "bal_band", "sens"), "left")
+      .select($"nation", $"bal_band", $"n_g", $"nn",
+        abs(coalesce($"cnt", lit(0L)).cast(dec) * $"nn".cast(dec) -
+          $"g_cnt".cast(dec) * $"n_g".cast(dec)).as("term"))
+      .groupBy($"nation", $"bal_band")
+      .agg(max($"n_g").as("n_g"), max($"nn").as("nn"),
+        sum($"term").cast("long").as("tv_num"))
+      .select($"nation", $"bal_band", $"n_g", $"tv_num",
+        (lit(2L) * $"n_g" * $"nn").as("tv_den"))
+      .withColumn("far", $"tv_num" * 5 > $"tv_den")
+      .orderBy($"nation", $"bal_band")
+  }
+
+  val tClosenessSql: String =
+    """WITH q AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+      |    c_mktsegment AS sens
+      |  FROM customer),
+      |cells AS (
+      |  SELECT nation, bal_band, sens, COUNT(*) AS cnt
+      |  FROM q GROUP BY nation, bal_band, sens),
+      |grp AS (
+      |  SELECT nation, bal_band, CAST(SUM(cnt) AS BIGINT) AS n_g
+      |  FROM cells GROUP BY nation, bal_band),
+      |gm AS (SELECT sens, CAST(SUM(cnt) AS BIGINT) AS g_cnt
+      |         FROM cells GROUP BY sens),
+      |tot AS (SELECT CAST(SUM(g_cnt) AS BIGINT) AS nn FROM gm),
+      |terms AS (
+      |  SELECT g.nation, g.bal_band, g.n_g, t.nn,
+      |    abs(CAST(COALESCE(c.cnt, 0) AS HUGEINT) * t.nn
+      |      - CAST(gl.g_cnt AS HUGEINT) * g.n_g) AS term
+      |  FROM grp g CROSS JOIN gm gl CROSS JOIN tot t
+      |    LEFT JOIN cells c ON c.nation = g.nation
+      |      AND c.bal_band = g.bal_band AND c.sens = gl.sens),
+      |pg AS (
+      |  SELECT nation, bal_band, MAX(n_g) AS n_g, MAX(nn) AS nn,
+      |    CAST(SUM(term) AS BIGINT) AS tv_num
+      |  FROM terms GROUP BY nation, bal_band)
+      |SELECT nation, bal_band, n_g, tv_num,
+      |  2 * n_g * nn AS tv_den,
+      |  tv_num * 5 > 2 * n_g * nn AS far
+      |FROM pg ORDER BY nation, bal_band""".stripMargin
+
   /** Training-shard assignment by RENDEZVOUS (highest-random-weight)
     * hashing — how a pipeline distributes a corpus over N writer shards
     * so that resizing moves only the mathematically-minimal share of
@@ -2175,6 +2254,7 @@ object CurationQueries {
     "curate_token_budget_trim" ->
       (tokenBudgetTrim, Some(tokenBudgetTrimSql)),
     "curate_l_diversity" -> (lDiversity, Some(lDiversitySql)),
+    "curate_t_closeness" -> (tCloseness, Some(tClosenessSql)),
     "curate_shard_assign" -> (shardAssign, Some(shardAssignSql)),
     "curate_curriculum_order" -> (curriculumOrder, Some(curriculumOrderSql)),
     "graph_hits" -> (hitsScores, Some(hitsScoresSql)),

@@ -48,6 +48,38 @@ class CurationInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t-closeness matches a plain-Scala BigInt recompute of the TV integers") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.queries("curate_t_closeness")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[Number]("nation").longValue,
+          r.getAs[Long]("bal_band")) ->
+        (r.getAs[Long]("n_g"), r.getAs[Long]("tv_num"),
+          r.getAs[Long]("tv_den"), r.getAs[Boolean]("far")))
+      .toMap
+    val cust = Tables(spark, sf0001, "customer")
+      .select($"c_nationkey".cast("long"),
+        floor($"c_acctbal" / 2000.0).cast("long"), $"c_mktsegment")
+      .as[(Long, Long, String)].collect()
+    graft.CacheTracker.releaseAll()
+    val nn = BigInt(cust.length)
+    val globalCnt = cust.groupBy(_._3).view.mapValues(v => BigInt(v.length))
+    val segs = globalCnt.keys.toSeq
+    val byGroup = cust.groupBy(c => (c._1, c._2))
+    assert(rows.keySet == byGroup.keySet)
+    byGroup.foreach { case (g, members) =>
+      val nG = BigInt(members.length)
+      val cnt = members.groupBy(_._3).view.mapValues(v => BigInt(v.length))
+      val num = segs.map(s =>
+        (cnt.getOrElse(s, BigInt(0)) * nn - globalCnt(s) * nG).abs).sum
+      val den = 2 * nG * nn
+      val (rN, rNum, rDen, rFar) = rows(g)
+      assert(BigInt(rN) == nG && BigInt(rNum) == num && BigInt(rDen) == den,
+        s"group $g")
+      assert(rFar == (num * 5 > den), s"group $g flag")
+    }
+  }
+
   test("every history chain is contiguous, rooted, and singly-current") {
     val rows = Queries.queries("scd2_dimension_history")(spark, sf0001)
       .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect()
