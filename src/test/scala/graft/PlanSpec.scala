@@ -692,6 +692,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("winnowing: one doc-keyed window pass, pruned scan, no cartesian") {
+    val p = plan("text_winnowing_fingerprint")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "the documents scan must prune to (doc_id, text):\n" + p)
+    // the frame min and the per-doc count ride doc_id-keyed windows —
+    // no global (unpartitioned) window may appear
+    assert(!p.contains("Window [") ||
+      !p.contains("windowspecdefinition()"),
+      "no unpartitioned window:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("decontamination: broadcast eval grams, doc-keyed spans, no cartesian") {
+    val p = plan("curate_decontaminate_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval gram set must broadcast into the position scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here should shuffle-join — eval grams are broadcast:\n" + p)
+  }
+
+  test("pq distortion: persisted slices, broadcast codebook, M-row report") {
+    val p = plan("sim_pq_distortion")
+    assert(p.contains("InMemoryTableScan"),
+      "the sliced subspaces are read twice and must persist:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the k*M-row codebook must broadcast into the residual pass:\n" + p)
+    assert(p.contains("dot_exact_dec"),
+      "residual sums must use the exact decimal kernel:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t-closeness: broadcast segment grid, one cell-key aggregation path") {
+    val p = plan("curate_t_closeness")
+    assert(p.contains("InMemoryTableScan"),
+      "the cell table is read three times and must persist:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Broadcast"),
+      "the domain-sized global distribution must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("autocorrelation prunes to ts and partial-aggregates hourly counts") {
     val p = plan("events_autocorrelation")
     assert(p.contains("ReadSchema: struct<ts"),
