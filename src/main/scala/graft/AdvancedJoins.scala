@@ -61,6 +61,65 @@ object AdvancedJoins {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Backward as-of with a STALENESS TOLERANCE — the financial-data
+    * as-of variant ("match the latest quote, but never one older than
+    * 30 minutes"): identical single-shuffle union-window as
+    * [[asofPurchaseClick]], with the matched click DISCARDED (nulled,
+    * not dropped — the purchase row survives unmatched) when
+    * purchase_ts − click_ts exceeds the 30-minute bound. Δt compares
+    * in exact integer microseconds; the emitted `delta_us` is null
+    * exactly when the match is. Oracle: DuckDB's native backward ASOF
+    * with the same integer CASE.
+    */
+  val asofTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val tolUs = 1800000000L // 30 min
+    val ev = Tables(s, dir, "events")
+    val dd = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val clicks = ev.filter($"event_type" === "click")
+      .withColumn("rn", row_number().over(dd)).filter($"rn" === 1)
+      .select($"user_id", $"ts", $"value", lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("double").as("value"),
+        lit(1).as("tag"), $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts",
+        last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when($"tag" === 0, $"value"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .withColumn("delta_us",
+        expr("unix_micros(cast(ts as timestamp)) - " +
+          "unix_micros(cast(click_ts as timestamp))"))
+      .select($"user_id", $"purchase_id", $"ts",
+        when($"delta_us" <= tolUs, $"click_ts").as("click_ts"),
+        when($"delta_us" <= tolUs, $"click_value").as("click_value"),
+        when($"delta_us" <= tolUs, $"delta_us").as("delta_us"))
+      .orderBy($"purchase_id")
+  }
+
+  val asofToleranceSql: String =
+    """WITH c0 AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts, value FROM c0 WHERE rn = 1),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.purchase_id, p.ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+      |       THEN c.ts END AS click_ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+      |       THEN c.value END AS click_value,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+      |       THEN epoch_us(p.ts) - epoch_us(c.ts) END AS delta_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
   /** Pure range join: orders falling in the first week of each 1996
     * month. The interval table is constant-size → broadcast nested loop;
     * the fact side streams through once.
@@ -650,6 +709,7 @@ object AdvancedJoins {
     "join_fuzzy_match" -> (fuzzyMatch, Some(fuzzyMatchSql)),
     "join_bucketed_colocated" -> (bucketedColocated, Some(bucketedColocatedSql)),
     "join_asof_purchase_click" -> (asofPurchaseClick, Some(asofSql)),
+    "join_asof_tolerance" -> (asofTolerance, Some(asofToleranceSql)),
     "join_range_promo_weeks" -> (rangePromoWeeks, Some(rangePromoSql)),
     "agg_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
     "agg_hll_sketch_merge" -> (hllSketchMerge, Some(hllSketchMergeSql)),
