@@ -1519,6 +1519,91 @@ object CurationQueries {
        |FROM e16 GROUP BY 1 ORDER BY dist""".stripMargin
   }
 
+  /** Landmark-closeness centrality — the practical closeness variant a
+    * graph pipeline actually runs (exact closeness is all-pairs BFS;
+    * landmark closeness bounds it at L sources): hop distances from 4
+    * formula-pinned landmarks (0, n/3, 2n/3, n−1), relaxed in ONE BFS
+    * loop whose estimate frame carries all four distance columns — the
+    * shuffles are those of a single BFS, the 4-way min aggregation
+    * rides the same exchange (the vectorized-relaxation trick; running
+    * [[bfsLoop]] four times would quadruple the checkpoint jobs for
+    * zero extra information). Per node: the four distances (INF → −1),
+    * landmarks reached, and the exact integer distance sum over
+    * reached landmarks — closeness = reached/dist_sum left to the
+    * consumer.
+    */
+  val closenessLandmarks: Q = (s, dir) => {
+    import s.implicits._
+    val inf = 999999L
+    val docs = Tables(s, dir, "documents").select($"doc_id")
+      .localCheckpoint(true)
+    val n = docs.count()
+    val adj = linkAdj(docs, n)
+    val lms = Seq(0L, n / 3, (2 * n) / 3, n - 1)
+    val cols = lms.indices.map(i => s"d$i")
+    def step(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val m = adj
+        .join(e.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst")
+        .agg(cols.map(c => (min(col(c)) + 1L).as(s"m$c")).head,
+          cols.map(c => (min(col(c)) + 1L).as(s"m$c")).tail: _*)
+      e.join(m, $"node" === $"dst", "left")
+        .select($"node" +: cols.map(c =>
+          least(col(c), coalesce(col(s"m$c"), col(c))).as(c)): _*)
+    }
+    var est = docs.select($"doc_id".as("node") +:
+        lms.zipWithIndex.map { case (lm, i) =>
+          when($"doc_id" === lm, 0L).otherwise(inf).as(s"d$i") }: _*)
+      .localCheckpoint(true)
+    var r = 0
+    while (r < 16) { // the bfsLoop batching discipline: 2 per checkpoint
+      val b = math.min(2, 16 - r)
+      est = (1 to b).foldLeft(est)((e, _) => step(e)).localCheckpoint(true)
+      r += b
+    }
+    est.select($"node" +: cols.map(c =>
+        when(col(c) === inf, -1L).otherwise(col(c)).as(c)): _*)
+      .withColumn("n_reached",
+        cols.map(c => when(col(c) >= 0, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("dist_sum",
+        cols.map(c => when(col(c) >= 0, col(c)).otherwise(0L)).reduce(_ + _))
+      .orderBy($"node")
+  }
+
+  val closenessLandmarksSql: String = {
+    val idx = 0 until 4
+    val steps = (1 to 16).map { k =>
+      val mins = idx.map(i => s"MIN(e.d$i) + 1 AS md$i").mkString(", ")
+      val lst = idx.map(i =>
+        s"LEAST(e.d$i, COALESCE(m.md$i, e.d$i)) AS d$i").mkString(", ")
+      s"""m$k AS (SELECT a.dst, $mins
+         |        FROM adj a JOIN e${k - 1} e ON a.src = e.node GROUP BY a.dst),
+         |e$k AS MATERIALIZED (SELECT e.node, $lst
+         |        FROM e${k - 1} e LEFT JOIN m$k m ON e.node = m.dst)""".stripMargin
+    }.mkString(",\n")
+    val lmCase = Seq("0", "n // 3", "(2 * n) // 3", "n - 1")
+    val e0 = idx.map(i =>
+      s"CASE WHEN doc_id = ${lmCase(i)} THEN 0 ELSE 999999 END AS d$i")
+      .mkString(",\n       |         ")
+    val outD = idx.map(i =>
+      s"CAST(CASE WHEN d$i = 999999 THEN -1 ELSE d$i END AS BIGINT) AS d$i")
+      .mkString(",\n       |  ")
+    val reach = idx.map(i => s"CASE WHEN d$i < 999999 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val dsum = idx.map(i => s"CASE WHEN d$i < 999999 THEN d$i ELSE 0 END")
+      .mkString(" + ")
+    s"""$sqlAdjPrefix,
+       |e0 AS (SELECT doc_id AS node,
+       |         $e0
+       |       FROM docs CROSS JOIN stats),
+       |$steps
+       |SELECT node,
+       |  $outD,
+       |  CAST($reach AS BIGINT) AS n_reached,
+       |  CAST($dsum AS BIGINT) AS dist_sum
+       |FROM e16 ORDER BY node""".stripMargin
+  }
+
   /** Jaccard link prediction — rank NON-edges by neighborhood overlap
     * (the classic common-neighbors/Jaccard predictor behind "related
     * items" and graph densification): candidate pairs are wedge
@@ -2273,6 +2358,8 @@ object CurationQueries {
     "graph_modularity" -> (modularity, Some(modularitySql)),
     "graph_assortativity" -> (assortativity, Some(assortativitySql)),
     "graph_bfs_layers" -> (bfsLayers, Some(bfsLayersSql)),
+    "graph_closeness_landmarks" ->
+      (closenessLandmarks, Some(closenessLandmarksSql)),
     "graph_jaccard_link_prediction" ->
       (jaccardLinkPrediction, Some(jaccardLinkPredictionSql)),
     "graph_triangle_count_hub" -> (triangleCountHub, Some(triangleCountHubSql)),
