@@ -553,11 +553,17 @@ object EventQueries {
       .select($"h", $"n", $"ss", ($"n" * $"x" - $"ss").as("dev"))
     val led = AcfLags.foldLeft(dv)((df, k) =>
       df.withColumn(s"d$k", lead($"dev", k).over(w)))
+    // Widen EACH FACTOR to decimal before multiplying: dev reaches
+    // ~n_hours·max_x (≈3e9 at 1e9-event scale), so dev² overflows int64
+    // and a long*long product would wrap SILENTLY (ANSI off) before the
+    // decimal widen could help. decimal(38,0)×decimal(38,0) mirrors the
+    // oracle's HUGEINT products exactly; loudLong makes the final
+    // narrowing raise instead of NULLing on overflow.
     val dec = "decimal(38,0)"
     val aggCols = max($"n").as("n") +: max($"ss").as("s") +:
-      sum(($"dev" * $"dev").cast(dec)).cast("long").as("den") +:
+      loudLong(sum($"dev".cast(dec) * $"dev".cast(dec))).as("den") +:
       AcfLags.map(k =>
-        sum(($"dev" * col(s"d$k")).cast(dec)).cast("long").as(s"num$k"))
+        loudLong(sum($"dev".cast(dec) * col(s"d$k").cast(dec))).as(s"num$k"))
     val aggRow = led.agg(aggCols.head, aggCols.tail: _*)
     aggRow.select(explode(array(AcfLags.map(k =>
         struct(lit(k).as("lag"), $"n", $"s",
@@ -671,8 +677,10 @@ object EventQueries {
     * count is DOMAIN-sized (types × days in the corpus' span) — the
     * quantile-bins precedent for the per-type running-sum window.
     * Headroom: C ≤ n²·max_y ≤ 3650²·(corpus/365) — int64-safe past
-    * 10¹² events/day over a decade; the LONG sums would overflow
-    * loudly, not wrap silently, only far beyond that.
+    * 10¹² events/day over a decade; the running sum rides
+    * DECIMAL(38,0)/HUGEINT with a loudLong narrowing, so past that it
+    * raises rather than wrapping (ANSI-off long maths would wrap
+    * silently).
     */
   val cusumChangepoint: Q = (s, dir) => {
     import s.implicits._
@@ -692,10 +700,15 @@ object EventQueries {
     val st = Window.partitionBy($"event_type")
     val run = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Per-factor decimal widening before the n·y product and a decimal
+    // running sum (the oracle's HUGEINT window SUM), narrowed loudly —
+    // long·long would wrap silently past ~10¹² events/day·decade.
+    val dec = "decimal(38,0)"
     val cus = series
       .withColumn("n", count(lit(1)).over(st))
       .withColumn("ss", sum($"y").over(st))
-      .withColumn("c", sum($"n" * $"y" - $"ss").over(run))
+      .withColumn("c", loudLong(sum(
+        $"n".cast(dec) * $"y".cast(dec) - $"ss".cast(dec)).over(run)))
     cus.withColumn("rk", row_number().over(
         Window.partitionBy($"event_type").orderBy(abs($"c").desc, $"day")))
       .filter($"rk" === 1)
@@ -833,13 +846,15 @@ object EventQueries {
       .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
     val series = spine.join(daily, Seq("event_type", "day"), "left")
       .select($"event_type", coalesce($"y", lit(0L)).as("y"))
+    // y² widened per-factor (long·long wraps silently past y≈3e9 with
+    // ANSI off); loudLong raises on narrowing overflow.
     val dec = "decimal(38,0)"
     series.groupBy($"event_type")
       .agg(count(lit(1)).as("n_days"), sum($"y").as("s"),
-        sum(($"y" * $"y").cast(dec)).cast("long").as("syy"))
+        loudLong(sum($"y".cast(dec) * $"y".cast(dec))).as("syy"))
       .select($"event_type", $"n_days", $"s",
-        ($"n_days".cast(dec) * $"syy".cast(dec) -
-          $"s".cast(dec) * $"s".cast(dec)).cast("long").as("var_num"),
+        loudLong($"n_days".cast(dec) * $"syy".cast(dec) -
+          $"s".cast(dec) * $"s".cast(dec)).as("var_num"),
         ($"n_days" * $"s").as("mean_den"))
       .withColumn("regime",
         when($"var_num" > $"mean_den" * 2, "bursty")

@@ -33,6 +33,23 @@ object Exact {
     */
   def dsumProduct(a: Column, b: Column): Column = dsum(a * b)
 
+  /** Loud decimal→int64 narrowing. With `spark.sql.ansi.enabled` off (this
+    * engine's configuration) `cast(dec as long)` returns NULL on overflow
+    * silently, which would surface as a confusing oracle hash/type mismatch
+    * instead of an error. This wrapper turns that overflow into a runtime
+    * `raise_error`, mirroring DuckDB's always-checked CAST — so the two
+    * engines fail the same way at the same magnitude. Used on the final
+    * BIGINT casts of exact-integer statistics (autocorrelation, burstiness,
+    * assortativity, …) whose docs promise loud failure past ~9.2e18.
+    */
+  def loudLong(c: Column): Column = {
+    val narrowed = c.cast("long")
+    when(c.isNotNull && narrowed.isNull,
+      raise_error(concat(lit("int64 overflow in exact statistic: "),
+        c.cast("string"))).cast("long"))
+      .otherwise(narrowed)
+  }
+
   /** DuckDB-side SQL fragment mirroring [[dsum]]. */
   def sqlDsum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(22,6))) AS DOUBLE)"

@@ -1312,20 +1312,25 @@ object CurationQueries {
     val pairs = adj
       .join(deg.toDF("src", "dx"), "src")
       .join(deg.toDF("dst", "dy"), "dst")
+    // Widen each factor BEFORE multiplying (dx·dy as long·long wraps
+    // silently past deg≈3e9 with ANSI off, diverging from the oracle's
+    // HUGEINT products); loudLong raises on the final narrowing instead
+    // of NULLing.
+    import graft.functions.Exact.loudLong
     val dec = "decimal(38,0)"
     pairs.agg(count(lit(1)).as("m_edges"),
-        sum($"dx".cast(dec)).cast("long").as("sx"),
-        sum($"dy".cast(dec)).cast("long").as("sy"),
-        sum(($"dx" * $"dy").cast(dec)).cast("long").as("sxy"),
-        sum(($"dx" * $"dx").cast(dec)).cast("long").as("sxx"),
-        sum(($"dy" * $"dy").cast(dec)).cast("long").as("syy"))
+        loudLong(sum($"dx".cast(dec))).as("sx"),
+        loudLong(sum($"dy".cast(dec))).as("sy"),
+        loudLong(sum($"dx".cast(dec) * $"dy".cast(dec))).as("sxy"),
+        loudLong(sum($"dx".cast(dec) * $"dx".cast(dec))).as("sxx"),
+        loudLong(sum($"dy".cast(dec) * $"dy".cast(dec))).as("syy"))
       .select($"m_edges", $"sx", $"sy",
-        ($"m_edges".cast(dec) * $"sxy".cast(dec) -
-          $"sx".cast(dec) * $"sy".cast(dec)).cast("long").as("num"),
-        ($"m_edges".cast(dec) * $"sxx".cast(dec) -
-          $"sx".cast(dec) * $"sx".cast(dec)).cast("long").as("den_x"),
-        ($"m_edges".cast(dec) * $"syy".cast(dec) -
-          $"sy".cast(dec) * $"sy".cast(dec)).cast("long").as("den_y"))
+        loudLong($"m_edges".cast(dec) * $"sxy".cast(dec) -
+          $"sx".cast(dec) * $"sy".cast(dec)).as("num"),
+        loudLong($"m_edges".cast(dec) * $"sxx".cast(dec) -
+          $"sx".cast(dec) * $"sx".cast(dec)).as("den_x"),
+        loudLong($"m_edges".cast(dec) * $"syy".cast(dec) -
+          $"sy".cast(dec) * $"sy".cast(dec)).as("den_y"))
       .orderBy($"m_edges")
   }
 
@@ -1397,9 +1402,10 @@ object CurationQueries {
         coalesce($"internal_edges", lit(0L)).as("internal_edges"),
         coalesce($"degree_sum", lit(0L)).as("degree_sum"))
       .select($"community", $"size", $"internal_edges", $"degree_sum",
-        (lit(4L * m).cast(dec) * $"internal_edges".cast(dec) -
-          $"degree_sum".cast(dec) * $"degree_sum".cast(dec))
-          .cast("long").as("mod_num"),
+        graft.functions.Exact.loudLong(
+          lit(4L * m).cast(dec) * $"internal_edges".cast(dec) -
+            $"degree_sum".cast(dec) * $"degree_sum".cast(dec))
+          .as("mod_num"),
         lit(4L * m * m).as("mod_den"))
       .orderBy($"size".desc, $"community").limit(50)
   }

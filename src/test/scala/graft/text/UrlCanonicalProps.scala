@@ -53,15 +53,18 @@ object UrlCanonicalProps extends Properties("urlCanonical") {
     trailing <- Gen.oneOf("", "/", "//")
     tracking <- Gen.someOf(Seq("utm_source=g", "utm_medium=m", "fbclid=x",
       "gclid=y", "ref=tw"))
-    shuffledParams <- Gen.const(scala.util.Random.shuffle(params))
+    // Permutations must derive from ScalaCheck's seed (an unseeded
+    // scala.util.Random here would make failures unreplayable and
+    // re-randomize under shrinking) — draw a Long and seed a local RNG.
+    permSeed <- Gen.choose(Long.MinValue, Long.MaxValue)
     frag <- Gen.oneOf("", "#top", "#a1")
   } yield {
+    val rng = new scala.util.Random(permSeed)
     val canonicalParams = params.sorted
     val clean = s"$scheme://$host$path" +
       (if (canonicalParams.nonEmpty) "?" + canonicalParams.mkString("&")
        else "")
-    val messParams = scala.util.Random.shuffle(
-      shuffledParams ++ tracking.toList)
+    val messParams = rng.shuffle(rng.shuffle(params) ++ tracking.toList)
     val mess = (if (upScheme) scheme.toUpperCase else scheme) + "://" +
       (if (www) "www." else "") +
       (if (upHost) host.toUpperCase else host) +
