@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench capture parses the LAST stdout line as JSON
+// (BENCH_r10.json recorded "parsed": null): forked program output must
+// reach stdout unprefixed (no "[info] ") and nothing may print after it
+// — so raw StdoutOutput for run, and no "[success] Total time" trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

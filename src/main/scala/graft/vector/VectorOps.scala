@@ -69,6 +69,21 @@ object VectorOps {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** DuckDB double-dot for SCREENING ONLY — the [[dotFast]] counterpart.
+    * Not bit-identical to Spark's strict fold (summation strategy is the
+    * engine's own), but any summation of 64 O(1) doubles agrees within
+    * ~1e-12, so a screen that keeps `score >= threshold - 1e-6` admits
+    * the same final survivors in both engines (the maxsim margin
+    * argument). Never let this decide an output value.
+    */
+  def sqlDotFast(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"z -> CAST(struct_extract(z, 1) AS DOUBLE) * CAST(struct_extract(z, 2) AS DOUBLE)))"
+
+  /** DuckDB double cosine mirror of [[cosineFast]] — screening only. */
+  def sqlCosineFast(a: String, b: String): String =
+    s"(${sqlDotFast(a, b)} / (sqrt(${sqlDotFast(a, a)}) * sqrt(${sqlDotFast(b, b)})))"
+
   /** DuckDB mirror of [[dotExact]] (list_sum over DECIMAL is exact). */
   def sqlDotExact(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), " +

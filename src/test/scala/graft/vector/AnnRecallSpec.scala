@@ -177,6 +177,37 @@ class AnnRecallSpec extends SparkSpec {
     assert(resR >= 0.85, f"residual IVF-PQ recall collapsed: $resR%.2f")
   }
 
+  test("NNG beam search: recall floor, displacement theorem, degree contract") {
+    val exact = pairs("sim_knn_brute") // exact top-10 per query
+    val emitted = pairs("sim_nng_beam") // beam top-10 per query
+    val fullBeam = SimilarityQueries.nngBeamResults(spark, sf0001)
+      .select("q_id", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = SimilarityQueries.nngEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheTracker.releaseAll()
+    // NN-descent-refined graph + 12-round beam: measured 49/50 on this
+    // corpus (deterministic); 0.8 is the regression floor
+    val hits = emitted.intersect(exact).size.toDouble
+    assert(hits / exact.size >= 0.8,
+      s"NNG beam recall collapsed: $hits/${exact.size}")
+    // GT-membership displacement pin: a ground-truth member inside the
+    // final beam can only be pushed past rank 10 by strictly-better
+    // nodes, and anything better than a GT member is itself GT — so the
+    // emitted top-10 must contain min(10, |beam ∩ GT|) GT members per q
+    emitted.map(_._1).foreach { q =>
+      val inBeam = fullBeam.count(p => p._1 == q && exact.contains(p))
+      val inTop = emitted.count(p => p._1 == q && exact.contains(p))
+      assert(inTop == math.min(10, inBeam),
+        s"q $q: displacement theorem broke ($inTop emitted vs $inBeam in beam)")
+    }
+    // graph contract: no self-edges, distinct edges, out-degree <= K
+    assert(edges.forall(e => e._1 != e._2), "self-edge in the k-NN graph")
+    assert(edges.distinct.length == edges.length, "duplicate edge")
+    val maxDeg = edges.groupBy(_._1).map(_._2.length).max
+    assert(maxDeg <= 12, s"out-degree $maxDeg exceeds K=12")
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
