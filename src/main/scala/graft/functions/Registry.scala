@@ -25,7 +25,7 @@ object Registry {
     * synchronized writes per Tables() call.
     */
   def registerAll(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(Codepoints.ident)) {
+    if (!spark.sessionState.functionRegistry.functionExists(NfcNormalize.ident)) {
       RollingHash64.register(spark)
       MinHashMd5.register(spark)
       SignBits.register(spark)
@@ -33,8 +33,9 @@ object Registry {
       WordShingles.register(spark)
       DotDouble.register(spark)
       GraphemeCount.register(spark)
+      Codepoints.register(spark)
       // newest last: the guard probes this one, so a session registered
       // by older code re-registers the full (grown) surface
-      Codepoints.register(spark)
+      NfcNormalize.register(spark)
     }
 }

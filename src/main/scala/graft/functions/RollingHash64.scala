@@ -102,5 +102,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((WordShingles.ident, WordShingles.info, WordShingles.builder))
     ext.injectFunction((GraphemeCount.ident, GraphemeCount.info, GraphemeCount.builder))
     ext.injectFunction((Codepoints.ident, Codepoints.info, Codepoints.builder))
+    ext.injectFunction((NfcNormalize.ident, NfcNormalize.info, NfcNormalize.builder))
   }
 }

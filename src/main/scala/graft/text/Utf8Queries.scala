@@ -204,6 +204,78 @@ object Utf8Queries {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  /** NFC-equivalence stress rows (kept OUT of [[docs]] so the other
+    * utf8 gates' outputs don't churn), written as \\u escapes because
+    * composed-vs-decomposed source literals are visually identical.
+    * Each group is one NFC equivalence class with byte-distinct
+    * members — the dedup class a raw fingerprint misses:
+    *   - 201/202: é composed (U+00E9) vs e + COMBINING ACUTE;
+    *   - 203/204/205: Å letter vs A + RING vs ANGSTROM SIGN (singleton
+    *     decomposition);
+    *   - 206/207: precomposed Hangul syllable vs conjoining jamo;
+    *   - 208/209/210: ṩ fully composed vs two mark ORDERINGS of
+    *     s + dot-below + dot-above (canonical reordering);
+    *   - 211/212: DEVANAGARI QA — a composition EXCLUSION: NFC leaves
+    *     both as the decomposed pair, so they unify downward;
+    *   - 213/214: full composed vs fully decomposed French sentence;
+    *   - 215: SMP emoji pass-through (its own singleton class).
+    * Yezidi multi-mark clusters (U+10EAB/U+10EAC) are deliberately
+    * absent — the one probe-measured Java/utf8proc divergence (see
+    * [[graft.functions.NfcNormalize]]).
+    */
+  private val nfcDocs: Seq[(Long, String, String)] = Seq(
+    (201L, "caf\u00e9", "composed"),
+    (202L, "cafe\u0301", "decomposed"),
+    (203L, "\u00c5ngstr\u00f6m", "composed"),
+    (204L, "A\u030angstro\u0308m", "decomposed"),
+    (205L, "\u212bngstr\u00f6m", "angstrom-sign"),
+    (206L, "\uac01 \ud55c\uae00", "hangul-composed"),
+    (207L, "\u1100\u1161\u11a8 \u1112\u1161\u11ab\u1100\u1173\u11af", "hangul-jamo"),
+    (208L, "\u1e69", "composed"),
+    (209L, "s\u0323\u0307", "marks-below-first"),
+    (210L, "\u1e61\u0323", "marks-above-first"),
+    (211L, "\u0958", "qa-precomposed"),
+    (212L, "\u0915\u093c", "qa-decomposed"),
+    (213L, "r\u00e9sum\u00e9 d\u00e9j\u00e0 vu", "composed"),
+    (214L, "re\u0301sume\u0301 de\u0301ja\u0300 vu", "decomposed"),
+    (215L, "\ud83d\ude00 ok", "emoji"))
+
+  /** NFC-equivalence dedup: md5 over [[graft.functions.NfcNormalize]]
+    * output groups composed/decomposed/reordered renderings of the same
+    * text into one class (n_raw_forms counts the byte-distinct members a
+    * raw fingerprint would have kept as separate "documents"), while the
+    * ASCII/CJK base corpus passes through as singleton classes. This is
+    * the canonicalization step that runs BEFORE any exact-dedup
+    * fingerprint in a multilingual pipeline — macOS-origin uploads (NFD)
+    * and web content (NFC) otherwise never collide. Map-only per row +
+    * one hash-keyed aggregation: the [[graft.text.DedupQueries]] exact
+    * template, scan-local at any scale.
+    */
+  val utf8NfcDedup: Q = (s, _) => {
+    import s.implicits._
+    val rows = fixture(s).select($"doc_id", $"text")
+      .unionByName((nfcDocs.toDF("doc_id", "text", "lang"))
+        .select($"doc_id", $"text"))
+    rows
+      .groupBy(md5(expr("nfc_normalize(text)")).as("nfc_fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(md5($"text")).as("n_raw_forms"),
+        min($"doc_id").as("canonical_id"))
+      .orderBy($"nfc_fp")
+  }
+
+  val utf8NfcDedupSql: String =
+    s"""WITH $sqlFixture,
+       |${valuesCte("nfc_docs", nfcDocs)},
+       |all_docs AS (
+       |  SELECT doc_id, text FROM utf8_docs
+       |  UNION ALL SELECT doc_id, text FROM nfc_docs)
+       |SELECT md5(nfc_normalize(text)) AS nfc_fp,
+       |  COUNT(*) AS n_copies,
+       |  COUNT(DISTINCT md5(text)) AS n_raw_forms,
+       |  MIN(doc_id) AS canonical_id
+       |FROM all_docs GROUP BY 1 ORDER BY nfc_fp""".stripMargin
+
   /** Extra segmentation-stress rows the grapheme gate appends to the
     * shared fixture (kept OUT of [[docs]] so the other utf8 gates'
     * outputs don't churn): Devanagari virama conjuncts, NFD combining
@@ -361,5 +433,6 @@ object Utf8Queries {
     "text_utf8_token_stats" -> (utf8TokenStats, Some(utf8TokenStatsSql)),
     "text_utf8_lang_id" -> (utf8LangId, Some(utf8LangIdSql)),
     "text_utf8_fingerprint_dedup" ->
-      (utf8FingerprintDedup, Some(utf8FingerprintDedupSql)))
+      (utf8FingerprintDedup, Some(utf8FingerprintDedupSql)),
+    "text_utf8_nfc_dedup" -> (utf8NfcDedup, Some(utf8NfcDedupSql)))
 }
