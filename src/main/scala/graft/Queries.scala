@@ -642,7 +642,7 @@ object Queries {
         "multimodal_image_ahash" -> (multimodalImageAhash, Some(multimodalImageAhashSql)),
         "multimodal_image_simjoin" -> (multimodalImageSim, Some(multimodalImageSimSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
-      AdvancedJoins.all, RelationalExtras.all,
+      AdvancedJoins.all, RelationalExtras.all, SqlQueries.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
       graft.text.BpeQueries.all, graft.text.ClassifierQueries.all,
       graft.text.DedupQueries.all,

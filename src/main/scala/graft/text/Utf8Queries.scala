@@ -84,6 +84,11 @@ object Utf8Queries {
 
   private val sqlFixture: String = valuesCte("utf8_docs", docs)
 
+  /** The fixture CTE for other modules' oracles (the SQL-parity gate
+    * reuses this corpus to prove the native functions under the parser).
+    */
+  private[graft] def sqlDocsCte: String = sqlFixture
+
   /** [[TextQueries.tokenStats]] shape over the UTF-8 fixture, plus the
     * md5 content fingerprint — proving normalization, both tokenizers,
     * code-point length, and the fingerprint agree beyond ASCII.
