@@ -222,22 +222,19 @@ object TextQueries {
     */
   val winnowingFingerprint: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    winnowingOn(Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks")))
+  }
+
+  /** [[winnowingFingerprint]] over any (doc_id, toks) frame — split out
+    * so the 10× planted-run scale stress drives the same code.
+    */
+  private[graft] def winnowingOn(
+      docsToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docsToks.sparkSession
+    import s.implicits._
     val w = 5
-    val grams = Tables(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("toks"))
-      .filter(size($"toks") >= 4 + w - 1)
-      .select($"doc_id",
-        posexplode(NearDup.posGramKeys($"toks", 4)).as(Seq("p", "g")))
-      .select($"doc_id", $"p",
-        concat($"g", lit("|"), lpad($"p".cast("string"), 6, "0")).as("pg"))
-    val wf = Window.partitionBy($"doc_id").orderBy($"p")
-      .rowsBetween(Window.currentRow, w - 1)
-    val cnt = Window.partitionBy($"doc_id")
-    val sel = grams
-      .withColumn("n_grams", count(lit(1)).over(cnt))
-      .withColumn("m", min($"pg").over(wf))
-      .filter($"p" <= $"n_grams" - w) // full windows only
+    val sel = winnowingSelected(docsToks, w)
       .groupBy($"doc_id", $"n_grams")
       .agg(countDistinct($"m").as("n_selected"),
         md5(concat_ws(",", array_sort(collect_set($"m"))).cast("binary"))
@@ -248,6 +245,34 @@ object TextQueries {
           .as("density_ppm"),
         $"fp_digest")
       .orderBy($"doc_id")
+  }
+
+  /** The winnowing SELECTION itself — (doc_id, n_grams, p, m) rows, one
+    * per full window, m = the window's `hash|pos`-minimum. Split from
+    * the report so the scale stress can assert the detection guarantee
+    * (a shared ≥ w+k−1 run ⇒ a shared selected HASH) on the operator's
+    * own output, not a test-side recompute.
+    */
+  private[graft] def winnowingSelected(
+      docsToks: org.apache.spark.sql.DataFrame,
+      w: Int): org.apache.spark.sql.DataFrame = {
+    val s = docsToks.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = docsToks
+      .filter(size($"toks") >= 4 + w - 1)
+      .select($"doc_id",
+        posexplode(NearDup.posGramKeys($"toks", 4)).as(Seq("p", "g")))
+      .select($"doc_id", $"p",
+        concat($"g", lit("|"), lpad($"p".cast("string"), 6, "0")).as("pg"))
+    val wf = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val cnt = Window.partitionBy($"doc_id")
+    grams
+      .withColumn("n_grams", count(lit(1)).over(cnt))
+      .withColumn("m", min($"pg").over(wf))
+      .filter($"p" <= $"n_grams" - w) // full windows only
+      .select($"doc_id", $"n_grams", $"p", $"m")
   }
 
   val winnowingFingerprintSql: String = {
@@ -1076,9 +1101,19 @@ object TextQueries {
     */
   val rakeKeywords: Q = (s, dir) => {
     import s.implicits._
+    rakeOn(Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks")))
+  }
+
+  /** [[rakeKeywords]] over any (doc_id, toks) frame — split out so the
+    * 10×-replication scale stress drives the same code.
+    */
+  private[graft] def rakeOn(
+      docsToks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docsToks.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pos = Tables(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("toks"))
+    val pos = docsToks
       .select($"doc_id", posexplode($"toks").as(Seq("p", "t")))
     val ns = pos.filter(!$"t".isInCollection(rakeStop))
     val isl = ns.withColumn("g",

@@ -643,4 +643,69 @@ class ScaleStressSpec extends SparkSpec {
     assert(r10 == r1, "10x-replicated training diverged from 1x")
     info(f"BPE train on 10x corpus (${docs10.count()} docs): $secs%.1f s")
   }
+
+  test("winnowing detection guarantee holds over 50k planted-run docs, partition-invariant") {
+    // 50k docs, each: 3..9 unique prefix tokens + the SAME 8-token run
+    // + 6 unique suffix tokens. The run is >= w+k-1 = 8 tokens, so the
+    // SWA03 guarantee says EVERY doc selects at least one fingerprint
+    // from inside the run — and because the selection minimum compares
+    // the gram HASH before the position, every doc selects the SAME
+    // run gram hash despite the run sitting at a different position per
+    // doc. Assert on the operator's own selection output: one hash is
+    // selected by all 50k docs. Repartitioning must not move a single
+    // selected row (windows are per-doc).
+    val n = 50000L
+    val run = (1 to 8).map(i => s"common$i")
+    val docs = spark.range(n).select($"id".as("doc_id"),
+        concat(
+          transform(sequence(lit(1), (lit(3) + pmod($"id", lit(7))).cast("int")),
+            j => concat(lit("u"), $"id", lit("x"), j)),
+          typedLit(run),
+          transform(sequence(lit(1), lit(6)),
+            j => concat(lit("v"), $"id", lit("x"), j))).as("toks"))
+      .localCheckpoint(true)
+    val ((universal, total), secs) = timed {
+      val sel = graft.text.TextQueries.winnowingSelected(docs, 5)
+        .select($"doc_id", split($"m", "\\|").getItem(0).as("h"))
+      val byHash = sel.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" === n).count()
+      (byHash, sel.count())
+    }
+    assert(universal >= 1,
+      "no fingerprint hash selected by every doc — detection guarantee broke")
+    val d7 = graft.text.TextQueries.winnowingOn(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    val d64 = graft.text.TextQueries.winnowingOn(docs.repartition(64))
+      .collect().map(_.toSeq).toSeq
+    graft.CacheTracker.releaseAll()
+    assert(d7 == d64, "winnowing report changed under repartitioning")
+    info(f"winnowing 50k docs / $total selected rows: $secs%.1f s")
+  }
+
+  test("rake top-50 is invariant under 10x replication and repartitioning") {
+    // 10 copies of every sf0.1 document: every word degree, phrase
+    // occurrence count and phrase score scales exactly x10, so the
+    // top-50 must be the SAME phrases in the SAME order with n_occ and
+    // score exactly 10x — any corpus-size dependence or tie instability
+    // at the top-K boundary breaks equality. Partitioning must not
+    // matter (island windows are per-doc, stats are exact integers).
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("toks"))
+    val docs1 = graft.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select($"doc_id", $"text")
+    val docs10 = docs1.crossJoin(spark.range(10).select($"id".as("j")))
+      .select(($"doc_id" + $"j" * 10000000L).as("doc_id"), $"text")
+      .localCheckpoint(true)
+    val (r10, secs) = timed {
+      graft.text.TextQueries.rakeOn(toks(docs10).repartition(13))
+        .as[(String, Long, Long)].collect().toSeq
+    }
+    val r1 = graft.text.TextQueries.rakeOn(toks(docs1))
+      .as[(String, Long, Long)].collect().toSeq
+    graft.CacheTracker.releaseAll()
+    assert(r10 == r1.map { case (p, occ, sc) => (p, occ * 10, sc * 10) },
+      s"10x RAKE diverged from scaled 1x:\n${r10.take(5)}\nvs\n${r1.take(5)}")
+    info(f"RAKE on ${docs10.count()} docs: $secs%.1f s")
+  }
 }
