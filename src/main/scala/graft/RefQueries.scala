@@ -244,6 +244,46 @@ object RefQueries {
        |FROM orders""".stripMargin
   }
 
+  /** Avro roundtrip — the remaining mainstream lake format in the
+    * matrix (parquet/CSV/JSON/ORC/JDBC already gated). Rides the
+    * purpose-built [[graft.sources.AvroIO]] container-file pair (the
+    * spark-avro connector is not on this classpath): orders → one Avro
+    * container per partition → file-parallel read-back, aggregated
+    * against the unchanged parquet oracle. o_orderdate exercises the
+    * timestamp-micros logical type end-to-end — a dropped/shifted
+    * micros value moves min/max and breaks the hash.
+    */
+  val avroRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact._
+    val tmp = s"${graft.Scratch.dir}/graft_avro_orders_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
+    graft.sources.AvroIO.write(
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderdate"),
+      tmp)
+    graft.sources.AvroIO.read(s, tmp).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"o_orderkey").as("n_orders"),
+      countDistinct($"o_orderstatus").as("n_statuses"),
+      dsum($"o_totalprice").as("total_price"),
+      min($"o_orderkey").as("first_key"),
+      max($"o_orderkey").as("last_key"),
+      min($"o_orderdate").as("first_date"),
+      max($"o_orderdate").as("last_date"))
+  }
+
+  val avroRoundtripSql: String = {
+    import graft.functions.Exact._
+    s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       |  ${sqlDsum("o_totalprice")} AS total_price,
+       |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+       |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+       |FROM orders""".stripMargin
+  }
+
   /** O12 — row counters (`internal/writer/writer.go:52,63-64`). */
   val counts: Q = (s, dir) => {
     import s.implicits._
@@ -344,6 +384,7 @@ object RefQueries {
     "ref_json_page" -> (jsonPage, Some(jsonPageSql)),
     "ref_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
     "ref_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
+    "ref_avro_roundtrip" -> (avroRoundtrip, Some(avroRoundtripSql)),
     "ref_counts" -> (counts, Some(countsSql))
   )
 }

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class AvroIOSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    s"${graft.Scratch.dir}/avro_spec_${graft.Scratch.runToken}_$name"
+
+  private val st = StructType(Seq(
+    StructField("l", LongType, nullable = true),
+    StructField("i", IntegerType, nullable = true),
+    StructField("d", DoubleType, nullable = true),
+    StructField("f", FloatType, nullable = true),
+    StructField("b", BooleanType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("nts", TimestampNTZType, nullable = true)))
+
+  test("full type surface round-trips value-exactly, including nulls") {
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 12:34:56.123456")
+    val ntz = java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59, 999999000)
+    val rows = Seq(
+      Row(1L, 2, 3.5, 4.25f, true, "héllo", ts, ntz),
+      Row(null, null, null, null, null, null, null, null),
+      Row(Long.MinValue, Int.MaxValue, -0.0, Float.NaN, false, "", ts, ntz))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), st)
+    val path = tmp("types")
+    AvroIO.write(df, path)
+    val back = AvroIO.read(spark, path)
+    assert(back.schema == st, s"schema drifted: ${back.schema}")
+    val got = back.collect().sortBy(r => if (r.isNullAt(0)) Long.MaxValue
+      else r.getLong(0))
+    val want = rows.sortBy(r => if (r.get(0) == null) Long.MaxValue
+      else r.getLong(0))
+    // NaN != NaN under ==; compare via string form of each cell
+    assert(got.map(_.toString).toSeq == want.map(_.toString),
+      s"values drifted:\n${got.mkString("\n")}\nvs\n${want.mkString("\n")}")
+  }
+
+  test("empty partitions keep the schema on read-back") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L, 1, 1.0, 1.0f, true, "x",
+        null, null)), 4), st) // 4 partitions, 1 row: 3 header-only files
+    val path = tmp("empty")
+    AvroIO.write(df, path)
+    val back = AvroIO.read(spark, path)
+    assert(back.schema == st)
+    assert(back.count() == 1)
+  }
+
+  test("unsupported types fail loudly at write time") {
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(1, 2)))),
+      StructType(Seq(StructField("a", ArrayType(IntegerType)))))
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.write(bad, tmp("bad"))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+}
