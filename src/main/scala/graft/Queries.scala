@@ -644,6 +644,7 @@ object Queries {
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all, SqlQueries.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
+      graft.text.HtmlQueries.all,
       graft.text.BpeQueries.all, graft.text.ClassifierQueries.all,
       graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,

@@ -284,6 +284,88 @@ object RefQueries {
        |FROM orders""".stripMargin
   }
 
+  /** JSONL quarantine lines: valid objects, type/shape failures, and
+    * syntactic garbage — each chosen so the two engines' validity
+    * notions agree (no single-quote leniency: the Spark parse sets
+    * allowSingleQuotes=false to match strict JSON; no string-encoded
+    * numbers, where Jackson and try_cast disagree; top-level non-objects
+    * count as malformed on both sides via json_type = 'OBJECT').
+    */
+  private val jsonlLines: Seq[(Long, String)] = Seq(
+    (1L, """{"id": 1, "v": "alpha"}"""),
+    (2L, """{"id": 2, "v": "beta", "extra": true}"""),
+    (3L, """{"id": "three", "v": "gamma"}"""), // type failure on id
+    (4L, """{"v": "delta"}"""), // missing id
+    (5L, "not json at all"),
+    (6L, """{"id": 5, "v": "eps"""), // truncated
+    (7L, "[1, 2, 3]"), // valid JSON, not an object
+    (8L, """  {"id": 8, "v": "whitespace ok"}  """),
+    (9L, ""),
+    (10L, """{"id": 10, "v": null}"""),
+    (11L, "{'id': 11, 'v': 'single'}")) // strict JSON rejects '
+
+  /** Malformed-input ROUTING, not abortion — the quarantine half of the
+    * reference's error-propagation contract (O13 gates the FAILFAST
+    * half): every JSONL line is classified `malformed` (the parser
+    * quarantined the RECORD — syntactic garbage, a non-object top
+    * level, or a field whose value has the wrong TYPE; probe-measured:
+    * Spark's PERMISSIVE corrupt-record column is set for all three),
+    * `coerce_fail` (clean parse but the required id field is absent) or
+    * `ok`, with fields nulled for malformed rows — the dead-letter-queue
+    * shape a production ingest runs so one bad line costs one
+    * quarantined row, never the batch. Map-only per line.
+    */
+  val jsonlQuarantine: Q = (s, _) => {
+    import s.implicits._
+    val st = org.apache.spark.sql.types.StructType
+      .fromDDL("id BIGINT, v STRING, _bad STRING")
+    val parsed = jsonlLines.toDF("line_no", "line")
+      .select($"line_no",
+        from_json($"line", st, Map(
+          "allowSingleQuotes" -> "false",
+          "columnNameOfCorruptRecord" -> "_bad")).as("j"))
+    parsed.select($"line_no",
+        when($"j".isNull || $"j._bad".isNotNull, "malformed")
+          .when($"j.id".isNull, "coerce_fail")
+          .otherwise("ok").as("cls"))
+      .select($"line_no", $"cls") // recompute fields under the class
+      .join(jsonlLines.toDF("line_no", "line"), "line_no")
+      .select($"line_no", $"cls",
+        when($"cls" =!= "malformed",
+          from_json($"line", st, Map("allowSingleQuotes" -> "false",
+            "columnNameOfCorruptRecord" -> "_bad")).getField("id")).as("id"),
+        when($"cls" =!= "malformed",
+          from_json($"line", st, Map("allowSingleQuotes" -> "false",
+            "columnNameOfCorruptRecord" -> "_bad")).getField("v")).as("v"))
+      .orderBy($"line_no")
+  }
+
+  val jsonlQuarantineSql: String = {
+    val rows = jsonlLines.map { case (i, l) =>
+      s"(CAST($i AS BIGINT), '${l.replace("'", "''")}')"
+    }.mkString(",\n    ")
+    s"""WITH lines(line_no, line) AS (VALUES
+       |    $rows),
+       |cls AS (
+       |  SELECT line_no, line,
+       |    CASE WHEN NOT json_valid(line) OR json_type(line) <> 'OBJECT'
+       |           OR (json_type(line, '$$.id') IS NOT NULL AND
+       |               json_type(line, '$$.id') NOT IN ('UBIGINT', 'BIGINT'))
+       |           OR (json_type(line, '$$.v') IS NOT NULL AND
+       |               json_type(line, '$$.v') NOT IN ('VARCHAR', 'NULL'))
+       |           THEN 'malformed'
+       |         WHEN json_type(line, '$$.id') IS NULL THEN 'coerce_fail'
+       |         ELSE 'ok' END AS cls
+       |  FROM lines)
+       |SELECT line_no, cls,
+       |  CASE WHEN cls = 'malformed' THEN NULL
+       |       ELSE try_cast(json_extract_string(line, '$$.id') AS BIGINT)
+       |  END AS id,
+       |  CASE WHEN cls = 'malformed' THEN NULL
+       |       ELSE json_extract_string(line, '$$.v') END AS v
+       |FROM cls ORDER BY line_no""".stripMargin
+  }
+
   /** O12 — row counters (`internal/writer/writer.go:52,63-64`). */
   val counts: Q = (s, dir) => {
     import s.implicits._
@@ -385,6 +467,7 @@ object RefQueries {
     "ref_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
     "ref_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "ref_avro_roundtrip" -> (avroRoundtrip, Some(avroRoundtripSql)),
+    "ref_jsonl_quarantine" -> (jsonlQuarantine, Some(jsonlQuarantineSql)),
     "ref_counts" -> (counts, Some(countsSql))
   )
 }

@@ -446,6 +446,68 @@ object DedupQueries {
        |  array_to_string(list_sort(list(node)), ',') AS members
        |FROM cc GROUP BY comp ORDER BY cluster_id""".stripMargin
 
+  /** Quality-aware canonical selection — the "which copy do we keep"
+    * decision after clustering: within every near-dup cluster keep the
+    * member with the MOST TOKENS (ties to the smallest doc_id), i.e.
+    * the least-truncated rendering, and report what was dropped.
+    * `dedup_cluster_canonical` answers "what belongs together";
+    * this gate answers the curation step after it — production
+    * pipelines keep the best-quality member (longest text is the
+    * canonical integer-exact proxy on this corpus, whose planted
+    * near-dups ARE truncations), never just the lowest id. Lengths
+    * derive from the id arithmetic of the cluster corpus (base id +
+    * 10000·k drops 5·k tokens), so the gate needs no second tokenize
+    * pass; singletons keep themselves.
+    *
+    * Scale shape: the shared memoized edge artifact + one CC pass, a
+    * broadcast-sized length join, one rank window keyed by cluster —
+    * all bounded by cluster size, nothing corpus-quadratic.
+    */
+  val keepBest: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (corpusIds, labels) = clusterLabels(s, dir)
+    val groups = corpusIds
+      .join(labels.toDF("doc_id", "comp"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+    val baseLen = Tables(s, dir, "documents")
+      .select($"doc_id".as("base_id"),
+        size(TextAnalysis.tokens($"text")).as("blen"))
+      .filter($"blen" >= 15)
+    val lens = groups
+      .withColumn("base_id", $"doc_id" % 10000L)
+      .join(baseLen, "base_id")
+      .select($"doc_id", $"cluster_id",
+        ($"blen" - expr("doc_id div 10000") * 5L).as("len"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"len".desc, $"doc_id")
+    lens.withColumn("rk", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rk" === 1, $"doc_id")).as("kept_id"),
+        max(when($"rk" === 1, $"len")).as("kept_len"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy($"cluster_id")
+  }
+
+  val keepBestSql: String =
+    s"""WITH RECURSIVE $clusterChainSql,
+       |grp AS (
+       |  SELECT c.doc_id, COALESCE(cc.comp, c.doc_id) AS cluster_id
+       |  FROM (SELECT doc_id FROM corpus) c LEFT JOIN cc ON c.doc_id = cc.node),
+       |lens AS (
+       |  SELECT g.doc_id, g.cluster_id,
+       |    CAST(len(b.toks) - (g.doc_id // 10000) * 5 AS BIGINT) AS len
+       |  FROM grp g JOIN base b ON g.doc_id % 10000 = b.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rk
+       |  FROM lens)
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_id,
+       |  CAST(MAX(CASE WHEN rk = 1 THEN len END) AS BIGINT) AS kept_len,
+       |  COUNT(*) - 1 AS n_dropped
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Leakage-safe train/val/test split — the eval-contamination
     * guarantee [[graft.pipeline.CurationQueries.hashSplit]]'s per-doc
     * bucket cannot give: a document and its near-duplicates must land
@@ -1167,6 +1229,7 @@ object DedupQueries {
     "dedup_simhash_sig" -> (simhashSig, Some(simhashSigSql)),
     "dedup_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),
     "dedup_cluster_canonical" -> (dedupClusters, Some(dedupClustersSql)),
+    "dedup_keep_best" -> (keepBest, Some(keepBestSql)),
     "curate_leakage_safe_split" -> (leakageSafeSplit, Some(leakageSafeSplitSql))
   )
 }
