@@ -204,7 +204,7 @@ object SimilarityQueries {
     * the near-dup pair gate and DBSCAN. One corpus, one pair table
     * ([[plantedPairs]]), two consumers.
     */
-  private def plantedRaw(s: org.apache.spark.sql.SparkSession,
+  private[graft] def plantedRaw(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")

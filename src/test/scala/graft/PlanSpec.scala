@@ -254,13 +254,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cosine near-dup: native sign_bits signatures, banded join, cached rescore boundary") {
-    val p = plan("sim_cosine_neardup")
+    // r11: the gate reads the memoized pair ARTIFACT; the plan pins move
+    // to the BUILD plan (the shared LSH engine over the planted corpus),
+    // explained directly through the package-private entry points.
+    val raw = graft.vector.SimilarityQueries.plantedRaw(spark, sf0001)
+    val build = graft.vector.SimilarityQueries.lshPairCosines(raw)
+    build.collect()
+    val p = build.queryExecution.executedPlan.toString
+    graft.CacheTracker.releaseAll()
     assert(p.contains("sign_bits"), p)
     assert(!p.contains("CartesianProduct"),
       "pairs must come from the (band, key) join, not a cross product")
     // two InMemoryTableScans: the corpus projection and the prefiltered
     // candidate set (the boundary that stops exact-kernel re-evaluation)
     assert(p.contains("InMemoryTableScan"), p)
+    // the gate itself is the artifact READ path: a parquet scan with the
+    // threshold filter, no kernel re-evaluation
+    val g = plan("sim_cosine_neardup")
+    assert(g.contains("Scan parquet") && !g.contains("sign_bits"),
+      "gate must read the memoized pair artifact:\n" + g)
   }
 
   test("interval overlap joins on the grid cell, never a cartesian plan") {
