@@ -527,6 +527,83 @@ object AdvancedJoins {
        |GROUP BY term, exact ORDER BY exact DESC, term""".stripMargin
   }
 
+  /** Bloom-filter pre-join screen — the broadcast-Bloom semi-join a
+    * 100 TB fact⋈dim join runs BEFORE the shuffle: build a 16384-bit /
+    * 4-hash Bloom filter over a selective order-key subset (md5 slices
+    * via [[graft.functions.KeyHash.bucketRow]] — one digest per key,
+    * deterministic in any engine), probe every distinct fact key, and
+    * report the exact screen quality (true members, false positives,
+    * fp ppm). Membership tests ride a key-partitioned equi-join on the
+    * bit position — never a per-row scan of the bit array — so the
+    * probe side is one shuffle of |keys|·k rows; the bit table
+    * (≤ m rows) broadcasts. The filter's contract (no false negatives)
+    * is structural: every build key's positions are in the bit table,
+    * so n_pass ≥ n_true always; the gate's fp count pins the measured
+    * precision both engines must agree on exactly.
+    */
+  val bloomPrefilter: Q = (s, dir) => {
+    import s.implicits._
+    val M = 16384
+    val K = 4
+    def positions(key: org.apache.spark.sql.Column) =
+      explode(array((0 until K).map(r =>
+        graft.functions.KeyHash.bucketRow("bloom|", key, r, M)): _*))
+    // selective build side: ~1/14 of orders (status F, key % 7 == 0)
+    val build = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("k")).distinct())
+    val bits = graft.CacheTracker.persistTracked(
+      build.select(positions($"k").as("bit")).distinct())
+    val probes = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "lineitem").select($"l_orderkey".as("k")).distinct())
+    val pass = probes.select($"k", positions($"k").as("bit"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+      .groupBy($"k").agg(sum(coalesce($"hit", lit(0))).as("nhit"))
+      .filter($"nhit" === K).select($"k")
+      .transform(graft.CacheTracker.persistTracked)
+    val trues = pass.join(build, Seq("k"), "left_semi")
+    val counts = build.agg(count(lit(1)).as("n_build_keys"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probes.agg(count(lit(1)).as("n_probe_keys")))
+      .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+      .crossJoin(trues.agg(count(lit(1)).as("n_true")))
+    counts.select($"n_build_keys", $"n_bits_set", $"n_probe_keys",
+      $"n_pass", $"n_true", ($"n_pass" - $"n_true").as("n_false_pos"),
+      expr("(1000000 * (n_pass - n_true)) div (n_probe_keys - n_true)")
+        .as("fp_ppm"))
+  }
+
+  val bloomPrefilterSql: String = {
+    def pos(tbl: String) =
+      graft.functions.KeyHash.sqlBucketRow("bloom|", s"$tbl.k", "j", 16384)
+    s"""WITH build AS MATERIALIZED (
+       |  SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0),
+       |bits AS MATERIALIZED (
+       |  SELECT DISTINCT ${pos("build")} AS bit
+       |  FROM build CROSS JOIN range(0, 4) t(j)),
+       |probes AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS k FROM lineitem),
+       |pp AS (
+       |  SELECT probes.k, ${pos("probes")} AS bit
+       |  FROM probes CROSS JOIN range(0, 4) t(j)),
+       |pass AS MATERIALIZED (
+       |  SELECT k FROM pp LEFT JOIN bits USING (bit)
+       |  GROUP BY k HAVING SUM(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) = 4),
+       |tr AS (SELECT pass.k FROM pass SEMI JOIN build ON pass.k = build.k),
+       |c AS (
+       |  SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+       |    (SELECT COUNT(*) FROM bits) AS n_bits_set,
+       |    (SELECT COUNT(*) FROM probes) AS n_probe_keys,
+       |    (SELECT COUNT(*) FROM pass) AS n_pass,
+       |    (SELECT COUNT(*) FROM tr) AS n_true)
+       |SELECT n_build_keys, n_bits_set, n_probe_keys, n_pass, n_true,
+       |  n_pass - n_true AS n_false_pos,
+       |  (1000000 * (n_pass - n_true)) // (n_probe_keys - n_true) AS fp_ppm
+       |FROM c""".stripMargin
+  }
+
   /** FORWARD as-of join — the label-assignment direction
     * ([[asofPurchaseClick]] looks backward): each click matched to the
     * EARLIEST purchase at or after it per user. Same single-sort
@@ -705,6 +782,7 @@ object AdvancedJoins {
     "join_asof_forward" ->
       (asofForwardClickPurchase, Some(asofForwardSql)),
     "agg_countmin_probe" -> (countminProbe, Some(countminProbeSql)),
+    "agg_bloom_prefilter" -> (bloomPrefilter, Some(bloomPrefilterSql)),
     "join_interval_overlap" -> (intervalOverlap, Some(intervalOverlapSql)),
     "join_fuzzy_match" -> (fuzzyMatch, Some(fuzzyMatchSql)),
     "join_bucketed_colocated" -> (bucketedColocated, Some(bucketedColocatedSql)),
