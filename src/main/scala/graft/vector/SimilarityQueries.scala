@@ -3710,7 +3710,99 @@ object SimilarityQueries {
        |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY qq.q_id""".stripMargin
 
+  // ------------------------------------------------ k-center selection
+
+  private val KcK = 8
+
+  /** Greedy k-center diverse subset selection (farthest-point traversal,
+    * the 2-approximation to the k-center objective) — the coreset /
+    * "pick maximally-diverse exemplars" curation pass run before human
+    * review or expensive labeling: seed with the max-norm vector, then
+    * [[KcK]]−1 rounds of "add the point farthest (cosine distance) from
+    * every chosen center". Per-point state carries the running min
+    * distance, so each round costs ONE kernel per point against the
+    * single NEW center (n·k total, never n·k² and never n²); the argmax
+    * is a TakeOrderedAndProject. Every distance is the exact-decimal
+    * cosine (deterministic in any engine at any partitioning), ties
+    * break on vec_id, and each round's 1-row pick + state are
+    * checkpoint-cut (the Lloyd loop discipline). The emitted
+    * `picked_dist` sequence is the classic non-increasing coverage
+    * certificate: after t centers every point sits within the NEXT
+    * pick's distance of some center.
+    */
+  val kcenterDiverse: Q = (s, dir) => {
+    import s.implicits._
+    val emb = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("xn", normExact($"v")))
+    graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      val first = emb.select($"vec_id", dotExact($"v", $"v").as("nsq"))
+        .orderBy($"nsq".desc, $"vec_id").limit(1)
+        .select($"vec_id".as("c_id"), lit(1).as("round"),
+          lit(2.0).as("picked_dist"))
+        .localCheckpoint(true)
+      var picks = first
+      var state = emb.select($"vec_id", lit(2.0).as("mind"))
+        .localCheckpoint(true)
+      for (t <- 2 to KcK) {
+        val cvec = picks.filter($"round" === t - 1)
+          .join(emb.select($"vec_id".as("c_id"), $"v".as("cv"),
+            $"xn".as("cn")), "c_id")
+          .select($"cv", $"cn")
+        state = state
+          .join(emb, "vec_id")
+          .crossJoin(broadcast(cvec))
+          .select($"vec_id",
+            least($"mind",
+              lit(1.0) - dotExact($"v", $"cv") / ($"xn" * $"cn")).as("mind"))
+          .localCheckpoint(true)
+        val pick = state.orderBy($"mind".desc, $"vec_id").limit(1)
+          .select($"vec_id".as("c_id"), lit(t).as("round"),
+            round($"mind", 9).as("picked_dist"))
+        picks = picks.unionByName(pick).localCheckpoint(true)
+      }
+      picks.select($"round", $"c_id", $"picked_dist").orderBy($"round")
+    }
+  }
+
+  val kcenterDiverseSql: String = {
+    val rounds = (2 to KcK).map { t =>
+      s"""cv$t AS (SELECT c.v AS cv FROM pick${t - 1} p
+         |  JOIN corpus c ON p.c_id = c.vec_id),
+         |st$t AS MATERIALIZED (
+         |  SELECT s.vec_id,
+         |    LEAST(s.mind, 1.0 - ${sqlCosine("c.v", "cv")}) AS mind
+         |  FROM st${t - 1} s JOIN corpus c ON s.vec_id = c.vec_id
+         |  CROSS JOIN cv$t),
+         |pick$t AS MATERIALIZED (
+         |  SELECT vec_id AS c_id, $t AS round, round(mind, 9) AS picked_dist
+         |  FROM st$t ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to KcK)
+      .map(t => s"SELECT round, c_id, picked_dist FROM pick$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nsq AS (SELECT vec_id, ${sqlDotExact("v", "v")} AS nsq FROM corpus),
+       |pick1 AS (
+       |  SELECT vec_id AS c_id, 1 AS round, CAST(2.0 AS DOUBLE) AS picked_dist
+       |  FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY nsq DESC, vec_id) AS rk
+       |    FROM nsq)
+       |  WHERE rk = 1),
+       |st1 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(2.0 AS DOUBLE) AS mind FROM corpus),
+       |$rounds
+       |SELECT CAST(round AS INT) AS round, c_id, picked_dist FROM (
+       |  SELECT round, c_id, picked_dist FROM pick1
+       |  UNION ALL $union)
+       |ORDER BY round""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_kcenter_diverse" -> (kcenterDiverse, Some(kcenterDiverseSql)),
     "sim_nng_degree" -> (nngDegree, Some(nngDegreeSql)),
     "sim_nng_beam" -> (nngBeam, Some(nngBeamSql)),
     "sim_nng_recall" -> (nngRecall, Some(nngRecallSql)),
