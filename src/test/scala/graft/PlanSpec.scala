@@ -24,6 +24,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p)
   }
 
+  test("sql entry point resolves to the same pushed-down plan as the DSL q1") {
+    val p = plan("sql_q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "SQL-text q1 must push the shipdate filter like the DSL twin:\n" + p)
+    assert(!p.contains("l_orderkey"), "SQL-text q1 must not read unused columns")
+    assert(p.contains("*("), p)
+  }
+
+  test("bloom prefilter probes via broadcast equi-join on the bit position") {
+    val p = plan("agg_bloom_prefilter")
+    // membership is a broadcast EQUI-join on the bit position (the
+    // ≤m-row bit table broadcasts); the only nested-loop joins allowed
+    // are the final 1-row count crossJoins. No cartesian anywhere.
+    assert(p.contains("BroadcastHashJoin"),
+      "the bit table must broadcast against the probe positions:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q6 pushes every predicate into the scan and reads only needed columns") {
     val p = plan("q6_forecast_revenue")
     // the PushedFilters list is elided in toString past ~100 chars — the
