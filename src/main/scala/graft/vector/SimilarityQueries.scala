@@ -3710,6 +3710,133 @@ object SimilarityQueries {
        |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY qq.q_id""".stripMargin
 
+  // ------------------------------------------------ PCA (power iteration)
+
+  private val PcaRounds = 8
+
+  /** Leading principal component of the embedding corpus by power
+    * iteration — the spectral diagnostic/whitening prep an embedding
+    * pipeline runs before index tuning (is one direction dominating?):
+    * exact-decimal per-dim means center the corpus, the 64×64
+    * covariance aggregates once (n·d² products through the decimal
+    * detour — ONE shuffle to d² cells), then [[PcaRounds]] matvec
+    * rounds on the broadcast matrix. Every matvec entry is the exact
+    * decimal kernel and the iterate re-quantizes to the 1e-6 grid via
+    * `round(y/‖y‖, 6)` IN BOTH ENGINES each round (the in-engine
+    * classifier's discipline), so libm/normalization noise cannot
+    * compound across rounds and the trajectory is engine- and
+    * partitioning-exact. Emits (dim, loading, λ̂) with the Rayleigh
+    * quotient from exact-decimal dots.
+    *
+    * Scale shape: covariance is the only corpus-sized pass (map-side
+    * partial aggregation, shuffle carries d² rows); iteration state is
+    * one 64-float row, checkpoint-cut per round.
+    */
+  val pcaPowerIteration: Q = (s, dir) => {
+    import s.implicits._
+    val dec = "decimal(30,15)"
+    val corpus = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val n = corpus.count()
+    val mu = corpus.select(posexplode($"v")).toDF("pos", "val")
+      .groupBy($"pos")
+      .agg((sum($"val".cast(dec)).cast("double") / count(lit(1))).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        st => st.getField("m")).as("mu"))
+    val centered = graft.CacheTracker.persistTracked(
+      corpus.crossJoin(broadcast(mu))
+        .select(zip_with($"v", $"mu", (x, m) => x - m).as("vc")))
+    graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      val mat = centered
+        .select($"vc", posexplode($"vc").as(Seq("i", "xi")))
+        .select($"i", $"xi", posexplode($"vc").as(Seq("j", "xj")))
+        .groupBy($"i", $"j")
+        .agg((sum(($"xi" * $"xj").cast(dec)).cast("double") / n).as("c"))
+        .groupBy($"i")
+        .agg(transform(array_sort(collect_list(struct($"j", $"c"))),
+          st => st.getField("c")).as("carr"))
+        .localCheckpoint(true)
+      var xrow = s.range(1)
+        .select(transform(sequence(lit(1), lit(64)), _ => lit(0.125)).as("x"))
+        .localCheckpoint(true)
+      for (_ <- 1 to PcaRounds) {
+        val y = mat.crossJoin(broadcast(xrow))
+          .select($"i", dotExact($"carr", $"x").as("y"))
+        val nrm = y.agg(
+          sqrt(sum(($"y" * $"y").cast(dec)).cast("double")).as("nrm"))
+        xrow = y.crossJoin(broadcast(nrm))
+          .select($"i", round($"y" / $"nrm", 6).as("xq"))
+          .groupBy()
+          .agg(transform(array_sort(collect_list(struct($"i", $"xq"))),
+            st => st.getField("xq")).as("x"))
+          .localCheckpoint(true)
+      }
+      val yf = mat.crossJoin(broadcast(xrow))
+        .select($"i", dotExact($"carr", $"x").as("y"))
+      val lam = yf.crossJoin(broadcast(xrow))
+        .select(($"y" * element_at($"x", ($"i" + 1).cast("int"))).as("p"))
+        .agg(sum($"p".cast(dec)).cast("double").as("num"))
+        .crossJoin(xrow.select(dotExact($"x", $"x").as("den")))
+        .select(($"num" / $"den").as("lambda"))
+      xrow.crossJoin(broadcast(lam))
+        .select(posexplode($"x").as(Seq("dim0", "loading")), $"lambda")
+        .select(($"dim0" + 1).as("dim"), $"loading",
+          round($"lambda", 9).as("lambda_top"))
+        .orderBy($"dim")
+    }
+  }
+
+  val pcaPowerIterationSql: String = {
+    val rounds = (1 to PcaRounds).map { t =>
+      s"""y$t AS MATERIALIZED (
+         |  SELECT i, ${sqlDotExact("carr", "x")} AS y FROM mat CROSS JOIN x$t),
+         |nrm$t AS (
+         |  SELECT sqrt(CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+         |  FROM y$t),
+         |x${t + 1} AS MATERIALIZED (
+         |  SELECT list(round(y / nrm, 6) ORDER BY i) AS x
+         |  FROM y$t CROSS JOIN nrm$t)""".stripMargin
+    }.mkString(",\n")
+    val xf = s"x${PcaRounds + 1}"
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, d AS pos, v[d] AS val
+       |  FROM corpus CROSS JOIN range(1, 65) t(d)),
+       |mu0 AS (
+       |  SELECT pos, CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM cells GROUP BY pos),
+       |muarr AS (SELECT list(m ORDER BY pos) AS mu FROM mu0),
+       |cent AS MATERIALIZED (
+       |  SELECT list_transform(range(1, 65), d -> v[d] - mu[d]) AS vc
+       |  FROM corpus CROSS JOIN muarr),
+       |nn AS (SELECT COUNT(*) AS n FROM corpus),
+       |cov AS MATERIALIZED (
+       |  SELECT ti.i - 1 AS i, tj.j - 1 AS j,
+       |    CAST(SUM(CAST(vc[ti.i] * vc[tj.j] AS DECIMAL(30,15))) AS DOUBLE)
+       |      / (SELECT n FROM nn) AS c
+       |  FROM cent CROSS JOIN range(1, 65) ti(i) CROSS JOIN range(1, 65) tj(j)
+       |  GROUP BY ti.i, tj.j),
+       |mat AS MATERIALIZED (
+       |  SELECT i, list(c ORDER BY j) AS carr FROM cov GROUP BY i),
+       |x1 AS (SELECT list_transform(range(1, 65),
+       |  d -> CAST(0.125 AS DOUBLE)) AS x),
+       |$rounds,
+       |yf AS MATERIALIZED (
+       |  SELECT i, ${sqlDotExact("carr", "x")} AS y FROM mat CROSS JOIN $xf),
+       |lam AS (
+       |  SELECT (SELECT CAST(SUM(CAST(y * x[CAST(i AS INT) + 1]
+       |            AS DECIMAL(30,15))) AS DOUBLE)
+       |          FROM yf CROSS JOIN $xf) /
+       |         (SELECT ${sqlDotExact("x", "x")} FROM $xf) AS lambda)
+       |SELECT CAST(d AS INT) AS dim, x[d] AS loading,
+       |  round(lambda, 9) AS lambda_top
+       |FROM $xf CROSS JOIN range(1, 65) t(d) CROSS JOIN lam
+       |ORDER BY dim""".stripMargin
+  }
+
   // ------------------------------------------------ k-center selection
 
   private val KcK = 8
@@ -3803,6 +3930,7 @@ object SimilarityQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "curate_kcenter_diverse" -> (kcenterDiverse, Some(kcenterDiverseSql)),
+    "arr_pca_power_iteration" -> (pcaPowerIteration, Some(pcaPowerIterationSql)),
     "sim_nng_degree" -> (nngDegree, Some(nngDegreeSql)),
     "sim_nng_beam" -> (nngBeam, Some(nngBeamSql)),
     "sim_nng_recall" -> (nngRecall, Some(nngRecallSql)),
