@@ -3728,15 +3728,33 @@ object SimilarityQueries {
     * partitioning-exact. Emits (dim, loading, λ̂) with the Rayleigh
     * quotient from exact-decimal dots.
     *
+    * λ̂ is a CERTIFIED LOWER BOUND on λ_max (the Rayleigh quotient of a
+    * unit vector), exact-arithmetic-honest about convergence: a corpus
+    * with a dominant direction converges in a handful of rounds
+    * (PcaSpec pins recovery on a planted-spectrum corpus), while this
+    * near-isotropic synthetic corpus (eigengap ratio ≈ 0.99, measured
+    * with numpy) honestly reports λ̂ ≈ 0.95·λ_max ≫ any single dim's
+    * variance — i.e. "no dominant direction", the answer the
+    * diagnostic exists to give.
+    *
     * Scale shape: covariance is the only corpus-sized pass (map-side
     * partial aggregation, shuffle carries d² rows); iteration state is
     * one 64-float row, checkpoint-cut per round.
     */
   val pcaPowerIteration: Q = (s, dir) => {
     import s.implicits._
+    pcaOn(Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")))
+  }
+
+  /** [[pcaPowerIteration]] over any (vec_id, v) corpus — split out so
+    * PcaSpec drives a planted-spectrum corpus through the same code.
+    */
+  private[graft] def pcaOn(
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
     val dec = "decimal(30,15)"
-    val corpus = Tables(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     val n = corpus.count()
     val mu = corpus.select(posexplode($"v")).toDF("pos", "val")
       .groupBy($"pos")
