@@ -3376,47 +3376,53 @@ object SimilarityQueries {
     */
   private[graft] def nngEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
-    import s.implicits._
     val path = nngPath.getOrElseUpdate(dir, {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = s"${graft.Scratch.dir}/graft_nng_" +
         s"${graft.RefQueries.runToken}_$dirKey"
       graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-        val base = nngBase(s, dir)
-        val bandz = base
-          .select($"vec_id", expr(s"sign_bits(embedding, $NngH)").as("sig"))
-          .select($"vec_id",
-            posexplode(transform(sequence(lit(0), lit(NngB - 1)),
-              b => $"sig".substr(b * NngR + 1, lit(NngR)))))
-          .toDF("vec_id", "band", "bkey")
-        // ONE shuffle on (band, key); a pair seen in several bands
-        // collapses before any vector arithmetic
-        val seed = bandz.alias("a").join(bandz.alias("b"), Seq("band", "bkey"))
-          .where($"a.vec_id" < $"b.vec_id")
-          .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
-        var knn = nngRankStep(base, seed).localCheckpoint(true)
-        for (_ <- 1 to NngDescent) {
-          // NN-descent round: candidates = current edges ∪
-          // neighbors-of-neighbors over the symmetrized graph
-          val und = graft.CacheTracker.persistTracked(
-            knn.select($"src".as("node"), $"dst".as("nbr"))
-              .unionByName(knn.select($"dst".as("node"), $"src".as("nbr")))
-              .distinct())
-          val pairs = und.alias("a").join(und.alias("b"),
-              $"a.nbr" === $"b.node")
-            .where($"a.node" =!= $"b.nbr")
-            .select(least($"a.node", $"b.nbr").as("va"),
-              greatest($"a.node", $"b.nbr").as("vb"))
-            .unionByName(und.select(least($"node", $"nbr").as("va"),
-              greatest($"node", $"nbr").as("vb")))
-            .distinct()
-          knn = nngRankStep(base, pairs).localCheckpoint(true)
-        }
-        knn.write.mode("overwrite").parquet(p)
+        nngBuild(nngBase(s, dir)).write.mode("overwrite").parquet(p)
       }
       p
     })
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
+  }
+
+  /** Seed + NN-descent build over any [[nngBase]]-shaped frame. */
+  private def nngBuild(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bandz = base
+      .select($"vec_id", expr(s"sign_bits(embedding, $NngH)").as("sig"))
+      .select($"vec_id",
+        posexplode(transform(sequence(lit(0), lit(NngB - 1)),
+          b => $"sig".substr(b * NngR + 1, lit(NngR)))))
+      .toDF("vec_id", "band", "bkey")
+    // ONE shuffle on (band, key); a pair seen in several bands
+    // collapses before any vector arithmetic
+    val seed = bandz.alias("a").join(bandz.alias("b"), Seq("band", "bkey"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb")).distinct()
+    var knn = nngRankStep(base, seed).localCheckpoint(true)
+    for (_ <- 1 to NngDescent) {
+      // NN-descent round: candidates = current edges ∪
+      // neighbors-of-neighbors over the symmetrized graph
+      val und = graft.CacheTracker.persistTracked(
+        knn.select($"src".as("node"), $"dst".as("nbr"))
+          .unionByName(knn.select($"dst".as("node"), $"src".as("nbr")))
+          .distinct())
+      val pairs = und.alias("a").join(und.alias("b"),
+          $"a.nbr" === $"b.node")
+        .where($"a.node" =!= $"b.nbr")
+        .select(least($"a.node", $"b.nbr").as("va"),
+          greatest($"a.node", $"b.nbr").as("vb"))
+        .unionByName(und.select(least($"node", $"nbr").as("va"),
+          greatest($"node", $"nbr").as("vb")))
+        .distinct()
+      knn = nngRankStep(base, pairs).localCheckpoint(true)
+    }
+    knn
   }
 
   /** NNG build gate: out-degree histogram of the k-NN graph plus an
@@ -3479,7 +3485,28 @@ object SimilarityQueries {
     val base = nngBase(s, dir)
     val qq = graft.CacheTracker.persistTracked(
       base.filter($"vec_id" < 5)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn")))
+        .select($"vec_id".as("q_id"), $"v".as("qv"),
+          $"fn".as("qfn"), $"xn".as("qxn")))
+    nngBeamOver(base, und, qq, NngBeam, NngRounds)
+  }
+
+  /** Greedy beam search over any symmetrized graph for any query set —
+    * shared by the 5-query search gate and the batch insert path. Each
+    * round scores candidates with the double screen (everything within
+    * 1e-6 of the query's `width`-th best double score survives) and
+    * ranks survivors by the exact decimal cosine — identical output to
+    * all-exact scoring (the maxsim margin argument), and the screen is
+    * what keeps a 200-query insert batch at thousands, not hundreds of
+    * thousands, of interpreted exact kernels. `qq` carries
+    * (q_id, qv, qfn, qxn); rounds are checkpoint-cut (the beam is
+    * referenced twice per round: carry + expand).
+    */
+  private def nngBeamOver(base: org.apache.spark.sql.DataFrame,
+      und: org.apache.spark.sql.DataFrame,
+      qq: org.apache.spark.sql.DataFrame,
+      width: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     // TakeOrderedAndProject, not a global window: only 2 rows survive
     val top2 = base.select($"vec_id", dotExact($"v", $"v").as("nsq"))
       .orderBy($"nsq".desc, $"vec_id").limit(2)
@@ -3491,27 +3518,101 @@ object SimilarityQueries {
         .filter($"pick" === 1)
         .select($"q_id", $"vec_id".as("node"), lit(1).as("rk"))
         .localCheckpoint(true)
+      val wS = Window.partitionBy($"q_id").orderBy($"ascore".desc, $"node")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
-      for (_ <- 1 to NngRounds) {
-        // beam is referenced twice (carry + expand): the checkpoint cut
-        // the lineage, so the doubled reference reads a materialized
-        // leaf, not a doubled tree
+      for (_ <- 1 to rounds) {
         val cands = beam.select($"q_id", $"node")
           .unionByName(beam.join(und, Seq("node"))
             .select($"q_id", $"nbr".as("node")))
           .filter($"node" =!= $"q_id").distinct()
-        beam = cands
-          .join(base.select($"vec_id".as("node"), $"v", $"xn"), "node")
+        val screened = graft.CacheTracker.persistTracked(cands
+          .join(base.select($"vec_id".as("node"), $"v", $"fn", $"xn"), "node")
           .join(broadcast(qq), "q_id")
+          .select($"q_id", $"node", $"v", $"xn", $"qv", $"qxn",
+            (dotFast($"v", $"qv") / ($"fn" * $"qfn")).as("ascore")))
+        beam = screened
+          .withColumn("athr", nth_value($"ascore", width).over(wS))
+          .filter($"athr".isNull || $"ascore" >= $"athr" - lit(1e-6))
           .select($"q_id", $"node",
             (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cos"))
           .withColumn("rk", row_number().over(wB))
-          .filter($"rk" <= NngBeam)
+          .filter($"rk" <= width)
           .select($"q_id", $"node", $"rk")
           .localCheckpoint(true)
       }
       beam
     }
+  }
+
+  private val NngInsW = 8 // insert-search beam width = new out-degree
+  private val NngInsR = 4 // insert-search beam rounds
+
+  private val nngInsPath = scala.collection.mutable.Map[String, String]()
+
+  /** Incremental graph maintenance — the HNSW insert-via-search path,
+    * the NNG sibling of `sim_ivf_incremental_add`: the k-NN graph is
+    * built on the BASE corpus only (vec_id % 10 ≠ 0), then the daily
+    * batch (every 10th vector) inserts WITHOUT a rebuild — each new
+    * vector beam-searches the existing graph ([[nngBeamOver]], width
+    * [[NngInsW]] = its new out-degree, [[NngInsR]] rounds) and links
+    * bidirectionally to everything its final beam found (append-only
+    * reverse edges; degree re-pruning is the deferred maintenance
+    * compaction would do). Cost ∝ batch × beam work — the graph never
+    * rebuilds, exactly the daily-feed contract the IVF twin gates.
+    * Returns the updated edge set, memoized as one artifact.
+    */
+  private[graft] def nngInsertEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = synchronized {
+    import s.implicits._
+    val path = nngInsPath.getOrElseUpdate(dir, {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"${graft.Scratch.dir}/graft_nng_ins_" +
+        s"${graft.RefQueries.runToken}_$dirKey"
+      val full = nngBase(s, dir)
+      val baseC = graft.CacheTracker.persistTracked(
+        full.filter($"vec_id" % 10 =!= 0))
+      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+        val knnB = nngBuild(baseC).localCheckpoint(true)
+        val undB = graft.CacheTracker.persistTracked(
+          knnB.select($"src".as("node"), $"dst".as("nbr"))
+            .unionByName(knnB.select($"dst".as("node"), $"src".as("nbr")))
+            .distinct())
+        val batch = graft.CacheTracker.persistTracked(
+          full.filter($"vec_id" % 10 === 0)
+            .select($"vec_id".as("q_id"), $"v".as("qv"),
+              $"fn".as("qfn"), $"xn".as("qxn")))
+        val newOut = nngBeamOver(baseC, undB, batch, NngInsW, NngInsR)
+          .select($"q_id".as("src"), $"node".as("dst"))
+        knnB
+          .unionByName(newOut)
+          .unionByName(newOut.select($"dst".as("src"), $"src".as("dst")))
+          .write.mode("overwrite").parquet(p)
+      }
+      p
+    })
+    s.read.schema("src BIGINT, dst BIGINT").parquet(path)
+  }
+
+  /** Insert gate: the [[nngDegree]] histogram/checksum shape over the
+    * UPDATED graph — pins the base build, every batch search
+    * trajectory, and the bidirectional linking in one hash (batch
+    * nodes surface as the out-degree-[[NngInsW]] cohort; reverse edges
+    * shift base nodes' degrees).
+    */
+  val nngInsert: Q = (s, dir) => {
+    import s.implicits._
+    val edges = nngInsertEdges(s, dir)
+    val perNode = edges.groupBy($"src")
+      .agg(count(lit(1)).as("deg"),
+        sum(($"src" * 100003L + $"dst") % 1000003L).as("ck"))
+    Tables(s, dir, "embeddings").select($"vec_id".as("src"))
+      .join(perNode, Seq("src"), "left")
+      .select(coalesce($"deg", lit(0L)).as("deg"),
+        coalesce($"ck", lit(0L)).as("ck"))
+      .groupBy($"deg")
+      .agg(count(lit(1)).as("n_nodes"), sum($"ck").as("edge_checksum"))
+      .orderBy($"deg")
   }
 
   /** Beam-search result gate: the top-[[NngTopK]] of each query's final
@@ -3600,21 +3701,26 @@ object SimilarityQueries {
     * rounds → final `knn`/`und`. Every multiply-referenced stage is
     * MATERIALIZED (the graph_bfs_layers inlining lesson).
     */
-  private def sqlNngChain: String = {
+  private def sqlNngChain: String = sqlNngChainWhere("TRUE")
+
+  /** [[sqlNngChain]] with a corpus predicate — the insert oracle builds
+    * the base graph over `vec_id % 10 <> 0` through the same fragment.
+    */
+  private def sqlNngChainWhere(where: String): String = {
     val steps = (0 to NngDescent).map { i =>
       if (i == 0) sqlNngStep(0)
       else s"${sqlNngDescent(i - 1)},\n${sqlNngStep(i)}"
     }.mkString(",\n")
     s"""corpus AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $where),
        |cnorm AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(${sqlDotFast("v", "v")}) AS fn,
        |    ${sqlNormExact("v")} AS xn
        |  FROM corpus),
        |${sqlSignWeightsCte(NngH)},
        |sigs AS (SELECT vec_id, ${sqlSignBits("embedding", NngH)} AS sig
-       |  FROM embeddings CROSS JOIN swt),
+       |  FROM embeddings CROSS JOIN swt WHERE $where),
        |bands AS MATERIALIZED (
        |  SELECT vec_id, bi AS band,
        |    substr(sig, CAST(bi * $NngR AS INT) + 1, $NngR) AS bkey
@@ -3634,26 +3740,36 @@ object SimilarityQueries {
     * each round references its predecessor twice (carry + expand), so
     * every round is MATERIALIZED.
     */
-  private def sqlNngBeamCtes: String = {
+  private def sqlNngBeamCtes: String =
+    sqlBeamCtesOver("beam", "qq", NngBeam, NngRounds)
+
+  /** Beam rounds over the chain's `corpus`/`und` for any query CTE —
+    * all-exact scoring (identical to the Spark side's screened ranking
+    * by the margin argument, and DuckDB's kernels are cheap enough to
+    * skip the screen). Emits `${p}0..${p}$rounds`.
+    */
+  private def sqlBeamCtesOver(p: String, qqn: String,
+      width: Int, rounds: Int): String = {
     val entry =
-      s"""nsq AS (SELECT vec_id, ${sqlDotExact("v", "v")} AS nsq FROM corpus),
-         |top2 AS (SELECT vec_id, nsq FROM (
+      s"""${p}_nsq AS (
+         |  SELECT vec_id, ${sqlDotExact("v", "v")} AS nsq FROM corpus),
+         |${p}_top2 AS (SELECT vec_id, nsq FROM (
          |    SELECT vec_id, nsq, row_number() OVER (
-         |      ORDER BY nsq DESC, vec_id) AS rk FROM nsq)
+         |      ORDER BY nsq DESC, vec_id) AS rk FROM ${p}_nsq)
          |  WHERE rk <= 2),
-         |beam0 AS (
+         |${p}0 AS (
          |  SELECT q_id, node FROM (
          |    SELECT q.q_id, t.vec_id AS node, row_number() OVER (
          |      PARTITION BY q.q_id ORDER BY t.nsq DESC, t.vec_id) AS pick
-         |    FROM qq q JOIN top2 t ON t.vec_id <> q.q_id)
+         |    FROM $qqn q JOIN ${p}_top2 t ON t.vec_id <> q.q_id)
          |  WHERE pick = 1)""".stripMargin
-    val rounds = (1 to NngRounds).map { t =>
-      val prev = s"beam${t - 1}"
-      s"""beam$t AS MATERIALIZED (
+    val rs = (1 to rounds).map { t =>
+      val prev = s"$p${t - 1}"
+      s"""$p$t AS MATERIALIZED (
          |  SELECT q_id, node, rk FROM (
          |    SELECT c.q_id, c.node, row_number() OVER (
          |      PARTITION BY c.q_id
-         |      ORDER BY ${sqlCosine("cv.v", "qq.qv")} DESC, c.node) AS rk
+         |      ORDER BY ${sqlCosine("cv.v", s"$qqn.qv")} DESC, c.node) AS rk
          |    FROM (SELECT DISTINCT q_id, node FROM (
          |            SELECT q_id, node FROM $prev
          |            UNION ALL
@@ -3661,10 +3777,10 @@ object SimilarityQueries {
          |            FROM $prev p JOIN und u ON p.node = u.node)
          |          WHERE node <> q_id) c
          |    JOIN corpus cv ON c.node = cv.vec_id
-         |    JOIN qq ON c.q_id = qq.q_id)
-         |  WHERE rk <= $NngBeam)""".stripMargin
+         |    JOIN $qqn ON c.q_id = $qqn.q_id)
+         |  WHERE rk <= $width)""".stripMargin
     }.mkString(",\n")
-    s"$entry,\n$rounds"
+    s"$entry,\n$rs"
   }
 
   private def sqlNngQq: String =
@@ -3709,6 +3825,26 @@ object SimilarityQueries {
        |SELECT qq.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS hits,
        |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY qq.q_id""".stripMargin
+
+  val nngInsertSql: String =
+    s"""WITH ${sqlNngChainWhere("vec_id % 10 <> 0")},
+       |iq AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |${sqlBeamCtesOver("ib", "iq", NngInsW, NngInsR)},
+       |newout AS (SELECT q_id AS src, node AS dst FROM ib$NngInsR),
+       |alledges AS (
+       |  SELECT src, dst FROM knn
+       |  UNION ALL SELECT src, dst FROM newout
+       |  UNION ALL SELECT dst, src FROM newout),
+       |pernode AS (SELECT src, COUNT(*) AS deg,
+       |    CAST(SUM((src * 100003 + dst) % 1000003) AS BIGINT) AS ck
+       |  FROM alledges GROUP BY src),
+       |allids AS (SELECT vec_id FROM embeddings),
+       |jj AS (SELECT COALESCE(p.deg, 0) AS deg, COALESCE(p.ck, 0) AS ck
+       |  FROM allids a LEFT JOIN pernode p ON a.vec_id = p.src)
+       |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(ck) AS BIGINT) AS edge_checksum
+       |FROM jj GROUP BY deg ORDER BY deg""".stripMargin
 
   // ------------------------------------------------ PCA (power iteration)
 
@@ -4008,6 +4144,7 @@ object SimilarityQueries {
     "sim_nng_degree" -> (nngDegree, Some(nngDegreeSql)),
     "sim_nng_beam" -> (nngBeam, Some(nngBeamSql)),
     "sim_nng_recall" -> (nngRecall, Some(nngRecallSql)),
+    "sim_nng_insert" -> (nngInsert, Some(nngInsertSql)),
     "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
     "sim_negative_mining" -> (negativeMining, Some(negativeMiningSql)),
     "sim_matryoshka_recall" -> (matryoshkaRecall, Some(matryoshkaRecallSql)),
