@@ -1012,10 +1012,13 @@ object SimilarityQueries {
     pqTrain(s, dir, opqSubs(s, dir), tag = "opq")
     pqTrain(s, dir, residualSubs(s, vectors, assigned, centroidArr), "res")
     // shared index artifacts (r11): the banded near-dup pair table
-    // (cosine_neardup + dbscan) and the NN-descent k-NN graph (the
-    // three NNG gates) — memoized like the codebooks, billed here
+    // (cosine_neardup + dbscan), the NN-descent k-NN graph (the NNG
+    // gates) and the incrementally-updated graph — memoized like the
+    // codebooks, billed here
     plantedPairs(s, dir)
     nngEdges(s, dir)
+    nngInsertEdges(s, dir)
+    ()
   }
 
   val ivfPrunedRead: Q = (s, dir) => {
