@@ -398,6 +398,83 @@ object CurationQueries {
     * rates are bit-identical on any partitioning; every other step is
     * deterministic IEEE arithmetic on identical operands.
     */
+  /** Water-filling token-budget allocation — the equal-share cap that
+    * answers "how do we spend a 60% token budget without letting the
+    * biggest sources dominate": every source keeps min(its tokens, L)
+    * where L is the LARGEST integer level whose total allocation fits
+    * the budget, i.e. small sources are taken whole and large sources
+    * are capped at one common level (the max-min-fair allocation; the
+    * DoReMi/data-mixing baseline before any learned weights). L has a
+    * closed integer form per sorted prefix: with the k smallest taken
+    * whole, L_k = (B − pre_k) div (n − k), valid on exactly one segment
+    * s_k ≤ L_k < s_{k+1} — one |sources|-row window pass, no search.
+    * Everything is exact int64; `capped` marks the sources the level
+    * actually binds.
+    *
+    * Scale shape: one scan to per-source token sums (map-side partial),
+    * then all arithmetic is over the |sources|-row domain table.
+    */
+  val waterFilling: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val src = Tables(s, dir, "documents")
+      .select($"source", size(TextAnalysis.tokens($"text")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("n_tokens"))
+    val w = Window.orderBy($"n_tokens", $"source") // |sources| rows
+    val tot = src.agg(sum($"n_tokens").as("total"),
+      count(lit(1)).as("n_src"))
+    val ranked = graft.CacheTracker.persistTracked(
+      src.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total * 3) div 5"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("pre", sum($"n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_s", coalesce(lag($"n_tokens", 1).over(w), lit(0L))))
+    val lvl = ranked
+      .withColumn("cand",
+        expr("(budget - (pre - n_tokens)) div (n_src - r + 1)"))
+      .filter($"prev_s" <= $"cand" && $"cand" < $"n_tokens")
+      .agg(min($"cand").as("lvl0"))
+      // B >= total degenerates to "take everything" — no row binds
+      .crossJoin(broadcast(ranked.agg(max($"n_tokens").as("smax"))))
+      .select(coalesce($"lvl0", $"smax").as("lvl"))
+    ranked.crossJoin(broadcast(lvl))
+      .select($"source", $"n_tokens", $"lvl",
+        least($"n_tokens", $"lvl").as("alloc"),
+        ($"n_tokens" > $"lvl").cast("int").as("capped"))
+      .orderBy($"source")
+  }
+
+  val waterFillingSql: String = {
+    import graft.text.TextAnalysis
+    s"""WITH src AS (
+       |  SELECT source, CAST(SUM(len(${TextAnalysis.sqlTokens("text")}))
+       |    AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+       |  COUNT(*) AS n_src FROM src),
+       |ranked AS (
+       |  SELECT source, n_tokens, (total * 3) // 5 AS budget, n_src,
+       |    row_number() OVER (ORDER BY n_tokens, source) AS r,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+       |    COALESCE(lag(n_tokens, 1) OVER (ORDER BY n_tokens, source),
+       |      0) AS prev_s
+       |  FROM src CROSS JOIN tot),
+       |lvl AS (
+       |  SELECT COALESCE(
+       |    (SELECT MIN((budget - (pre - n_tokens)) // (n_src - r + 1))
+       |     FROM ranked
+       |     WHERE prev_s <= (budget - (pre - n_tokens)) // (n_src - r + 1)
+       |       AND (budget - (pre - n_tokens)) // (n_src - r + 1) < n_tokens),
+       |    (SELECT MAX(n_tokens) FROM ranked)) AS lvl)
+       |SELECT source, n_tokens, CAST(lvl AS BIGINT) AS lvl,
+       |  CAST(LEAST(n_tokens, lvl) AS BIGINT) AS alloc,
+       |  CAST(n_tokens > lvl AS INT) AS capped
+       |FROM ranked CROSS JOIN lvl ORDER BY source""".stripMargin
+  }
+
   val mixtureSample: Q = (s, dir) => {
     import s.implicits._
     val target = 300.0
@@ -2342,6 +2419,7 @@ object CurationQueries {
   }
 
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_water_filling" -> (waterFilling, Some(waterFillingSql)),
     "curate_token_budget_trim" ->
       (tokenBudgetTrim, Some(tokenBudgetTrimSql)),
     "curate_l_diversity" -> (lDiversity, Some(lDiversitySql)),
