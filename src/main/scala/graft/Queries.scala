@@ -402,6 +402,161 @@ object Queries {
       |FROM hashes h LEFT JOIN best b ON h.media_id = b.media_id
       |ORDER BY h.media_id""".stripMargin
 
+  /** Perceptual image dedup by DCT hash (pHash) — aHash's structural
+    * sibling: the 63 AC coefficients of an integer 2-D DCT over the
+    * 16×16 raster, thresholded at their exact median. The defining
+    * property the gate hashes is exact brightness invariance — a
+    * constant +16 shift moves only the DC coefficient, so unclamped
+    * twins match at Hamming distance 0 (clamping flips a few bits) —
+    * while aHash's mean threshold shifts WITH the pixels. Same banded
+    * candidate recovery (4×16-bit bands over the hash string, never
+    * all-pairs), exact Hamming ≤ 8 verdict, best-match rollup. The
+    * oracle replays the LCG raster, the 16×16 resize arithmetic, the
+    * fixed-point DCT (basis table rendered as literals from the SAME
+    * Scala array — no libm in any per-row path), the 32nd-smallest
+    * median, the banding, and the rollup.
+    */
+  val multimodalImagePhash: Q = (s, _) => {
+    import s.implicits._
+    val hashes = graft.CacheTracker.persistTracked(
+      graft.multimodal.Multimodal.imagePhashes(
+        graft.multimodal.Multimodal.syntheticCorpus(s, 200), 16).toDF())
+    val bands = hashes.select($"media_id",
+        posexplode(transform(sequence(lit(0), lit(3)),
+          k => $"hash".substr(k * 16 + 1, lit(16)))))
+      .toDF("media_id", "band", "bkey")
+    val cand = bands.alias("a").join(bands.alias("b"), Seq("band", "bkey"))
+      .where($"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("ia"), $"b.media_id".as("ib")).distinct()
+    val dists = cand
+      .join(hashes.select($"media_id".as("ia"), $"hash".as("ha")), "ia")
+      .join(hashes.select($"media_id".as("ib"), $"hash".as("hb")), "ib")
+      .withColumn("dist", aggregate(
+        zip_with(split($"ha", ""), split($"hb", ""),
+          (x, y) => when(x === y, 0).otherwise(1)),
+        lit(0), (acc, v) => acc + v))
+      .filter($"dist" <= 8)
+    val sided = dists
+      .select($"ia".as("media_id"), $"ib".as("partner"), $"dist")
+      .unionByName(dists.select($"ib".as("media_id"), $"ia".as("partner"),
+        $"dist"))
+    val best = sided.groupBy($"media_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct($"dist", $"partner")).as("m"))
+    hashes
+      .join(best, Seq("media_id"), "left")
+      .select($"media_id", $"variant", $"hash",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"m.partner".as("best_match_id"), $"m.dist".as("best_dist"))
+      .orderBy($"media_id")
+  }
+
+  val multimodalImagePhashSql: String = {
+    val dctRows = graft.multimodal.Multimodal.DctT.zipWithIndex.flatMap {
+      case (row, u) => row.zipWithIndex.map { case (t, x) => s"($u, $x, $t)" }
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 = 0
+       |),
+       |lcg AS (
+       |  SELECT id, 0 AS i,
+       |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+       |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+       |         (256 + id % 512) AS len
+       |  FROM ids
+       |  UNION ALL
+       |  SELECT id, i + 1,
+       |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+       |         len
+       |  FROM lcg WHERE i < len - 1
+       |),
+       |dct(u, x, t) AS (VALUES
+       |    $dctRows
+       |),
+       |small AS (
+       |  SELECT i.id, p.range AS pos,
+       |         ((p.range // 16) * (32 + i.id % 16) // 16) * (32 + i.id % 32)
+       |           + (p.range % 16) * (32 + i.id % 32) // 16 AS big_idx,
+       |         (256 + i.id % 512) AS len
+       |  FROM ids i, range(256) p
+       |),
+       |px AS (
+       |  SELECT sm.id, sm.pos, (l.s // 72057594037927936)::INT AS b
+       |  FROM small sm JOIN lcg l ON l.id = sm.id AND l.i = sm.big_idx % sm.len
+       |),
+       |variants AS (
+       |  SELECT id AS media_id, pos, b FROM px
+       |  UNION ALL
+       |  SELECT id + 1000, pos, LEAST(b + 16, 255) FROM px
+       |),
+       |coef AS MATERIALIZED (
+       |  SELECT v.media_id, tu.u AS fu, tv.u AS fv,
+       |         CAST(SUM(CAST(v.b AS BIGINT) * tu.t * tv.t) AS BIGINT) AS d
+       |  FROM variants v
+       |  JOIN dct tu ON tu.x = v.pos % 16
+       |  JOIN dct tv ON tv.x = v.pos // 16
+       |  GROUP BY v.media_id, tu.u, tv.u
+       |),
+       |ac AS (SELECT media_id, fu, fv, d FROM coef
+       |       WHERE NOT (fu = 0 AND fv = 0)),
+       |med AS (
+       |  SELECT media_id, d AS m FROM (
+       |    SELECT media_id, d, row_number() OVER (
+       |      PARTITION BY media_id ORDER BY d, fu, fv) AS rk FROM ac)
+       |  WHERE rk = 32
+       |),
+       |hashes AS (
+       |  SELECT a.media_id,
+       |         CASE WHEN a.media_id >= 1000 THEN 'bright' ELSE 'base' END
+       |           AS variant,
+       |         string_agg(CASE WHEN a.d > med.m THEN '1' ELSE '0' END,
+       |                    '' ORDER BY a.fu, a.fv) AS hash
+       |  FROM ac a JOIN med ON a.media_id = med.media_id
+       |  GROUP BY a.media_id
+       |),
+       |bands AS (
+       |  SELECT media_id, k AS band,
+       |         substr(hash, CAST(k * 16 AS INT) + 1, 16) AS bkey
+       |  FROM hashes CROSS JOIN range(0, 4) t(k)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS ia, b2.media_id AS ib
+       |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bkey = b2.bkey
+       |  WHERE a.media_id < b2.media_id
+       |),
+       |dists AS (
+       |  SELECT ia, ib,
+       |    CAST(list_sum(list_transform(range(1, 64),
+       |      i -> CASE WHEN substring(ha.hash, CAST(i AS INT), 1)
+       |                     = substring(hb.hash, CAST(i AS INT), 1)
+       |                THEN 0 ELSE 1 END)) AS INT) AS dist
+       |  FROM cand JOIN hashes ha ON ia = ha.media_id
+       |            JOIN hashes hb ON ib = hb.media_id
+       |),
+       |pairs AS (SELECT * FROM dists WHERE dist <= 8),
+       |sided AS (
+       |  SELECT ia AS media_id, ib AS partner, dist FROM pairs
+       |  UNION ALL SELECT ib, ia, dist FROM pairs
+       |),
+       |bestrk AS (
+       |  SELECT media_id, partner, dist,
+       |    row_number() OVER (PARTITION BY media_id
+       |                       ORDER BY dist, partner) AS rk,
+       |    COUNT(*) OVER (PARTITION BY media_id) AS nm
+       |  FROM sided
+       |),
+       |best AS (
+       |  SELECT media_id, CAST(nm AS BIGINT) AS n_matches, partner, dist
+       |  FROM bestrk WHERE rk = 1
+       |)
+       |SELECT h.media_id, h.variant, h.hash,
+       |  COALESCE(b.n_matches, 0) AS n_matches,
+       |  b.partner AS best_match_id,
+       |  CAST(b.dist AS INT) AS best_dist
+       |FROM hashes h LEFT JOIN best b ON h.media_id = b.media_id
+       |ORDER BY h.media_id""".stripMargin
+  }
+
   /** Video leg: uniform-stride frame sampling (stride 2) + per-frame
     * byte-sum/digest features over the synthetic corpus's video rows
     * (every `id % 3 == 2`). Hash-gates the slice arithmetic itself:
@@ -640,6 +795,7 @@ object Queries {
         "multimodal_audio_frames" -> (multimodalAudio, Some(multimodalAudioSql)),
         "multimodal_audio_vad" -> (multimodalAudioVad, Some(multimodalAudioVadSql)),
         "multimodal_image_ahash" -> (multimodalImageAhash, Some(multimodalImageAhashSql)),
+        "multimodal_image_phash" -> (multimodalImagePhash, Some(multimodalImagePhashSql)),
         "multimodal_image_simjoin" -> (multimodalImageSim, Some(multimodalImageSimSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all, SqlQueries.all,

@@ -302,6 +302,68 @@ object Multimodal {
     }
   }
 
+  /** 16-point DCT-II basis rows for frequencies u = 0..7, fixed-point
+    * round(cos((2x+1)·u·π/32)·2¹⁴). Generated ONCE here and rendered
+    * into the oracle SQL as literals from this same array, so both
+    * engines share identical integer tables by construction — no libm
+    * in any per-row path.
+    */
+  val DctT: Array[Array[Long]] = Array.tabulate(8, 16)((u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 16384.0))
+
+  /** Perceptual DCT hash (pHash) fingerprints: decode →
+    * nearest-neighbour 16×16 resize → integer 2-D DCT-II (the
+    * [[DctT]] fixed-point basis, all int64) → the 63 AC coefficients of
+    * the top-left 8×8 block thresholded at their exact median (32nd
+    * smallest) → a 63-char '0'/'1' hash. Where aHash keys on the pixel
+    * mean, pHash keys on low-frequency STRUCTURE — and its defining
+    * property is exact brightness invariance: a constant shift moves
+    * only the DC coefficient, so the unclamped twin's 63 AC bits are
+    * IDENTICAL (clamping perturbs a few low bits). Emits each image
+    * plus a +`shift` clamped twin at media_id + 1000.
+    */
+  def imagePhashes(ds: Dataset[MediaFile], shift: Int): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      if (m.kind != "image") Iterator.empty
+      else {
+        def hashOf(p: Array[Int]): String = {
+          val d = Array.ofDim[Long](8, 8)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var acc = 0L
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  acc += p(y * 16 + x) * DctT(u)(x) * DctT(v)(y)
+                  x += 1
+                }
+                y += 1
+              }
+              d(u)(v) = acc
+              v += 1
+            }
+            u += 1
+          }
+          val ac = (for { u <- 0 until 8; v <- 0 until 8
+                          if u != 0 || v != 0 } yield d(u)(v)).toArray
+          val med = ac.sorted.apply(31) // median of 63 = 32nd smallest
+          ac.map(c => if (c > med) '1' else '0').mkString
+        }
+        val px = Codecs.resize(
+          Codecs.decodeImage(m.data, m.width, m.height),
+          m.width, m.height, 16, 16)
+        Iterator(
+          ImageHash(m.media_id, "base", hashOf(px)),
+          ImageHash(m.media_id + 1000, "bright",
+            hashOf(px.map(v => math.min(v + shift, 255)))))
+      }
+    }
+  }
+
   /** Per-sampled-frame features — the video leg of the surface. */
   final case class FrameFeatures(media_id: Long, frame_idx: Int,
                                  n_frame_bytes: Int, frame_sum: Long,
