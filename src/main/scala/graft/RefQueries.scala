@@ -244,6 +244,44 @@ object RefQueries {
        |FROM orders""".stripMargin
   }
 
+  /** Compressed-CSV roundtrip — the gzip ingest path a crawl pipeline
+    * actually receives (WARC sidecars, log exports): orders → gzip CSV
+    * (one .csv.gz per partition, splittability lost by the codec — the
+    * documented trade a deployment sizes files around) → schema-bound
+    * read-back, aggregated against the unchanged parquet oracle. The
+    * timestamp column round-trips through the CSV text form, so the
+    * min/max pin the formatter/parser pair too.
+    */
+  val csvGzipRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Exact._
+    val tmp = s"${graft.Scratch.dir}/graft_csvgz_orders_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate")
+      .write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip")
+      .csv(tmp)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ")
+      .option("header", "true")
+      .csv(tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        dsum($"o_totalprice").as("total_price"),
+        min($"o_orderkey").as("first_key"),
+        max($"o_orderkey").as("last_key"),
+        min($"o_orderdate").as("first_date"),
+        max($"o_orderdate").as("last_date"))
+  }
+
+  // def, not val: avroRoundtripSql initializes later in the object
+  def csvGzipRoundtripSql: String = avroRoundtripSql
+
   /** Avro roundtrip — the remaining mainstream lake format in the
     * matrix (parquet/CSV/JSON/ORC/JDBC already gated). Rides the
     * purpose-built [[graft.sources.AvroIO]] container-file pair (the
@@ -467,6 +505,7 @@ object RefQueries {
     "ref_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
     "ref_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "ref_avro_roundtrip" -> (avroRoundtrip, Some(avroRoundtripSql)),
+    "ref_csv_gzip_roundtrip" -> (csvGzipRoundtrip, Some(csvGzipRoundtripSql)),
     "ref_jsonl_quarantine" -> (jsonlQuarantine, Some(jsonlQuarantineSql)),
     "ref_counts" -> (counts, Some(countsSql))
   )
