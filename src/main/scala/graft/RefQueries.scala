@@ -257,16 +257,23 @@ object RefQueries {
     import graft.functions.Exact._
     val tmp = s"${graft.Scratch.dir}/graft_csvgz_orders_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + RefQueries.runToken
+    // explicit MICROSECOND format on both sides: Spark's default CSV
+    // timestampNTZFormat carries millisecond precision only, so a corpus
+    // regeneration with sub-millisecond order dates would silently
+    // truncate on write and hash-mismatch the parquet oracle (r11 ADVICE)
+    val ntzFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     Tables(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
         $"o_totalprice", $"o_orderdate")
       .write.mode("overwrite")
       .option("header", "true").option("compression", "gzip")
+      .option("timestampNTZFormat", ntzFmt)
       .csv(tmp)
     s.read
       .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
         "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ")
       .option("header", "true")
+      .option("timestampNTZFormat", ntzFmt)
       .csv(tmp)
       .agg(
         count(lit(1)).as("n_rows"),

@@ -88,12 +88,31 @@ object AvroIO {
 
   /** One Avro container file per partition under `path` (a directory).
     * Empty partitions still emit a (header-only) file so a round-trip of
-    * an empty frame keeps its schema.
+    * an empty frame keeps its schema; a ZERO-partition frame gets one
+    * driver-written header-only file for the same reason. Stale
+    * `part-*.avro` from a previous write to the same path are deleted
+    * first — re-writing with fewer partitions must not leave old files
+    * for [[read]] to glob back as duplicate rows.
     */
   def write(df: DataFrame, path: String): Unit = {
     val st = df.schema
     val schemaJson = avroSchemaFor(st, "row").toString
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val dirPath = new Path(path)
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).map(_.getPath)
+        .filter(_.getName.endsWith(".avro"))
+        .foreach(p => fs.delete(p, false))
+    val rdd = df.rdd
+    if (rdd.getNumPartitions == 0) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val out = fs.create(new Path(path, "part-00000.avro"), true)
+      new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema)).create(schema, out)
+        .close()
+      return
+    }
+    rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val fs = FileSystem.get(
         new java.net.URI(path), new Configuration())

@@ -354,6 +354,16 @@ object DedupQueries {
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
+    // the +10000/+20000 planted-variant id scheme (and every downstream
+    // base_id = doc_id % 10000 join, e.g. keepBest) assumes base ids fit
+    // below 10000 — a regenerated corpus with more documents would
+    // silently collide/mis-join, so fail LOUDLY here instead (r11
+    // ADVICE). One-value driver check, once per (JVM, sf dir).
+    val maxId = Tables(s, dir, "documents")
+      .agg(max($"doc_id")).head.getLong(0)
+    require(maxId < 10000L,
+      s"cluster corpus id scheme assumes doc_id < 10000; max is $maxId — " +
+        "the corpus drifted, widen the planted-variant offset")
     val corpus = base.select(explode(array(
         struct($"doc_id", $"toks"),
         struct(($"doc_id" + 10000).as("doc_id"),

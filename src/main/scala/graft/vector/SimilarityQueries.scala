@@ -220,7 +220,7 @@ object SimilarityQueries {
       .unionByName(planted(30000, 2))
   }
 
-  private val plantedPairsPath = scala.collection.mutable.Map[String, String]()
+  private val plantedPairsPath = new graft.KeyedMemo[String]
 
   /** [[lshPairCosines]] over [[plantedRaw]], materialized once per
     * corpus dir (r10 VERDICT: the two consumers each re-ran the whole
@@ -231,14 +231,14 @@ object SimilarityQueries {
     * threshold/rounding.
     */
   private[graft] def plantedPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = synchronized {
-    val path = plantedPairsPath.getOrElseUpdate(dir, {
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = plantedPairsPath.getOrBuild(dir) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = s"${graft.Scratch.dir}/graft_neardup_pairs_" +
         s"${graft.RefQueries.runToken}_$dirKey"
       lshPairCosines(plantedRaw(s, dir)).write.mode("overwrite").parquet(p)
       p
-    })
+    }
     s.read.schema("va BIGINT, vb BIGINT, cosine DOUBLE").parquet(path)
   }
 
@@ -513,7 +513,7 @@ object SimilarityQueries {
   /** Final trained codebook parquet per (JVM, sf dir): Lloyd training
     * runs once even though both IVF queries build [[ivfStructure]].
     */
-  private val ivfCbPath = scala.collection.mutable.Map[String, String]()
+  private val ivfCbPath = new graft.KeyedMemo[String]
 
   /** Lloyd-train the coarse quantizer: seed cells are label means, then
     * [[IvfLloyd]] rounds of exact-decimal assign + re-average — the same
@@ -530,9 +530,9 @@ object SimilarityQueries {
     * sample; here it runs in-query so the gate covers it.
     */
   private def ivfTrain(s: org.apache.spark.sql.SparkSession, dir: String,
-      vectors: org.apache.spark.sql.DataFrame): String = synchronized {
+      vectors: org.apache.spark.sql.DataFrame): String = {
     import s.implicits._
-    ivfCbPath.getOrElseUpdate(dir, {
+    ivfCbPath.getOrBuild(dir) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       def matPath(name: String) = s"${graft.Scratch.dir}/graft_ivf_cb_" +
         s"${graft.RefQueries.runToken}_${dirKey}_$name"
@@ -572,7 +572,7 @@ object SimilarityQueries {
             .toDF("c_label", "pos", "val")), s"lloyd$i")
       }
       matPath(if (IvfLloyd > 0) s"lloyd$IvfLloyd" else "seed")
-    })
+    }
   }
 
   /** Exact top-`keepTop` cells per vector under the house double-screen:
@@ -973,11 +973,10 @@ object SimilarityQueries {
     * the difference between touching 1.6% and 100% of the index files.
     * Built once per (JVM, sf dir), like the lake layouts.
     */
-  private val ivfIdxPaths =
-    scala.collection.mutable.Map[String, (String, String)]()
+  private val ivfIdxPaths = new graft.KeyedMemo[(String, String)]
   private def ivfIndexLayout(s: org.apache.spark.sql.SparkSession,
-      dir: String): (String, String) = synchronized {
-    ivfIdxPaths.getOrElseUpdate(dir, {
+      dir: String): (String, String) =
+    ivfIdxPaths.getOrBuild(dir) {
       val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idx = s"${graft.Scratch.dir}/graft_ivf_idx_" +
@@ -988,8 +987,7 @@ object SimilarityQueries {
       ivfProbesFor(s, vectors, centroidArr)
         .write.mode("overwrite").parquet(pPath)
       (idx, pPath)
-    })
-  }
+    }
 
   /** Forces every per-(JVM, sf-dir) trained/materialized model artifact
     * this module memoizes — the IVF codebook (whole-corpus + the
@@ -1000,25 +998,79 @@ object SimilarityQueries {
     * `sim_pq_adc_knn` "+4.2 s regression" was exactly this
     * cost-shifting, not a plan change). Idempotent: every trainer
     * behind it is memoized, so gates re-running later pay nothing.
+    *
+    * Returns per-artifact build seconds so the bench record can itemize
+    * the warm-up line (r11 verdict: the total grew 24.9 → 69.2 s as
+    * artifacts accrued, and an un-itemized lump is unauditable).
     */
-  def warmTraining(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    import s.implicits._
-    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-    ivfIndexLayout(s, dir)
-    // same (vec_id, label, v) rows ivfIncrementalAdd trains its frozen
-    // base codebook on — the trainer only reads those three columns
-    ivfTrain(s, dir + "|incbase", vectors.filter($"vec_id" % 10 =!= 0))
-    pqTrain(s, dir, pqSubs(s, dir))
-    pqTrain(s, dir, opqSubs(s, dir), tag = "opq")
-    pqTrain(s, dir, residualSubs(s, vectors, assigned, centroidArr), "res")
-    // shared index artifacts (r11): the banded near-dup pair table
-    // (cosine_neardup + dbscan), the NN-descent k-NN graph (the NNG
-    // gates) and the incrementally-updated graph — memoized like the
-    // codebooks, billed here
-    plantedPairs(s, dir)
-    nngEdges(s, dir)
-    nngInsertEdges(s, dir)
-    ()
+  def warmTraining(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val items = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      items.add(name -> (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    // Four dependency-respecting branches run CONCURRENTLY (r11 verdict:
+    // the serial warm-up grew to 69 s at sf0.1; the builds are mostly
+    // many tiny driver-scheduled stages, so independent artifacts overlap
+    // well on 32 cores). Each branch gets its OWN child session —
+    // shared SparkContext, isolated SQLConf — so the trainers' AQE
+    // toggles ([[graft.Confs.withConf]]) cannot race across branches.
+    // Every builder is a [[graft.KeyedMemo]] write-once parquet artifact
+    // with deterministic exact-arithmetic content, so concurrency cannot
+    // change any gate's result. Per-item seconds are wall-clock WITHIN
+    // the overlap: their sum exceeds train_warmup_sec by design.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def branch(body: org.apache.spark.sql.SparkSession => Unit):
+        java.util.concurrent.Future[_] = pool.submit(new Runnable {
+      def run(): Unit = {
+        val cs = s.newSession()
+        graft.functions.Registry.registerAll(cs)
+        body(cs)
+      }
+    })
+    val branches = Seq(
+      branch { cs =>
+        import cs.implicits._
+        val (centroidArr, vectors, assigned) =
+          timed("ivf_codebook")(ivfStructure(cs, dir))
+        timed("ivf_index_layout")(ivfIndexLayout(cs, dir))
+        // same (vec_id, label, v) rows ivfIncrementalAdd trains its frozen
+        // base codebook on — the trainer only reads those three columns
+        timed("ivf_incbase_codebook")(ivfTrain(cs, dir + "|incbase",
+          vectors.filter($"vec_id" % 10 =!= 0)))
+        timed("pq_residual_codebook")(pqTrain(cs, dir,
+          residualSubs(cs, vectors, assigned, centroidArr), "res"))
+      },
+      branch { cs =>
+        timed("pq_codebook")(pqTrain(cs, dir, pqSubs(cs, dir)))
+        timed("opq_codebook")(pqTrain(cs, dir, opqSubs(cs, dir), tag = "opq"))
+      },
+      // shared index artifacts (r11): the banded near-dup pair table
+      // (cosine_neardup + dbscan), the NN-descent k-NN graph (the NNG
+      // gates) and the incrementally-updated graph — memoized like the
+      // codebooks, billed here
+      branch { cs =>
+        timed("neardup_pair_table")(plantedPairs(cs, dir))
+        timed("nng_graph")(nngEdges(cs, dir))
+        timed("nng_delete_graph")(nngDeleteEdges(cs, dir))
+      },
+      branch { cs => timed("nng_insert_graph")(nngInsertEdges(cs, dir)) })
+    // wait for EVERY branch before returning/throwing, so a failed branch
+    // never leaves another racing the first measured query
+    val failures = branches.flatMap { f =>
+      try { f.get(); None } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          Some(Option(e.getCause).getOrElse(e))
+        case e: InterruptedException => Some(e)
+      }
+    }
+    pool.shutdown()
+    if (failures.nonEmpty) throw failures.head
+    import scala.jdk.CollectionConverters._
+    items.asScala.toSeq
   }
 
   val ivfPrunedRead: Q = (s, dir) => {
@@ -1225,10 +1277,10 @@ object SimilarityQueries {
     * 64-double collect is a model artifact like the Lloyd codebooks —
     * a per-dim moment aggregation, not a data collect.
     */
-  private val opqPermCache = scala.collection.mutable.Map[String, Array[Int]]()
+  private val opqPermCache = new graft.KeyedMemo[Array[Int]]
   private def opqPerm(s: org.apache.spark.sql.SparkSession, dir: String):
-      Array[Int] = synchronized {
-    opqPermCache.getOrElseUpdate(dir, {
+      Array[Int] =
+    opqPermCache.getOrBuild(dir) {
       import s.implicits._
       val stats = Tables(s, dir, "embeddings")
         .select(posexplode(transform($"embedding", x => x.cast("double"))))
@@ -1248,8 +1300,7 @@ object SimilarityQueries {
         src((i % PqM) * PqSub + i / PqM) = d
       }
       src
-    })
-  }
+    }
 
   private def opqSubs(s: org.apache.spark.sql.SparkSession, dir: String):
       org.apache.spark.sql.DataFrame = {
@@ -1290,7 +1341,7 @@ object SimilarityQueries {
     * (the ADC scan / the composed probe+ADC+rescore read) stays fully
     * measured.
     */
-  private val pqCbPath = scala.collection.mutable.Map[String, String]()
+  private val pqCbPath = new graft.KeyedMemo[String]
 
   private def pqCbRead(s: org.apache.spark.sql.SparkSession, path: String):
       org.apache.spark.sql.DataFrame =
@@ -1301,10 +1352,10 @@ object SimilarityQueries {
 
   private def pqTrain(s: org.apache.spark.sql.SparkSession, dir: String,
       subs: org.apache.spark.sql.DataFrame,
-      tag: String = ""): String = synchronized {
+      tag: String = ""): String = {
     import s.implicits._
     import org.apache.spark.sql.DataFrame
-    pqCbPath.getOrElseUpdate(s"$dir|$tag", {
+    pqCbPath.getOrBuild(s"$dir|$tag") {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       def matPath(name: String) = s"${graft.Scratch.dir}/graft_pq_cb_" +
         s"${graft.RefQueries.runToken}_${dirKey}_$tag$name"
@@ -1350,7 +1401,7 @@ object SimilarityQueries {
             .toDF("c_code", "m", "pos", "val")), s"lloyd$i")
       }
       matPath(if (PqLloyd > 0) s"lloyd$PqLloyd" else "seed")
-    })
+    }
   }
 
   /** Per-query LUT: the query's subspace slices dotted against every
@@ -3306,7 +3357,7 @@ object SimilarityQueries {
   private val NngRounds = 12  // beam expansion rounds
   private val NngTopK = 10    // emitted result depth
 
-  private val nngPath = scala.collection.mutable.Map[String, String]()
+  private val nngPath = new graft.KeyedMemo[String]
 
   /** One graph-ranking step: unordered candidate pairs → each node's
     * exact-cosine top-[[NngK]] out-edges. The double screen keeps
@@ -3378,8 +3429,8 @@ object SimilarityQueries {
     * pay per-job adaptive re-planning fixed costs.
     */
   private[graft] def nngEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = synchronized {
-    val path = nngPath.getOrElseUpdate(dir, {
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = nngPath.getOrBuild(dir) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = s"${graft.Scratch.dir}/graft_nng_" +
         s"${graft.RefQueries.runToken}_$dirKey"
@@ -3387,7 +3438,7 @@ object SimilarityQueries {
         nngBuild(nngBase(s, dir)).write.mode("overwrite").parquet(p)
       }
       p
-    })
+    }
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
   }
 
@@ -3457,7 +3508,7 @@ object SimilarityQueries {
     * vec_id, so the trajectory is identical in any engine and at any
     * partitioning. Returns the final beam with exact-cosine ranks.
     */
-  private val nngBeamPath = scala.collection.mutable.Map[String, String]()
+  private val nngBeamPath = new graft.KeyedMemo[String]
 
   /** Memoized [[nngBeamSearch]] — the beam trajectory is deterministic
     * over read-only testdata (same justification as the staged stream
@@ -3466,14 +3517,14 @@ object SimilarityQueries {
     * the artifact.
     */
   private[graft] def nngBeamResults(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = synchronized {
-    val path = nngBeamPath.getOrElseUpdate(dir, {
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = nngBeamPath.getOrBuild(dir) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = s"${graft.Scratch.dir}/graft_nng_beam_" +
         s"${graft.RefQueries.runToken}_$dirKey"
       nngBeamSearch(s, dir).write.mode("overwrite").parquet(p)
       p
-    })
+    }
     s.read.schema("q_id BIGINT, node BIGINT, rk INT").parquet(path)
   }
 
@@ -3551,7 +3602,7 @@ object SimilarityQueries {
   private val NngInsW = 8 // insert-search beam width = new out-degree
   private val NngInsR = 4 // insert-search beam rounds
 
-  private val nngInsPath = scala.collection.mutable.Map[String, String]()
+  private val nngInsPath = new graft.KeyedMemo[String]
 
   /** Incremental graph maintenance — the HNSW insert-via-search path,
     * the NNG sibling of `sim_ivf_incremental_add`: the k-NN graph is
@@ -3566,9 +3617,9 @@ object SimilarityQueries {
     * Returns the updated edge set, memoized as one artifact.
     */
   private[graft] def nngInsertEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = synchronized {
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val path = nngInsPath.getOrElseUpdate(dir, {
+    val path = nngInsPath.getOrBuild(dir) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       val p = s"${graft.Scratch.dir}/graft_nng_ins_" +
         s"${graft.RefQueries.runToken}_$dirKey"
@@ -3593,7 +3644,7 @@ object SimilarityQueries {
           .write.mode("overwrite").parquet(p)
       }
       p
-    })
+    }
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
   }
 
@@ -3610,6 +3661,117 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("deg"),
         sum(($"src" * 100003L + $"dst") % 1000003L).as("ck"))
     Tables(s, dir, "embeddings").select($"vec_id".as("src"))
+      .join(perNode, Seq("src"), "left")
+      .select(coalesce($"deg", lit(0L)).as("deg"),
+        coalesce($"ck", lit(0L)).as("ck"))
+      .groupBy($"deg")
+      .agg(count(lit(1)).as("n_nodes"), sum($"ck").as("edge_checksum"))
+      .orderBy($"deg")
+  }
+
+  private val nngDelPath = new graft.KeyedMemo[String]
+
+  /** Incremental graph maintenance, the DELETE half — completes the
+    * insert/delete pair a maintained vector index needs (r11 VERDICT
+    * #5): a planted 10% batch (vec_id % 10 = 7) leaves the corpus.
+    * Edges incident to the batch are TOMBSTONED, and every surviving
+    * node that lost out-edges re-links by bridging THROUGH its deleted
+    * neighbors — candidates are each deleted neighbor's own
+    * out-neighbors (the 2-hop set, minus deleted/self/already-kept),
+    * the HNSW repair shape (in-neighbors of a deleted node adopt from
+    * its out-neighbors). Each node tops back up by exactly as many
+    * edges as it lost (its "slots"), ranked under the house double
+    * screen: `dot_double` scores all its bridge candidates, only those
+    * within 1e-6 of the slots-th best pay the exact-decimal kernel,
+    * and the exact rank fills the slots — output identical to an
+    * all-exact ranking by the usual margin argument, at ~slots exact
+    * kernels per affected node instead of |candidates|.
+    *
+    * Scale shape: candidates ≤ (lost edges)·K ≤ n·K² worst case but
+    * ~0.1·n·K·K in expectation, all bucketed by src — no rebuild, no
+    * all-pairs, cost ∝ batch size like the insert path. Unaffected
+    * survivors keep their edges untouched; a node whose 2-hop pool is
+    * too small simply ends below K (deferred compaction, visible in
+    * the degree histogram the gate pins).
+    */
+  private[graft] def nngDeleteEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val path = nngDelPath.getOrBuild(dir) {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"${graft.Scratch.dir}/graft_nng_del_" +
+        s"${graft.RefQueries.runToken}_$dirKey"
+      val full = nngBase(s, dir)
+      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+        val knn = graft.CacheTracker.persistTracked(nngEdges(s, dir))
+        val kept = knn.filter($"src" % 10 =!= 7 && $"dst" % 10 =!= 7)
+        // per-node slot count: how many out-edges the tombstones took
+        val slots = knn.filter($"src" % 10 =!= 7 && $"dst" % 10 === 7)
+          .groupBy($"src").agg(count(lit(1)).as("slots"))
+        val bridge = knn.filter($"src" % 10 =!= 7 && $"dst" % 10 === 7)
+          .select($"src", $"dst".as("d"))
+          .join(knn.select($"src".as("d"), $"dst".as("w")), "d")
+          .filter($"w" % 10 =!= 7 && $"w" =!= $"src")
+          .select($"src", $"w").distinct()
+          .join(kept.select($"src", $"dst".as("w")), Seq("src", "w"),
+            "left_anti")
+        // double screen at the PER-NODE slot count (nth_value needs a
+        // constant k, so the slots-th score comes from a rank +
+        // conditional max over the same window); persist = screen
+        // barrier, as everywhere
+        val scored = graft.CacheTracker.persistTracked(
+          bridge
+            .join(full.select($"vec_id".as("src"), $"v".as("av"),
+              $"fn".as("afn")), "src")
+            .join(full.select($"vec_id".as("w"), $"v".as("bv"),
+              $"fn".as("bfn")), "w")
+            .select($"src", $"w",
+              (dotFast($"av", $"bv") / ($"afn" * $"bfn")).as("ascore")))
+        val wAll = Window.partitionBy($"src")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val surv = scored
+          .withColumn("rkd", row_number().over(
+            Window.partitionBy($"src").orderBy($"ascore".desc, $"w")))
+          .join(slots, "src")
+          .withColumn("athr",
+            max(when($"rkd" === $"slots", $"ascore")).over(wAll))
+          .filter($"athr".isNull || $"ascore" >= $"athr" - lit(1e-6))
+          .select($"src", $"w")
+        val exact = graft.CacheTracker.persistTracked(
+          surv
+            .join(full.select($"vec_id".as("src"), $"v".as("av"),
+              $"xn".as("axn")), "src")
+            .join(full.select($"vec_id".as("w"), $"v".as("bv"),
+              $"xn".as("bxn")), "w")
+            .select($"src", $"w",
+              (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("ecos")))
+        val topup = exact
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"src").orderBy($"ecos".desc, $"w")))
+          .join(slots, "src")
+          .filter($"rk" <= $"slots")
+          .select($"src", $"w".as("dst"))
+        kept.unionByName(topup).write.mode("overwrite").parquet(p)
+      }
+      p
+    }
+    s.read.schema("src BIGINT, dst BIGINT").parquet(path)
+  }
+
+  /** Delete gate: the [[nngDegree]] histogram/checksum shape over the
+    * REPAIRED post-delete graph, pinned over SURVIVING ids only —
+    * tombstoned nodes vanish, bridged nodes return to their pre-delete
+    * out-degree wherever the 2-hop pool allows, and the checksum pins
+    * every kept and re-linked edge.
+    */
+  val nngDelete: Q = (s, dir) => {
+    import s.implicits._
+    val edges = nngDeleteEdges(s, dir)
+    val perNode = edges.groupBy($"src")
+      .agg(count(lit(1)).as("deg"),
+        sum(($"src" * 100003L + $"dst") % 1000003L).as("ck"))
+    Tables(s, dir, "embeddings").filter($"vec_id" % 10 =!= 7)
+      .select($"vec_id".as("src"))
       .join(perNode, Seq("src"), "left")
       .select(coalesce($"deg", lit(0L)).as("deg"),
         coalesce($"ck", lit(0L)).as("ck"))
@@ -3849,6 +4011,61 @@ object SimilarityQueries {
        |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(ck) AS BIGINT) AS edge_checksum
        |FROM jj GROUP BY deg ORDER BY deg""".stripMargin
 
+  /** DuckDB replay of [[nngDeleteEdges]] + the [[nngDelete]] report:
+    * full-corpus chain, tombstone, 2-hop bridge candidates, the
+    * per-node-slots double screen, exact top-up, degree histogram over
+    * survivors. Every multiply-referenced stage MATERIALIZED.
+    */
+  val nngDeleteSql: String =
+    s"""WITH $sqlNngChain,
+       |kept AS MATERIALIZED (
+       |  SELECT src, dst FROM knn WHERE src % 10 <> 7 AND dst % 10 <> 7),
+       |lost AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS slots FROM knn
+       |  WHERE src % 10 <> 7 AND dst % 10 = 7 GROUP BY src),
+       |bridge AS MATERIALIZED (
+       |  SELECT b.src, b.w FROM (
+       |    SELECT DISTINCT k1.src AS src, k2.dst AS w
+       |    FROM knn k1 JOIN knn k2 ON k1.dst = k2.src
+       |    WHERE k1.src % 10 <> 7 AND k1.dst % 10 = 7
+       |      AND k2.dst % 10 <> 7 AND k2.dst <> k1.src) b
+       |  LEFT JOIN kept k ON k.src = b.src AND k.dst = b.w
+       |  WHERE k.src IS NULL),
+       |bscored AS MATERIALIZED (
+       |  SELECT b.src, b.w,
+       |    ${sqlDotFast("ca.v", "cb.v")} / (ca.fn * cb.fn) AS ascore
+       |  FROM bridge b JOIN cnorm ca ON b.src = ca.vec_id
+       |                JOIN cnorm cb ON b.w = cb.vec_id),
+       |branked AS MATERIALIZED (
+       |  SELECT src, w, ascore, row_number() OVER (
+       |    PARTITION BY src ORDER BY ascore DESC, w) AS rkd FROM bscored),
+       |bthr AS (
+       |  SELECT r.src, r.ascore AS athr FROM branked r
+       |  JOIN lost l ON r.src = l.src AND r.rkd = l.slots),
+       |bsurv AS MATERIALIZED (
+       |  SELECT r.src, r.w FROM branked r LEFT JOIN bthr t ON r.src = t.src
+       |  WHERE t.athr IS NULL OR r.ascore >= t.athr - 1e-6),
+       |bexact AS MATERIALIZED (
+       |  SELECT s.src, s.w, ${sqlCosine("ca.v", "cb.v")} AS ecos
+       |  FROM bsurv s JOIN cnorm ca ON s.src = ca.vec_id
+       |               JOIN cnorm cb ON s.w = cb.vec_id),
+       |topup AS (
+       |  SELECT src, w AS dst FROM (
+       |    SELECT e.src, e.w, l.slots, row_number() OVER (
+       |      PARTITION BY e.src ORDER BY e.ecos DESC, e.w) AS rk
+       |    FROM bexact e JOIN lost l ON e.src = l.src)
+       |  WHERE rk <= slots),
+       |alledges AS (
+       |  SELECT src, dst FROM kept UNION ALL SELECT src, dst FROM topup),
+       |pernode AS (SELECT src, COUNT(*) AS deg,
+       |    CAST(SUM((src * 100003 + dst) % 1000003) AS BIGINT) AS ck
+       |  FROM alledges GROUP BY src),
+       |survivors AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 7),
+       |jj AS (SELECT COALESCE(p.deg, 0) AS deg, COALESCE(p.ck, 0) AS ck
+       |  FROM survivors a LEFT JOIN pernode p ON a.vec_id = p.src)
+       |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(ck) AS BIGINT) AS edge_checksum
+       |FROM jj GROUP BY deg ORDER BY deg""".stripMargin
+
   // ------------------------------------------------ PCA (power iteration)
 
   private val PcaRounds = 8
@@ -3890,23 +4107,21 @@ object SimilarityQueries {
     */
   private val PcaScale = 1099511627776.0 // 2^40
 
-  private val pcaMatPath = scala.collection.mutable.Map[String, String]()
+  private val pcaMatPath = new graft.KeyedMemo[String]
 
   val pcaPowerIteration: Q = (s, dir) => {
     import s.implicits._
     // the covariance matrix is a corpus-pass model artifact (the
     // codebook pattern): built once per (JVM, sf dir), billed to the
     // bench warm-up; the gate measures the iteration
-    val path = synchronized {
-      pcaMatPath.getOrElseUpdate(dir, {
-        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val p = s"${graft.Scratch.dir}/graft_pca_mat_" +
-          s"${graft.RefQueries.runToken}_$dirKey"
-        pcaMatOf(Tables(s, dir, "embeddings")
-          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
+    val path = pcaMatPath.getOrBuild(dir) {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"${graft.Scratch.dir}/graft_pca_mat_" +
+        s"${graft.RefQueries.runToken}_$dirKey"
+      pcaMatOf(Tables(s, dir, "embeddings")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v")))
+        .write.mode("overwrite").parquet(p)
+      p
     }
     pcaIterate(s.read.schema("i INT, carr ARRAY<DOUBLE>").parquet(path))
   }
@@ -3958,11 +4173,29 @@ object SimilarityQueries {
         st => st.getField("c")).as("carr"))
   }
 
+  /** `margins` (diagnostic, spec-only — the gate passes None and pays
+    * nothing): collects, for every iterate quotient y/nrm (scaled 1e6)
+    * and the final lambda (scaled 1e9), the distance of the scaled value
+    * from the rounding half-point grid. `round(double, k)` is the
+    * documented cross-engine tie hazard (Spark rounds the SHORTEST
+    * decimal repr, DuckDB the expanded binary — the doc-2146 flip):
+    * a flip needs the scaled value within ~1e-9 of a half-point, so
+    * PcaSpec pins the measured margin on the real corpus orders of
+    * magnitude above that and a drifting corpus regeneration fails the
+    * suite instead of flipping engines silently (r11 ADVICE). The
+    * quotient divides by an irrational sqrt norm, so exact half-point
+    * ties (the perplexity-template case) cannot occur by construction —
+    * the integer micro-unit template does not apply here.
+    */
   private def pcaIterate(
-      mat0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      mat0: org.apache.spark.sql.DataFrame,
+      margins: Option[scala.collection.mutable.ArrayBuffer[Double]] = None):
+      org.apache.spark.sql.DataFrame = {
     val s = mat0.sparkSession
     import s.implicits._
     val dec = "decimal(30,15)"
+    def halfDist(scaled: org.apache.spark.sql.Column) =
+      abs(abs(scaled) % 1.0 - 0.5)
     val mat = graft.CacheTracker.persistTracked(mat0)
     graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
       var xrow = s.range(1)
@@ -3973,6 +4206,10 @@ object SimilarityQueries {
           .select($"i", dotExact($"carr", $"x").as("y"))
         val nrm = y.agg(
           sqrt(sum(($"y" * $"y").cast(dec)).cast("double")).as("nrm"))
+        margins.foreach { buf =>
+          buf += y.crossJoin(broadcast(nrm))
+            .agg(min(halfDist($"y" / $"nrm" * 1e6))).head.getDouble(0)
+        }
         xrow = y.crossJoin(broadcast(nrm))
           .select($"i", round($"y" / $"nrm", 6).as("xq"))
           .groupBy()
@@ -3987,12 +4224,34 @@ object SimilarityQueries {
         .agg(sum($"p".cast(dec)).cast("double").as("num"))
         .crossJoin(xrow.select(dotExact($"x", $"x").as("den")))
         .select(($"num" / $"den").as("lambda"))
+      margins.foreach { buf =>
+        buf += lam.select(halfDist($"lambda" * 1e9).as("m"))
+          .head.getDouble(0)
+      }
       xrow.crossJoin(broadcast(lam))
         .select(posexplode($"x").as(Seq("dim0", "loading")), $"lambda")
         .select(($"dim0" + 1).as("dim"), $"loading",
           round($"lambda", 9).as("lambda_top"))
         .orderBy($"dim")
     }
+  }
+
+  /** Measured distance-to-tie of every PCA rounding on the REAL corpus
+    * at `dir` — min over all iterate quotients (1e-6 grid) and the
+    * final lambda (1e-9 grid). See [[pcaIterate]]'s margins doc.
+    * Measured 1.04e-3 at sf0.001 (r12) — six orders of magnitude above
+    * the ~1e-9 shortest-repr flip zone; PcaSpec pins > 1e-5.
+    */
+  private[graft] def pcaTieMargin(s: org.apache.spark.sql.SparkSession,
+      dir: String): Double = {
+    import s.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer[Double]()
+    val mat = pcaMatOf(Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v")))
+      .localCheckpoint(true)
+    pcaIterate(mat, Some(buf)).count()
+    buf.min
   }
 
   val pcaPowerIterationSql: String = {
@@ -4148,6 +4407,7 @@ object SimilarityQueries {
     "sim_nng_beam" -> (nngBeam, Some(nngBeamSql)),
     "sim_nng_recall" -> (nngRecall, Some(nngRecallSql)),
     "sim_nng_insert" -> (nngInsert, Some(nngInsertSql)),
+    "sim_nng_delete" -> (nngDelete, Some(nngDeleteSql)),
     "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
     "sim_negative_mining" -> (negativeMining, Some(negativeMiningSql)),
     "sim_matryoshka_recall" -> (matryoshkaRecall, Some(matryoshkaRecallSql)),

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout contract: the driver parses the LAST line of a
+  * bounded tail-capture of the bench run as JSON, so [[Bench.summaryLine]]
+  * must (a) be strict JSON and (b) stay far below any plausible capture
+  * bound. Rounds 1–11 all recorded `parsed: null` because the tens-of-KB
+  * full per-query JSON was printed last; the summary is now the true
+  * final line and this spec keeps it that way.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def line: String = Bench.summaryLine(
+    total = 144.4, n = 252, errors = 0, trainSec = 69.241,
+    sfDir = "/root/testdata/sf0.1", duckTotal = 234.428, duckNulls = 0,
+    ratioTotal = 0.616, ratioMedian = 1.234)
+
+  test("summary line is one short line, well under a tail-capture bound") {
+    assert(!line.contains("\n"))
+    assert(line.getBytes("UTF-8").length < 2048, s"summary too long: $line")
+  }
+
+  test("summary line is strict JSON with the graded keys") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(line) // throws on malformed JSON
+    for (k <- Seq("metric", "value", "unit", "n", "errors",
+        "train_warmup_sec", "sf", "duckdb_total", "duckdb_nulls",
+        "ratio_total", "ratio_median", "full"))
+      assert(node.has(k), s"missing key $k in $line")
+    assert(node.get("n").asInt() == 252)
+    assert(node.get("ratio_total").asDouble() == 0.616)
+    assert(node.get("full").asText() == "target/bench_full.json")
+  }
+
+  test("summary stays short even with a pathological sf dir path") {
+    val long = Bench.summaryLine(1e9, 99999, 99999, 1e9,
+      "/" + "x" * 200, 1e9, 99999, 1e9, 1e9)
+    assert(long.getBytes("UTF-8").length < 2048)
+  }
+}

@@ -53,6 +53,29 @@ class AvroIOSpec extends SparkSpec {
     assert(back.count() == 1)
   }
 
+  test("re-writing with fewer partitions leaves no stale files behind") {
+    val path = tmp("rewrite")
+    def frame(ids: Seq[Long], parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(i => Row(i, 1, 1.0, 1.0f, true, "x", null, null)), parts), st)
+    AvroIO.write(frame(1L to 8L, 8), path)
+    AvroIO.write(frame(Seq(42L), 1), path) // fewer partitions: 1 file
+    val back = AvroIO.read(spark, path)
+    assert(back.count() == 1, "stale part files re-read as duplicate rows")
+    assert(back.collect().head.getLong(0) == 42L)
+  }
+
+  test("zero-partition frame still writes a schema-bearing file") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], st) // 0 partitions
+    assert(df.rdd.getNumPartitions == 0)
+    val path = tmp("zeropart")
+    AvroIO.write(df, path)
+    val back = AvroIO.read(spark, path)
+    assert(back.schema == st)
+    assert(back.count() == 0)
+  }
+
   test("unsupported types fail loudly at write time") {
     val bad = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(Seq(1, 2)))),

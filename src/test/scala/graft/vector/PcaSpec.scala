@@ -47,4 +47,19 @@ class PcaSpec extends SparkSpec {
     assert(lam >= va - 1e-6 && lam <= va + vb + 1e-6,
       s"lambda $lam outside [$va, ${va + vb}]")
   }
+
+  test("rounding stays far from the half-point grid on the real corpus") {
+    // round(double, k) is the documented cross-engine tie hazard (Spark
+    // rounds the shortest decimal repr, DuckDB the expanded binary); a
+    // flip needs the scaled value within ~1e-9 of a half-point. Pin the
+    // measured distance-to-tie of every iterate quotient (1e-6 grid) and
+    // the final lambda (1e-9 grid) with ≥10x headroom over the flip zone
+    // scaled by the usual drift margin, so a corpus regeneration that
+    // drifts toward a tie fails HERE instead of flipping engines in the
+    // oracle gate (r11 ADVICE).
+    val m = SimilarityQueries.pcaTieMargin(spark, "/root/testdata/sf0.001")
+    graft.CacheTracker.releaseAll()
+    info(s"measured PCA tie margin: $m")
+    assert(m > 1e-5, s"PCA rounding margin $m is inside the tie-risk zone")
+  }
 }
