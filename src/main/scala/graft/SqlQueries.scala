@@ -122,9 +122,123 @@ object SqlQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** MinHash-LSH near-dup dedup as pure SQL text (r11 VERDICT #8 — the
+    * dedup family's entry-point twin): the same corpus construction,
+    * native `word_shingles`/`minhash_md5` resolving through the SQL
+    * parser, banding via posexplode + collect_list, the hot-band cap as
+    * a window, exact-Jaccard verify. Hash-gated against the SAME oracle
+    * as `dedup_minhash_lsh`. (Note: `agg_grouping_sets` needs no twin —
+    * its DSL gate is ALREADY issued as spark.sql text.)
+    *
+    * Plans intentionally NOT identical to the DSL twin: the DSL path
+    * persists the shingled corpus and band table (read 3×/2×); SQL text
+    * has no persist hook, so Spark inlines the CTEs and re-derives them
+    * per reference. Same values, pinned by the shared hash gate; the
+    * DSL gate remains the performance formulation.
+    */
+  val sqlDedupMinhash: Q = (s, dir) => {
+    val (k, bands, r, cap) = (graft.Tuning.minhashK, graft.Tuning.minhashBands,
+      graft.Tuning.minhashR, graft.Tuning.lshBandCap)
+    graft.functions.Registry.registerAll(s)
+    overViews(s, dir, Seq("documents"),
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks
+         |  FROM graft_documents),
+         |base AS (SELECT * FROM docs WHERE size(toks) >= 15),
+         |corpus AS (
+         |  SELECT doc_id, toks FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 10000, slice(toks, 1, size(toks) - 5) FROM base),
+         |shingled AS (SELECT doc_id, word_shingles(toks, 3) AS sh FROM corpus),
+         |sig AS (SELECT doc_id, posexplode(minhash_md5(sh, $k)) AS (i, h)
+         |        FROM shingled),
+         |bandt AS (
+         |  SELECT doc_id, CAST(floor(i / $r) AS INT) AS band,
+         |    array_join(transform(array_sort(collect_list(struct(i, h))),
+         |      st -> st.h), '|') AS mh
+         |  FROM sig GROUP BY doc_id, CAST(floor(i / $r) AS INT)),
+         |sized AS (
+         |  SELECT doc_id, band, mh,
+         |    COUNT(*) OVER (PARTITION BY band, mh) AS gsz FROM bandt),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sized a JOIN sized b ON a.band = b.band AND a.mh = b.mh
+         |  WHERE a.gsz <= $cap AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+         |            JOIN shingled sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  /** The bucket-grid interval-overlap join as SQL text — same grid
+    * explode, same exactly-once cell rule, against the DSL twin's
+    * inequality-join oracle.
+    */
+  val sqlIntervalOverlap: Q = (s, dir) => {
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24L * hourUs
+    overViews(s, dir, Seq("events"),
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    unix_micros(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM graft_events),
+         |a AS (SELECT user_id, us div $dayUs AS day,
+         |        MIN(us) AS as_, MAX(us) + 1 AS ae
+         |      FROM ev GROUP BY user_id, us div $dayUs),
+         |b AS (SELECT event_type, us div $hourUs AS hr,
+         |        MIN(us) AS bs, MAX(us) + 1 AS be
+         |      FROM ev GROUP BY event_type, us div $hourUs),
+         |aexp AS (SELECT user_id, as_, ae,
+         |    explode(sequence(as_ div $hourUs, (ae - 1) div $hourUs)) AS g
+         |  FROM a),
+         |bexp AS (SELECT event_type, bs, be,
+         |    explode(sequence(bs div $hourUs, (be - 1) div $hourUs)) AS g
+         |  FROM b)
+         |SELECT event_type, COUNT(*) AS n_pairs,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM aexp JOIN bexp USING (g)
+         |WHERE as_ < be AND bs < ae
+         |  AND g = greatest(as_, bs) div $hourUs
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Brute-force exact kNN as SQL text — the vector family's entry-point
+    * twin, with the native `dot_exact_dec` kernel resolving through the
+    * SQL parser inside the hoisted-norm/cosine formulation.
+    */
+  val sqlKnnBrute: Q = (s, dir) => {
+    graft.functions.Registry.registerAll(s)
+    overViews(s, dir, Seq("embeddings"),
+      """WITH emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(dot_exact_dec(embedding, embedding)) AS xn
+        |  FROM graft_embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, xn AS qxn
+        |      FROM emb WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    dot_exact_dec(embedding, q_emb) / (xn * qxn) AS cosine
+        |  FROM emb CROSS JOIN q WHERE vec_id <> q_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, round(cosine, 9) AS cosine, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "sql_q1_pricing" -> (sqlQ1, Some(Queries.q1PricingSummarySql)),
     "sql_window_top3" -> (sqlWindowTop3, Some(TpchQueries.windowTop3Sql)),
     "sql_asof_purchase_click" -> (sqlAsof, Some(AdvancedJoins.asofSql)),
-    "sql_native_functions" -> (sqlNativeFns, Some(sqlNativeFnsSql)))
+    "sql_native_functions" -> (sqlNativeFns, Some(sqlNativeFnsSql)),
+    "sql_dedup_minhash" ->
+      (sqlDedupMinhash, Some(graft.text.DedupQueries.minhashLshSql)),
+    "sql_interval_overlap" ->
+      (sqlIntervalOverlap, Some(AdvancedJoins.intervalOverlapSql)),
+    "sql_knn_brute" -> (sqlKnnBrute, Some(graft.vector.SimilarityQueries.knnBruteSql)))
 }

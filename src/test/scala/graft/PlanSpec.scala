@@ -777,4 +777,60 @@ class PlanSpec extends SparkSpec {
       "the 1-row stats frame must broadcast:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sql dedup twin: native minhash under the parser, capped equi-join") {
+    val p = plan("sql_dedup_minhash")
+    assert(p.contains("minhash_md5") && p.contains("word_shingles"),
+      "native kernels must resolve through the SQL parser:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the (band, mh) equi-join:\n" + p)
+  }
+
+  test("sql interval twin: grid explode feeds an equi-join, no cartesian") {
+    val p = plan("sql_interval_overlap")
+    assert(p.contains("Generate"),
+      "both interval sides must explode onto the grid:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the overlap must ride the grid-cell equi-join:\n" + p)
+  }
+
+  test("sql knn twin: native exact kernel, broadcast query side") {
+    val p = plan("sql_knn_brute")
+    assert(p.contains("dot_exact_dec"),
+      "the exact decimal kernel must resolve through the SQL parser:\n" + p)
+    assert(p.contains("Broadcast"),
+      "the 5-row query side must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here should shuffle-sort-join:\n" + p)
+  }
+
+  test("jdbc source pushes filters into the database scan") {
+    // the filters-reach-the-scan invariant the parquet side pins above,
+    // on the JDBC read direction (r11 VERDICT #7): a filtered read of
+    // the upserted Derby table must show the predicate as PushedFilters
+    // on the JDBCRelation scan — shipped to the database as WHERE, not
+    // evaluated Spark-side after a full-table pull — and the projection
+    // must prune the fetched column list.
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+    val url = s"jdbc:derby:${graft.Scratch.dir}/jdbc_plan_" +
+      s"${graft.Scratch.runToken};create=true"
+    JdbcUpsertSink.ensureTable(url, JdbcUpsertSink.DerbyUpsert)
+    JdbcUpsertSink.write(
+      graft.sources.Gen.locations(spark, 200).as[graft.model.Location],
+      url, parallelism = 2, dialect = JdbcUpsertSink.DerbyUpsert)
+    val df = spark.read.jdbc(url, "locations", new java.util.Properties())
+      .filter($"country" === "Japan")
+      .select($"locid", $"country")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Derby reports uppercase identifiers; the '*' prefix marks the
+    // filter as fully handled by the source (no residual Spark filter)
+    assert(p.contains("PushedFilters:") && p.contains("*EqualTo(COUNTRY,Japan)"),
+      "the country predicate must reach the JDBC scan:\n" + p)
+    assert(!p.toLowerCase.contains("locname"),
+      "unused columns must not be fetched over JDBC:\n" + p)
+    assert(!p.contains("Filter ("),
+      "no residual Spark-side filter should remain:\n" + p)
+  }
 }

@@ -9,8 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SharedSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: maxFailures 2, so RetryDeterminismSpec can inject a
+    // first-attempt task failure and assert the retried result is
+    // value-identical (suites that expect job failure still fail — the
+    // poisoned task just retries once more first)
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
