@@ -39,8 +39,18 @@ object KeyHash {
     * of a strong hash are independent uniform; requires 4(r+1) ≤ 32.
     */
   def bucketRow(salt: String, key: Column, r: Int, n: Int): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1 + 4 * r, 4),
-      16, 10).cast("long") % n
+    bucketRowOfDigest(md5(concat(lit(salt), key.cast("string"))), r, n)
+
+  /** Row `r`'s bucket from an ALREADY-COMPUTED md5 digest column.
+    * Project the digest once and slice d times when the d calls sit
+    * under a Generate: subexpression elimination does NOT reach into
+    * generator input expressions (r12 measured: the count-min build
+    * paid 4 digests/element through `explode(array(...))` despite the
+    * CSE note above — projecting the digest first restored
+    * 1 digest/element).
+    */
+  def bucketRowOfDigest(dg: Column, r: Int, n: Int): Column =
+    conv(substring(dg, 1 + 4 * r, 4), 16, 10).cast("long") % n
 
   /** DuckDB mirror of [[bucketRow]] with the row index as an EXPRESSION
     * (the oracle unrolls rows via `range(0, d) t(j)`).

@@ -12,22 +12,27 @@ final case class MgSummary(words: Array[String], counts: Array[Long])
 
 /** Mergeable Misra-Gries sketch as a typed Aggregator — the bounded-
   * memory first pass of the two-pass heavy-hitter pattern (sketch the
-  * candidate set, then exact-count only the candidates). The summary
-  * holds at most `m` counters; inserting past capacity subtracts the
-  * (m+1)-th largest count from every counter and drops the non-positive
-  * ones (for a single insert that is the classic decrement step), and
-  * MERGING two summaries sums counts of the union then compresses the
-  * same way — the construction of Agarwal et al.'s mergeable summaries,
-  * which keeps the guarantee under ANY partitioning / combine tree:
+  * candidate set, then exact-count only the candidates). Input is a
+  * WEIGHTED item (word, weight): a weight-`k` update is equivalent to
+  * `k` unit inserts for the guarantee (it IS a merge with a 1-entry
+  * summary), so pre-weighted streams — map-side combined partials, a
+  * replication factor carried as a column — sketch without being
+  * materialized row-per-unit. The summary holds at most `m` counters;
+  * inserting past capacity subtracts the (m+1)-th largest count from
+  * every counter and drops the non-positive ones (for a unit insert
+  * that is the classic decrement step), and MERGING two summaries sums
+  * counts of the union then compresses the same way — the construction
+  * of Agarwal et al.'s mergeable summaries, which keeps the guarantee
+  * under ANY partitioning / combine tree, in TOTAL WEIGHT W:
   *
-  *   true(w) − n/(m+1)  ≤  est(w)  ≤  true(w)
+  *   true(w) − W/(m+1)  ≤  est(w)  ≤  true(w)
   *
-  * so every w with true frequency > n/(m+1) survives in the summary no
+  * so every w with true weight > W/(m+1) survives in the summary no
   * matter how Spark splits and combines the scan. The candidate SET is
   * therefore deterministic-enough for a gate that exact-rescores: the
   * final output depends only on the guarantee, not on intra-partition
   * order. Property-tested against exact counts under random
-  * repartitionings in HeavyHittersSpec.
+  * repartitionings and random weights in HeavyHittersSpec.
   *
   * Scale shape: map-side partial aggregation reduces each partition to
   * one ≤m-entry summary, the shuffle moves ≤m rows per partition, and
@@ -35,7 +40,8 @@ final case class MgSummary(words: Array[String], counts: Array[Long])
   * plan that survives a 100 TB token stream where an exact global
   * group-by of the full vocabulary would not.
   */
-class MisraGries(m: Int) extends Aggregator[String, MgSummary, MgSummary] {
+class MisraGries(m: Int)
+    extends Aggregator[(String, Long), MgSummary, MgSummary] {
   require(m >= 1, s"capacity must be positive, got $m")
 
   override def zero: MgSummary = MgSummary(Array.empty, Array.empty)
@@ -54,12 +60,14 @@ class MisraGries(m: Int) extends Aggregator[String, MgSummary, MgSummary] {
     MgSummary(s.map(_._1).toArray, s.map(_._2).toArray)
   }
 
-  override def reduce(b: MgSummary, w: String): MgSummary = {
+  override def reduce(b: MgSummary, t: (String, Long)): MgSummary = {
+    val (w, wt) = t
+    require(wt > 0, s"weights must be positive, got $wt for $w")
     val i = java.util.Arrays.binarySearch(
       b.words.asInstanceOf[Array[AnyRef]], w)
     if (i >= 0) {
-      val c = b.counts.clone(); c(i) += 1L; MgSummary(b.words, c)
-    } else compact(b.words.zip(b.counts).toSeq :+ (w -> 1L))
+      val c = b.counts.clone(); c(i) += wt; MgSummary(b.words, c)
+    } else compact(b.words.zip(b.counts).toSeq :+ (w -> wt))
   }
 
   override def merge(a: MgSummary, b: MgSummary): MgSummary =

@@ -659,23 +659,31 @@ object TextQueries {
   val heavyHitters: Q = (s, dir) => {
     import s.implicits._
     val m = 16
+    // the planted ×41 replication rides as a WEIGHT column instead of
+    // 41 materialized rows (r12, measured: the explode doubled the
+    // stream to ~1M rows at sf0.1 and the sketch paid per-row): a
+    // weight-k MG update is k unit inserts for the guarantee, and the
+    // exact pass counts with sum(wt) — output identical, half the rows
+    // repartition the one-file scan before the per-row work (the
+    // agg_countmin_probe lesson): tokenize + md5 otherwise run on the
+    // scan's single input partition. The OUTPUT is partition-invariant
+    // by the MG guarantee (HeavyHittersSpec), so only wall-clock moves.
     val toks = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(tokens($"text")).as("w"))
-      .withColumn("rep",
+      .withColumn("wt",
         when(graft.functions.KeyHash.bucket100("hh|", $"w") < 10, lit(41L))
           .otherwise(lit(1L)))
-      .select($"w", explode(sequence(lit(1L), $"rep")).as("i"))
-      .select($"w")
     val tr = graft.CacheTracker.persistTracked(toks)
     // one global group: map-side partials still reduce each partition
     // to a single ≤m-entry summary before the 1-group merge
-    val cand = tr.as[String].groupByKey(_ => 0)
+    val cand = tr.as[(String, Long)].groupByKey(_ => 0)
       .agg(new graft.operators.MisraGries(m).toColumn.name("mg"))
       .toDF("g", "mg")
       .select(explode($"mg.words").as("w"))
-    val tot = tr.agg(count(lit(1)).as("n_total"))
+    val tot = tr.agg(sum($"wt").as("n_total"))
     tr.join(broadcast(cand), Seq("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .groupBy($"w").agg(sum($"wt").as("cnt"))
       .crossJoin(broadcast(tot))
       .filter($"cnt" * m > $"n_total")
       .select($"w", $"cnt", $"n_total")

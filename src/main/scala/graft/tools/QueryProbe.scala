@@ -1,0 +1,193 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-attribution harness for single queries: times named sub-plans
+  * of the >2.5×-oracle single-pass queries so optimization targets the
+  * measured cost, not the guessed one (the r10 A/B discipline).
+  *
+  * Usage: runMain graft.tools.QueryProbe <sfDir> <probe> [reps]
+  */
+object QueryProbe {
+
+  private def timed(name: String, reps: Int)(f: => Long): Unit = {
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val n = f
+      graft.CacheTracker.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val med = ts.map(_._1).sorted.apply(ts.size / 2)
+    println(f"[probe] $name%-32s ${med}%8.3f s  (rows=${ts.head._2})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val probe = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Scratch.sparkLocalDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    probe match {
+      case "heavy_hitters" => heavyHitters(spark, sfDir, reps)
+      case "countmin" => countmin(spark, sfDir, reps)
+      case "hybrid" => hybrid(spark, sfDir, reps)
+      case "hot_cell" => hotCell(spark, sfDir, reps)
+      case other => sys.error(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+
+  private def heavyHitters(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.text.TextAnalysis.tokens
+    def toks = graft.Tables(s, dir, "documents")
+      .select(explode(tokens($"text")).as("w"))
+      .withColumn("wt",
+        when(graft.functions.KeyHash.bucket100("hh|", $"w") < 10, lit(41L))
+          .otherwise(lit(1L)))
+    timed("tokenize+weight (count)", reps)(toks.count())
+    timed("persist weighted stream", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.count()
+    }
+    timed("persist + MG sketch", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.as[(String, Long)].groupByKey(_ => 0)
+        .agg(new graft.operators.MisraGries(16).toColumn.name("mg"))
+        .toDF("g", "mg").select(explode($"mg.words").as("w")).count()
+    }
+    timed("full gate", reps)(
+      graft.Queries.queries("text_heavy_hitters")(s, dir).count())
+  }
+
+  private def countmin(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.text.TextAnalysis
+    def toks = graft.Tables(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens($"text")).as("term"))
+      .filter(length($"term") > 1)
+    timed("tokenize (count)", reps)(toks.count())
+    timed("persist toks", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.count()
+    }
+    val W = 512
+    def bucketCols(term: org.apache.spark.sql.Column) =
+      explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"),
+          graft.functions.KeyHash.bucketRow("cm|", term, r, W).as("b"))): _*))
+    timed("persist + sketch build", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.select(bucketCols($"term").as("x"))
+        .groupBy($"x.r".as("r"), $"x.b".as("b")).agg(count(lit(1)).as("cnt"))
+        .count()
+    }
+    timed("persist + exact top-10 probes", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.groupBy($"term").agg(count(lit(1)).as("exact"))
+        .orderBy($"exact".desc, $"term").limit(10).count()
+    }
+    timed("sketch, digest projected once", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.select(md5(concat(lit("cm|"), $"term".cast("string"))).as("dg"))
+        .select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            (conv(substring($"dg", 1 + 4 * r, 4), 16, 10).cast("long") % W)
+              .as("b"))): _*)).as("x"))
+        .groupBy($"x.r", $"x.b").agg(count(lit(1)).as("cnt")).count()
+    }
+    timed("sketch, repartitioned docs + 1 digest", reps) {
+      val cpus = s.sparkContext.defaultParallelism
+      val tr = graft.CacheTracker.persistTracked(
+        graft.Tables(s, dir, "documents").repartition(cpus)
+          .select(explode(TextAnalysis.tokens($"text")).as("term"))
+          .filter(length($"term") > 1))
+      tr.select(md5(concat(lit("cm|"), $"term".cast("string"))).as("dg"))
+        .select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            (conv(substring($"dg", 1 + 4 * r, 4), 16, 10).cast("long") % W)
+              .as("b"))): _*)).as("x"))
+        .groupBy($"x.r", $"x.b").agg(count(lit(1)).as("cnt")).count()
+    }
+    timed("sketch, no md5 (explode+agg only)", reps) {
+      val tr = graft.CacheTracker.persistTracked(toks)
+      tr.select(explode(array((0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            ((length($"term") * (r + 1)) % W).cast("long").as("b"))): _*))
+          .as("x"))
+        .groupBy($"x.r", $"x.b").agg(count(lit(1)).as("cnt")).count()
+    }
+    timed("full gate", reps)(
+      graft.Queries.queries("agg_countmin_probe")(s, dir).count())
+  }
+
+  private def hybrid(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.text.TextAnalysis
+    def base = graft.Tables(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i),
+          element_at($"toks", i + 1))).as("bg"))
+    timed("bigrams (count)", reps)(base.count())
+    timed("persist base + terms groupBy", reps) {
+      val b = graft.CacheTracker.persistTracked(base)
+      b.select($"doc_id", explode($"bg").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")).count()
+    }
+    timed("vector half (3q exact scan)", reps) {
+      import graft.vector.VectorOps._
+      val emb = graft.Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+      val qEmb = broadcast(emb.filter($"vec_id".isin(3L, 57L, 201L))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"xn".as("qxn")))
+      emb.crossJoin(qEmb).filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
+        .count()
+    }
+    timed("full gate", reps)(
+      graft.Queries.queries("sim_hybrid_search")(s, dir).count())
+  }
+
+  private def hotCell(s: SparkSession, dir: String, reps: Int): Unit = {
+    import graft.vector.SimilarityQueries
+    timed("ivfStructure codebook read", reps) {
+      val (c, _, _) = SimilarityQueries.ivfStructure(s, dir)
+      c.count()
+    }
+    timed("hot corpus build (count)", reps)(
+      SimilarityQueries.hotCellCorpus(s, dir).count())
+    timed("corpus + semRanked", reps) {
+      val (cent, _, _) = SimilarityQueries.ivfStructure(s, dir)
+      val corpus = graft.CacheTracker.persistTracked(
+        SimilarityQueries.hotCellCorpus(s, dir))
+      SimilarityQueries.semRanked(corpus, cent).count()
+    }
+    timed("ranked + windowCandidates+screen", reps) {
+      import s.implicits._
+      import graft.vector.VectorOps._
+      val (cent, _, _) = SimilarityQueries.ivfStructure(s, dir)
+      val corpus = graft.CacheTracker.persistTracked(
+        SimilarityQueries.hotCellCorpus(s, dir))
+      val ranked = graft.CacheTracker.persistTracked(
+        SimilarityQueries.semRanked(corpus, cent))
+      SimilarityQueries.windowCandidates(ranked, 64)
+        .filter(dotFast($"ua", $"ub") / ($"fa" * $"fb") >= 0.9)
+        .count()
+    }
+    timed("full gate", reps)(
+      graft.Queries.queries("dedup_semantic_hot_cell")(s, dir).count())
+  }
+}

@@ -1926,28 +1926,40 @@ object SimilarityQueries {
     import graft.functions.Exact._
     val qIds = Seq(3L, 57L, 201L)
     val toks = graft.text.TextAnalysis.tokens($"text")
+    // repartition the one-file scan before the per-row bigram build
+    // (the agg_countmin_probe lesson — the scan is a single partition)
     val base = graft.CacheTracker.persistTracked(
       Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks.as("toks"))
         .filter(size($"toks") >= 2)
         .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
           i => concat_ws(" ", element_at($"toks", i),
             element_at($"toks", i + 1))).as("bg")))
-    val terms = graft.CacheTracker.persistTracked(
-      base.select($"doc_id", explode($"bg").as("t"))
-        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+    val exploded = base.select($"doc_id", explode($"bg").as("t"))
     val lens = base.select($"doc_id", size($"bg").as("len"))
     val stats = broadcast(lens.agg(count(lit(1)).as("n"),
       davg($"len".cast("double")).as("avgdl")))
-    val dfT = terms.groupBy($"t").agg(count(lit(1)).as("df"))
-    val qTerms = terms.filter($"doc_id".isin(qIds: _*))
-      .select($"doc_id".as("q_id"), $"t")
+    val qTerms = exploded.filter($"doc_id".isin(qIds: _*))
+      .select($"doc_id".as("q_id"), $"t").distinct()
+    // never group the full vocabulary: the corpus-wide (doc, term, tf)
+    // table cost one 256k-row shuffle on long bigram keys (r12 probe:
+    // ~0.5 s, most of the gate) and everything downstream only reads
+    // postings of QUERY terms. Semi-join the exploded stream to the
+    // ≤few-hundred query bigrams first (broadcast, scan-local over the
+    // persisted base), THEN group — the shuffle carries only matching
+    // postings. tf and df stay exact: the semi-join keeps every
+    // occurrence in every doc containing a query term.
+    val posting = graft.CacheTracker.persistTracked(
+      exploded.join(broadcast(qTerms.select($"t").distinct()), "t")
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+    val dfT = posting.groupBy($"t").agg(count(lit(1)).as("df"))
     val contrib = qTerms
-      .join(terms, "t")
+      .join(posting, "t")
       .filter($"doc_id" =!= $"q_id")
       .join(broadcast(dfT), "t")
       .crossJoin(stats)
-      .join(lens, "doc_id")
+      .join(broadcast(lens), "doc_id")
       .select($"q_id", $"doc_id",
         (log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
           (($"tf" * lit(2.2)) /
@@ -2239,7 +2251,11 @@ object SimilarityQueries {
     import s.implicits._
     val (centroidArr, _, _) = ivfStructure(s, dir)
     semanticDedupOn(
-      Tables(s, dir, "embeddings").select(explode(array(
+      Tables(s, dir, "embeddings")
+        // one-file scan → per-row kernel work needs the repartition
+        // (the agg_countmin_probe lesson, r12)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(array(
           struct($"vec_id", transform($"embedding", x => x.cast("double")).as("v")),
           struct(($"vec_id" + 10000).as("vec_id"),
             transform($"embedding", (x, d) =>
@@ -2337,14 +2353,28 @@ object SimilarityQueries {
     * core at 10× and asserts the bound.
     */
   val semanticDedupHotCell: Q = (s, dir) => {
-    import s.implicits._
     val (centroidArr, _, _) = ivfStructure(s, dir)
+    semanticDedupOn(hotCellCorpus(s, dir), centroidArr, HotCellCap)
+  }
+
+  /** The planted hot-cell corpus (split from the gate for QueryProbe's
+    * stage attribution): real embeddings + a same-cell planted cohort.
+    */
+  private[graft] def hotCellCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // repartition the one-file embeddings scan before the per-row work:
+    // the 64-md5-per-row jitter transform, both norm kernels and the
+    // downstream assignment otherwise run on the scan's single input
+    // partition (the agg_countmin_probe lesson, r12)
+    val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
     val e0 = Tables(s, dir, "embeddings").filter($"vec_id" === 0)
       .select(transform($"embedding", x => x.cast("double")).as("e0"))
     // `src` (not `vec_id`): the output re-aliases vec_id in the same
     // projection, and a lambda-captured $"vec_id" would resolve against
     // the shifted output id, silently changing every formula below
-    val hot = Tables(s, dir, "embeddings").select($"vec_id".as("src"))
+    val hot = emb.select($"vec_id".as("src"))
       .crossJoin(broadcast(e0))
       .select(($"src" + 1000000).as("vec_id"),
         when($"src" < 128,
@@ -2364,12 +2394,11 @@ object SimilarityQueries {
             when(d === 2, ($"src" % 2).cast("double") * lit(0.001))
               .otherwise(lit(0.0))
         })).as("v"))
-    val corpus = Tables(s, dir, "embeddings")
+    emb
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .unionByName(hot)
       .withColumn("fn", sqrt(dotFast($"v", $"v")))
       .withColumn("xn", normExact($"v"))
-    semanticDedupOn(corpus, centroidArr, HotCellCap)
   }
 
   val semanticDedupHotCellSql: String =
@@ -3756,6 +3785,29 @@ object SimilarityQueries {
       p
     }
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
+  }
+
+  /** Beam search over the REPAIRED post-delete graph for the standard
+    * queries (0–4 all survive the %10=7 tombstone) — the quality
+    * certificate that the delete repair keeps the index usable
+    * (AnnRecallSpec pins the recall floor against exact ground truth
+    * over survivors).
+    */
+  private[graft] def nngDeleteBeam(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val knn = nngDeleteEdges(s, dir)
+    val und = graft.CacheTracker.persistTracked(
+      knn.select($"src".as("node"), $"dst".as("nbr"))
+        .unionByName(knn.select($"dst".as("node"), $"src".as("nbr")))
+        .distinct())
+    val base = graft.CacheTracker.persistTracked(
+      nngBase(s, dir).filter($"vec_id" % 10 =!= 7))
+    val qq = graft.CacheTracker.persistTracked(
+      base.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"v".as("qv"),
+          $"fn".as("qfn"), $"xn".as("qxn")))
+    nngBeamOver(base, und, qq, NngBeam, NngRounds)
   }
 
   /** Delete gate: the [[nngDegree]] histogram/checksum shape over the

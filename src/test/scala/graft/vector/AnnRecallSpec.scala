@@ -208,6 +208,48 @@ class AnnRecallSpec extends SparkSpec {
     assert(maxDeg <= 12, s"out-degree $maxDeg exceeds K=12")
   }
 
+  test("post-delete graph: tombstones clean, repair keeps beam recall") {
+    val edges = SimilarityQueries.nngDeleteEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // tombstone contract: no deleted endpoint survives, no self/dup edges
+    assert(edges.forall(e => e._1 % 10 != 7 && e._2 % 10 != 7),
+      "edge touching a deleted node survived the tombstone")
+    assert(edges.forall(e => e._1 != e._2), "self-edge after repair")
+    assert(edges.distinct.length == edges.length, "duplicate edge after repair")
+    assert(edges.groupBy(_._1).map(_._2.length).max <= 12,
+      "repair pushed an out-degree past K=12")
+    // recall floor over SURVIVORS: plain-Scala exact ground truth (the
+    // definitional pin), beam over the repaired graph
+    val corpus = graft.Tables(spark, sf0001, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 10 <> 7"))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (0L to 4L).flatMap { q =>
+      val qv = corpus.find(_._1 == q).get._2
+      corpus.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val emitted = SimilarityQueries.nngDeleteBeam(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("rk") <= 10)
+      .select("q_id", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheTracker.releaseAll()
+    val hits = emitted.intersect(exact).size.toDouble
+    // pre-delete beam measures 49/50 on this corpus; the repaired graph
+    // must stay in the same quality class — 0.8 is the regression floor
+    assert(hits / exact.size >= 0.8,
+      s"post-delete beam recall collapsed: $hits/${exact.size}")
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
