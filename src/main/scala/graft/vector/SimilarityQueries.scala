@@ -1057,7 +1057,10 @@ object SimilarityQueries {
         timed("nng_graph")(nngEdges(cs, dir))
         timed("nng_delete_graph")(nngDeleteEdges(cs, dir))
       },
-      branch { cs => timed("nng_insert_graph")(nngInsertEdges(cs, dir)) })
+      branch { cs =>
+        timed("nng_insert_graph")(nngInsertEdges(cs, dir))
+        timed("nng_compact_graph")(nngCompactEdges(cs, dir))
+      })
     // wait for EVERY branch before returning/throwing, so a failed branch
     // never leaves another racing the first measured query
     val failures = branches.flatMap { f =>
@@ -3832,6 +3835,96 @@ object SimilarityQueries {
       .orderBy($"deg")
   }
 
+  private val nngCompactPath = new graft.KeyedMemo[String]
+
+  /** Graph maintenance, the COMPACTION pass — the deferred step both
+    * [[nngInsertEdges]] ("degree re-pruning is the deferred
+    * maintenance") and [[nngDeleteEdges]] defer: the insert path
+    * appends reverse edges without pruning, so base nodes drift past
+    * out-degree K. Compaction restores the invariant: every node over
+    * K re-ranks its out-edges by exact cosine under the house double
+    * screen (dot_double scores all its edges, only those within 1e-6
+    * of the K-th best pay the exact kernel) and keeps the top K; nodes
+    * at or under K are untouched. Completes the build→insert→delete→
+    * compact maintenance cycle a long-lived 100-TB vector index runs.
+    *
+    * Scale shape: only over-degree nodes pay — cost ∝ edges appended
+    * since the last compaction (here the insert batch's reverse edges),
+    * all bucketed by src; nothing corpus-quadratic, no rebuild.
+    */
+  private[graft] def nngCompactEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val path = nngCompactPath.getOrBuild(dir) {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"${graft.Scratch.dir}/graft_nng_cmp_" +
+        s"${graft.RefQueries.runToken}_$dirKey"
+      // full-corpus vectors: compaction scores (base → batch) reverse
+      // edges, so both endpoints' vectors are needed
+      val full = nngBase(s, dir)
+      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+        val edges = graft.CacheTracker.persistTracked(nngInsertEdges(s, dir))
+        val degs = graft.CacheTracker.persistTracked(
+          edges.groupBy($"src").agg(count(lit(1)).as("deg")))
+        val keepAsIs = edges.join(degs.filter($"deg" <= NngK), "src")
+          .select($"src", $"dst")
+        val over = edges.join(degs.filter($"deg" > NngK), "src")
+          .select($"src", $"dst")
+        val scored = graft.CacheTracker.persistTracked(
+          over
+            .join(full.select($"vec_id".as("src"), $"v".as("av"),
+              $"fn".as("afn")), "src")
+            .join(full.select($"vec_id".as("dst"), $"v".as("bv"),
+              $"fn".as("bfn")), "dst")
+            .select($"src", $"dst",
+              (dotFast($"av", $"bv") / ($"afn" * $"bfn")).as("ascore")))
+        val wF = Window.partitionBy($"src").orderBy($"ascore".desc, $"dst")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val surv = scored
+          .withColumn("athr", nth_value($"ascore", NngK).over(wF))
+          .filter($"athr".isNull || $"ascore" >= $"athr" - lit(1e-6))
+          .select($"src", $"dst")
+        val exact = graft.CacheTracker.persistTracked(
+          surv
+            .join(full.select($"vec_id".as("src"), $"v".as("av"),
+              $"xn".as("axn")), "src")
+            .join(full.select($"vec_id".as("dst"), $"v".as("bv"),
+              $"xn".as("bxn")), "dst")
+            .select($"src", $"dst",
+              (dotExact($"av", $"bv") / ($"axn" * $"bxn")).as("ecos")))
+        val pruned = exact
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")))
+          .filter($"rk" <= NngK)
+          .select($"src", $"dst")
+        keepAsIs.unionByName(pruned).write.mode("overwrite").parquet(p)
+      }
+      p
+    }
+    s.read.schema("src BIGINT, dst BIGINT").parquet(path)
+  }
+
+  /** Compaction gate: the [[nngDegree]] histogram/checksum shape over
+    * the COMPACTED post-insert graph — every over-K cohort must vanish
+    * back to exactly K (out-degree is an invariant again) and the
+    * checksum pins WHICH edges each pruned node kept (the exact-cosine
+    * top K, ties on dst).
+    */
+  val nngCompact: Q = (s, dir) => {
+    import s.implicits._
+    val edges = nngCompactEdges(s, dir)
+    val perNode = edges.groupBy($"src")
+      .agg(count(lit(1)).as("deg"),
+        sum(($"src" * 100003L + $"dst") % 1000003L).as("ck"))
+    Tables(s, dir, "embeddings").select($"vec_id".as("src"))
+      .join(perNode, Seq("src"), "left")
+      .select(coalesce($"deg", lit(0L)).as("deg"),
+        coalesce($"ck", lit(0L)).as("ck"))
+      .groupBy($"deg")
+      .agg(count(lit(1)).as("n_nodes"), sum($"ck").as("edge_checksum"))
+      .orderBy($"deg")
+  }
+
   /** Beam-search result gate: the top-[[NngTopK]] of each query's final
     * beam (beam members displaced past rank 10 can only be displaced by
     * other ground-truth members, so this emits everything the beam
@@ -4115,6 +4208,55 @@ object SimilarityQueries {
        |survivors AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 7),
        |jj AS (SELECT COALESCE(p.deg, 0) AS deg, COALESCE(p.ck, 0) AS ck
        |  FROM survivors a LEFT JOIN pernode p ON a.vec_id = p.src)
+       |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(ck) AS BIGINT) AS edge_checksum
+       |FROM jj GROUP BY deg ORDER BY deg""".stripMargin
+
+  /** DuckDB replay of [[nngCompactEdges]] + the [[nngCompact]] report:
+    * the full insert chain, then over-K nodes re-ranked all-exact
+    * (identical to the Spark screen+exact by the margin argument) and
+    * pruned to K. `fullv` carries the whole corpus — compaction scores
+    * base→batch reverse edges, and the insert chain's `corpus` is
+    * base-only.
+    */
+  val nngCompactSql: String =
+    s"""WITH ${sqlNngChainWhere("vec_id % 10 <> 0")},
+       |iq AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |${sqlBeamCtesOver("ib", "iq", NngInsW, NngInsR)},
+       |newout AS (SELECT q_id AS src, node AS dst FROM ib$NngInsR),
+       |alledges AS MATERIALIZED (
+       |  SELECT src, dst FROM knn
+       |  UNION ALL SELECT src, dst FROM newout
+       |  UNION ALL SELECT dst, src FROM newout),
+       |fullv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |degs AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS deg FROM alledges GROUP BY src),
+       |keepasis AS (
+       |  SELECT e.src, e.dst FROM alledges e
+       |  JOIN degs d ON e.src = d.src WHERE d.deg <= $NngK),
+       |cscored AS MATERIALIZED (
+       |  SELECT e.src, e.dst, ${sqlCosine("fa.v", "fb.v")} AS ecos
+       |  FROM alledges e
+       |  JOIN degs d ON e.src = d.src
+       |  JOIN fullv fa ON e.src = fa.vec_id
+       |  JOIN fullv fb ON e.dst = fb.vec_id
+       |  WHERE d.deg > $NngK),
+       |pruned AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (
+       |      PARTITION BY src ORDER BY ecos DESC, dst) AS rk FROM cscored)
+       |  WHERE rk <= $NngK),
+       |cedges AS (
+       |  SELECT src, dst FROM keepasis UNION ALL SELECT src, dst FROM pruned),
+       |pernode AS (SELECT src, COUNT(*) AS deg,
+       |    CAST(SUM((src * 100003 + dst) % 1000003) AS BIGINT) AS ck
+       |  FROM cedges GROUP BY src),
+       |allids AS (SELECT vec_id FROM embeddings),
+       |jj AS (SELECT COALESCE(p.deg, 0) AS deg, COALESCE(p.ck, 0) AS ck
+       |  FROM allids a LEFT JOIN pernode p ON a.vec_id = p.src)
        |SELECT deg, COUNT(*) AS n_nodes, CAST(SUM(ck) AS BIGINT) AS edge_checksum
        |FROM jj GROUP BY deg ORDER BY deg""".stripMargin
 
@@ -4460,6 +4602,7 @@ object SimilarityQueries {
     "sim_nng_recall" -> (nngRecall, Some(nngRecallSql)),
     "sim_nng_insert" -> (nngInsert, Some(nngInsertSql)),
     "sim_nng_delete" -> (nngDelete, Some(nngDeleteSql)),
+    "sim_nng_compaction" -> (nngCompact, Some(nngCompactSql)),
     "sim_knn_label_assign" -> (knnLabelAssign, Some(knnLabelAssignSql)),
     "sim_negative_mining" -> (negativeMining, Some(negativeMiningSql)),
     "sim_matryoshka_recall" -> (matryoshkaRecall, Some(matryoshkaRecallSql)),

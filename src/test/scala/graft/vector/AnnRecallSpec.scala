@@ -250,6 +250,32 @@ class AnnRecallSpec extends SparkSpec {
       s"post-delete beam recall collapsed: $hits/${exact.size}")
   }
 
+  test("compaction restores the degree invariant without inventing edges") {
+    val before = SimilarityQueries.nngInsertEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val after = SimilarityQueries.nngCompactEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheTracker.releaseAll()
+    val beforeSet = before.toSet
+    // compaction only DROPS edges — every kept edge existed
+    assert(after.forall(beforeSet.contains), "compaction invented an edge")
+    assert(after.distinct.length == after.length, "duplicate edge")
+    // degree invariant restored: nobody above K; over-K nodes land
+    // EXACTLY at K (they had >= K candidates to keep by definition)
+    val degB = before.groupBy(_._1).view.mapValues(_.length).toMap
+    val degA = after.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(degA.values.max <= 12, s"degree ${degA.values.max} survived")
+    assert(degB.exists(_._2 > 12), "fixture lost its over-degree cohort")
+    degB.filter(_._2 > 12).keys.foreach { n =>
+      assert(degA(n) == 12, s"over-K node $n compacted to ${degA(n)}")
+    }
+    // untouched nodes keep their exact edge set
+    degB.filter(_._2 <= 12).keys.foreach { n =>
+      assert(before.filter(_._1 == n).toSet == after.filter(_._1 == n).toSet,
+        s"node $n at/under K must be untouched")
+    }
+  }
+
   test("minhash Jaccard estimate tracks exact Jaccard within sketch error") {
     val rows = graft.Queries.queries("dedup_minhash_estimate")(spark, sf0001)
       .collect()
