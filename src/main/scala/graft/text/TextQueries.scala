@@ -1176,7 +1176,135 @@ object TextQueries {
        |ORDER BY score DESC, pw.phrase LIMIT 50""".stripMargin
   }
 
+  /** Gopher-style intra-document repetition filters (Rae et al. 2021
+    * §A1.1 — the repetition family of quality signals, the one
+    * dimension `text_quality_score`'s length/punct/stopword ratios do
+    * not cover): per document, (a) the fraction of "lines" that belong
+    * to a duplicated line value, (b) the character mass of the single
+    * most frequent word 2-gram, (c) the character mass of all word
+    * 5-grams occurring twice or more. The corpus has no newlines, so
+    * "line" is the fixed 10-token chunk every other line-based gate
+    * uses; the corpus also has no natural repetition, so the gate
+    * PLANTS it md5-deterministically (the drift-gate discipline): docs
+    * in bucket < 20 get their first 10 tokens PREPENDED twice — two
+    * identical leading lines, a surge of duplicated 2/5-grams — and
+    * must come out 'filter' while the rest stay 'keep'.
+    *
+    * Everything the hash sees is an INTEGER (counts and char masses;
+    * the thresholds are cross-multiplied, never divided) — the ratio
+    * rule from CLAUDE.md. Char mass counts every occurrence
+    * (Σ cnt·len(gram)), the standard practical approximation of
+    * coverage; the metric is pinned by definition in both engines.
+    *
+    * Scale shape: scan-linear — tokenize once (repartitioned off the
+    * one-file scan), three per-(doc, gram) aggregations whose keys are
+    * bounded by document length, one broadcast-size join back per
+    * metric. No pairs, no windows over the corpus.
+    */
+  val gopherRepetition: Q = (s, dir) => {
+    import s.implicits._
+    val b = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", tokens($"text").as("t0"))
+        .filter(size($"t0") >= 15)
+        .withColumn("toks",
+          when(graft.functions.KeyHash.bucket100("rep|", $"doc_id") < 20,
+            concat(slice($"t0", 1, 10), slice($"t0", 1, 10), $"t0"))
+            .otherwise($"t0"))
+        .select($"doc_id", $"toks",
+          length(array_join($"toks", " ")).cast("long").as("total_chars")))
+    val lines = b.select($"doc_id",
+      explode(expr("transform(sequence(0, (size(toks) div 10) - 1), " +
+        "j -> array_join(slice(toks, j * 10 + 1, 10), ' '))")).as("line"))
+    val lineStats = lines.groupBy($"doc_id", $"line")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_lines"),
+        sum(when($"c" >= 2, $"c").otherwise(0L)).as("n_dup_lines"))
+    def grams(n: Int) = b.select($"doc_id",
+      explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+    val top2 = grams(2).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"c".desc, $"g")))
+      .filter($"rk" === 1)
+      .select($"doc_id", (length($"g").cast("long") * $"c").as("top2_chars"))
+    val dup5 = grams(5).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+      .groupBy($"doc_id")
+      .agg(sum(length($"g").cast("long") * $"c").as("dup5_chars"))
+    b.select($"doc_id", $"total_chars")
+      .join(lineStats, "doc_id")
+      .join(top2, "doc_id")
+      .join(dup5, Seq("doc_id"), "left")
+      .withColumn("dup5_chars", coalesce($"dup5_chars", lit(0L)))
+      .select($"doc_id", $"n_lines", $"n_dup_lines", $"total_chars",
+        $"top2_chars", $"dup5_chars",
+        when($"n_dup_lines" * 100 > $"n_lines" * 30 ||
+          $"top2_chars" * 100 > $"total_chars" * 20 ||
+          $"dup5_chars" * 100 > $"total_chars" * 15, lit("filter"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  val gopherRepetitionSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS t0 FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${graft.functions.KeyHash.sqlBucket100("rep|", "doc_id")} < 20
+       |      THEN list_cat(list_cat(t0[1:10], t0[1:10]), t0)
+       |      ELSE t0 END AS toks
+       |  FROM docs WHERE len(t0) >= 15),
+       |bb AS MATERIALIZED (
+       |  SELECT doc_id, toks,
+       |    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total_chars
+       |  FROM base),
+       |lines AS (
+       |  SELECT doc_id, array_to_string(
+       |      list_slice(toks, j * 10 + 1, j * 10 + 10), ' ') AS line
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, CAST(len(toks) // 10 AS BIGINT))) AS j
+       |        FROM bb)),
+       |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+       |lstats AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_dup_lines
+       |  FROM lc GROUP BY 1),
+       |g2 AS (
+       |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, CAST(len(toks) AS BIGINT))) AS i FROM bb)),
+       |g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |top2 AS (
+       |  SELECT doc_id, CAST(length(g) * c AS BIGINT) AS top2_chars
+       |  FROM (SELECT doc_id, g, c, row_number() OVER (
+       |          PARTITION BY doc_id ORDER BY c DESC, g) AS rk FROM g2c)
+       |  WHERE rk = 1),
+       |g5 AS (
+       |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, CAST(len(toks) - 3 AS BIGINT))) AS i FROM bb)),
+       |g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+       |dup5 AS (
+       |  SELECT doc_id, CAST(SUM(length(g) * c) AS BIGINT) AS dup5_chars
+       |  FROM g5c WHERE c >= 2 GROUP BY 1)
+       |SELECT b.doc_id, l.n_lines, l.n_dup_lines, b.total_chars,
+       |  t.top2_chars, COALESCE(d.dup5_chars, 0) AS dup5_chars,
+       |  CASE WHEN l.n_dup_lines * 100 > l.n_lines * 30
+       |         OR t.top2_chars * 100 > b.total_chars * 20
+       |         OR COALESCE(d.dup5_chars, 0) * 100 > b.total_chars * 15
+       |       THEN 'filter' ELSE 'keep' END AS verdict
+       |FROM bb b JOIN lstats l USING (doc_id) JOIN top2 t USING (doc_id)
+       |LEFT JOIN dup5 d USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_gopher_repetition" ->
+      (gopherRepetition, Some(gopherRepetitionSql)),
     "text_winnowing_fingerprint" ->
       (winnowingFingerprint, Some(winnowingFingerprintSql)),
     "text_rake_keywords" -> (rakeKeywords, Some(rakeKeywordsSql)),
