@@ -2418,7 +2418,102 @@ object CurationQueries {
        |FROM c GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Temperature-based source mixing at α = 0.5 — the power-law
+    * reweighting (XLM-R §3.1 / mBERT exponentiated sampling) that sits
+    * BESIDE [[waterFilling]]'s max-min-fair cap in a real mixture
+    * recipe: low-resource sources are upsampled toward parity, w_i ∝
+    * n_i^α. α is fixed at 1/2 because it makes the whole gate EXACT
+    * INTEGER arithmetic: n^0.5 = isqrt(n) via floor(sqrt) plus an
+    * exact-integer residual correction (so no libm/rounding seam
+    * survives — a fractional α would put cross-engine pow() in the
+    * hash path). Weights land as ppm by integer division; a target
+    * budget of half the corpus is allocated by weight, and
+    * `epochs_milli` > 1000 exposes which sources REPEAT (the point of
+    * temperature sampling). All divisions are INTEGER div (Spark
+    * decimal `/` rounds HALF_UP at the result scale while DuckDB `//`
+    * floors — a live off-by-one seam); the one product that could
+    * overflow int64 at a petatoken census, T·w_ppm, is decomposed by
+    * the exact floor identity
+    * `floor(T·w/1e6) = (T div 1e6)·w + ((T mod 1e6)·w) div 1e6`,
+    * every term of which stays under 2^63 to ~9 petatokens.
+    *
+    * Scale shape: one scan-linear token census, then |sources|-row
+    * arithmetic with broadcast totals — nothing corpus-sized past the
+    * first aggregation.
+    */
+  val temperatureMix: Q = (s, dir) => {
+    import s.implicits._
+    import graft.text.TextAnalysis
+    // the corpus is near-uniform across sources (temperature would be a
+    // near-no-op), so PLANT a deterministic size skew (the
+    // text_heavy_hitters discipline): each source keeps an md5-chosen
+    // per-source quota of its docs, spanning ~5%..100% — the
+    // low-resource sources must come out upsampled (epochs > target
+    // share), the big ones downsampled
+    val quota = least(lit(100),
+      graft.functions.KeyHash.bucket("tq|", $"source", 97) + 5)
+    val src = Tables(s, dir, "documents")
+      .filter(graft.functions.KeyHash.bucket100("tmix|", $"doc_id") < quota)
+      .select($"source",
+        size(TextAnalysis.tokens($"text")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("n_tokens"))
+    val isq = src
+      .withColumn("isq0", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+      // exact-integer residual fix: immune to any sqrt rounding
+      .withColumn("isqrt", expr(
+        "CASE WHEN (isq0 + 1) * (isq0 + 1) <= n_tokens THEN isq0 + 1 " +
+          "WHEN isq0 * isq0 > n_tokens THEN isq0 - 1 ELSE isq0 END"))
+    val tot = isq.agg(sum($"isqrt").as("sum_isqrt"),
+      sum($"n_tokens").as("total"))
+    isq.crossJoin(broadcast(tot))
+      .withColumn("w_ppm", expr("(isqrt * 1000000) div sum_isqrt"))
+      .withColumn("tgt", expr("total div 2"))
+      .withColumn("take_tokens", expr(
+        "(tgt div 1000000) * w_ppm + ((tgt % 1000000) * w_ppm) div 1000000"))
+      .withColumn("epochs_milli", expr("(take_tokens * 1000) div n_tokens"))
+      .select($"source", $"n_tokens", $"isqrt", $"w_ppm", $"take_tokens",
+        $"epochs_milli")
+      .orderBy($"source")
+  }
+
+  val temperatureMixSql: String = {
+    import graft.text.TextAnalysis
+    s"""WITH src AS (
+       |  SELECT source, CAST(SUM(len(${TextAnalysis.sqlTokens("text")}))
+       |    AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE ${graft.functions.KeyHash.sqlBucket100("tmix|", "doc_id")} <
+       |    LEAST(100, ${graft.functions.KeyHash.sqlBucket("tq|", "source", 97)} + 5)
+       |  GROUP BY source),
+       |isq AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN (isq0 + 1) * (isq0 + 1) <= n_tokens THEN isq0 + 1
+       |         WHEN isq0 * isq0 > n_tokens THEN isq0 - 1 ELSE isq0 END
+       |      AS isqrt
+       |  FROM (SELECT source, n_tokens,
+       |          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq0
+       |        FROM src)),
+       |tot AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS sum_isqrt,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total FROM isq),
+       |wts AS (
+       |  SELECT source, n_tokens, isqrt,
+       |    (isqrt * 1000000) // sum_isqrt AS w_ppm,
+       |    total // 2 AS tgt
+       |  FROM isq CROSS JOIN tot),
+       |alloc AS (
+       |  SELECT source, n_tokens, isqrt, w_ppm,
+       |    (tgt // 1000000) * w_ppm + ((tgt % 1000000) * w_ppm) // 1000000
+       |      AS take_tokens
+       |  FROM wts)
+       |SELECT source, n_tokens, isqrt,
+       |  CAST(w_ppm AS BIGINT) AS w_ppm,
+       |  CAST(take_tokens AS BIGINT) AS take_tokens,
+       |  CAST((take_tokens * 1000) // n_tokens AS BIGINT) AS epochs_milli
+       |FROM alloc ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_temperature_mix" -> (temperatureMix, Some(temperatureMixSql)),
     "curate_water_filling" -> (waterFilling, Some(waterFillingSql)),
     "curate_token_budget_trim" ->
       (tokenBudgetTrim, Some(tokenBudgetTrimSql)),

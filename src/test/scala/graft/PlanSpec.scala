@@ -782,6 +782,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql twins resolve to the IDENTICAL canonicalized physical plan") {
+    // the strongest form of the entry-point claim: Catalyst resolves
+    // the SQL text and the DSL to the same logical plan, so the
+    // executed plans are equal up to expression ids — measured true
+    // for q1 and the window twin (the as-of twin is a deliberate
+    // re-expression: union-window SQL vs the DSL composition)
+    for ((d, q) <- Seq(("q1_pricing_summary", "sql_q1_pricing"),
+        ("window_top3_per_nation", "sql_window_top3"))) {
+      val a = Queries.queries(d)(spark, sf0001)
+      val b = Queries.queries(q)(spark, sf0001)
+      a.collect(); b.collect()
+      assert(a.queryExecution.executedPlan.canonicalized ==
+        b.queryExecution.executedPlan.canonicalized,
+        s"$q diverged from $d's physical plan")
+    }
+  }
+
   test("sql dedup twin: native minhash under the parser, capped equi-join") {
     val p = plan("sql_dedup_minhash")
     assert(p.contains("minhash_md5") && p.contains("word_shingles"),
