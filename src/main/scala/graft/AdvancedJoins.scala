@@ -475,11 +475,12 @@ object AdvancedJoins {
     import graft.text.TextAnalysis
     val W = 512
     val rowIdx = 0 until 4
-    // one md5 per token, 4 disjoint 16-bit slices as the hash family
-    // (KeyHash.bucketRow): subexpression elimination computes the
-    // digest once per row — the sketch build's hot loop at corpus
-    // scale costs 1 digest/element, not d (r10 measured: 2.2 → 1.1 s
-    // at sf0.1, oracle re-derived identically and still hash-matching)
+    // one md5 per token, 4 disjoint 16-bit slices as the hash family.
+    // CAUTION (r12 measured): CSE does NOT reach into explode(array(…))
+    // generator inputs — this bucketCols shape pays d digests/element
+    // under a Generate, so it is used ONLY for the 10 probe terms
+    // below; the corpus-scale sketch build projects the digest once
+    // and slices it (KeyHash.bucketRowOfDigest).
     def bucketCols(term: org.apache.spark.sql.Column) =
       explode(array(rowIdx.map(r =>
       struct(lit(r).as("r"),

@@ -80,7 +80,10 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> med
     }
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit "141,700"
+    // and break both JSON records (String.format is locale-sensitive)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -146,7 +149,8 @@ object Bench {
   def summaryLine(total: Double, n: Int, errors: Int, trainSec: Double,
       sfDir: String, duckTotal: Double, duckNulls: Int, ratioTotal: Double,
       ratioMedian: Double): String = {
-    def fmt(v: Double): String = "%.3f".format(v)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}"""
   }
 

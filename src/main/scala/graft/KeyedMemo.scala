@@ -7,6 +7,17 @@ package graft
   * not overlap them. This holds a lock per key instead: concurrent callers
   * of DIFFERENT artifacts build in parallel; concurrent callers of the SAME
   * artifact still build exactly once and share the result.
+  *
+  * CONTRACT for concurrent callers: the builders behind these memos toggle
+  * SESSION confs around their eager actions (`Confs.withConf`, e.g. AQE
+  * off for Lloyd loops). The old object lock incidentally serialized those
+  * toggles; per-key locks do NOT. Concurrent builds of different keys are
+  * therefore only safe when each caller drives its OWN SparkSession —
+  * `warmTraining` hands every branch a `newSession()` child for exactly
+  * this reason. Do not fan builders out over one shared session (the
+  * save/set/restore pairs interleave and a foreign conf value can be
+  * "restored" permanently). Sequential callers — the gates, Verify, the
+  * serially-executed test suites — are unaffected.
   */
 final class KeyedMemo[V] {
   private val vals = new java.util.concurrent.ConcurrentHashMap[String, V]()

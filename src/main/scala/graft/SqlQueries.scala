@@ -140,6 +140,10 @@ object SqlQueries {
     val (k, bands, r, cap) = (graft.Tuning.minhashK, graft.Tuning.minhashBands,
       graft.Tuning.minhashR, graft.Tuning.lshBandCap)
     graft.functions.Registry.registerAll(s)
+    // same +10000 planted-variant scheme as the DSL twin — same loud
+    // corpus-drift guard (collisions would be green-but-wrong in BOTH
+    // engines, invisible to the hash gate)
+    graft.text.DedupQueries.assertVariantIdHeadroom(s, dir)
     overViews(s, dir, Seq("documents"),
       s"""WITH docs AS (
          |  SELECT doc_id,

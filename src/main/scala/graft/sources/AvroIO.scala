@@ -89,34 +89,50 @@ object AvroIO {
   /** One Avro container file per partition under `path` (a directory).
     * Empty partitions still emit a (header-only) file so a round-trip of
     * an empty frame keeps its schema; a ZERO-partition frame gets one
-    * driver-written header-only file for the same reason. Stale
-    * `part-*.avro` from a previous write to the same path are deleted
-    * first — re-writing with fewer partitions must not leave old files
-    * for [[read]] to glob back as duplicate rows.
+    * driver-written header-only file for the same reason.
+    *
+    * Two-phase commit: the job writes `part-*.avro.tmp`, and only after
+    * it SUCCEEDS does the driver delete the previous `part-*.avro` set
+    * and rename the new files in. A mid-job failure therefore leaves
+    * the previous consistent file set intact (an eager pre-delete would
+    * destroy it), re-writing with fewer partitions cannot leave stale
+    * files for [[read]] to glob back as duplicate rows, and
+    * write(read(path).transform(...), path) is safe — the inputs are
+    * still present while the lazy job reads them.
     */
   def write(df: DataFrame, path: String): Unit = {
     val st = df.schema
     val schemaJson = avroSchemaFor(st, "row").toString
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val dirPath = new Path(path)
-    if (fs.exists(dirPath))
+    def commit(): Unit = {
+      if (fs.exists(dirPath))
+        fs.listStatus(dirPath).map(_.getPath)
+          .filter(_.getName.endsWith(".avro"))
+          .foreach(p => fs.delete(p, false))
       fs.listStatus(dirPath).map(_.getPath)
-        .filter(_.getName.endsWith(".avro"))
-        .foreach(p => fs.delete(p, false))
+        .filter(_.getName.endsWith(".avro.tmp"))
+        .foreach { p =>
+          val dest = new Path(p.getParent,
+            p.getName.stripSuffix(".tmp"))
+          require(fs.rename(p, dest), s"AvroIO: rename $p -> $dest failed")
+        }
+    }
     val rdd = df.rdd
     if (rdd.getNumPartitions == 0) {
       val schema = new Schema.Parser().parse(schemaJson)
-      val out = fs.create(new Path(path, "part-00000.avro"), true)
+      val out = fs.create(new Path(path, "part-00000.avro.tmp"), true)
       new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema)).create(schema, out)
         .close()
+      commit()
       return
     }
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val fs = FileSystem.get(
         new java.net.URI(path), new Configuration())
-      val out = fs.create(new Path(path, f"part-$pid%05d.avro"), true)
+      val out = fs.create(new Path(path, f"part-$pid%05d.avro.tmp"), true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema)).create(schema, out)
       try rows.foreach { row =>
@@ -138,7 +154,7 @@ object AvroIO {
       } finally w.close()
       Iterator.empty
     }.count()
-    ()
+    commit()
   }
 
   /** File-parallel read of a [[write]]-produced directory. The schema

@@ -31,9 +31,35 @@ object DedupQueries {
     * lambda-binding clashes on reused plans). Shared by [[minhashLsh]]
     * and the shape-explicit BandingProps helpers.
     */
+  /** Loud guard for the +10000/+20000 planted-variant id scheme shared
+    * by EVERY corpus that derives variant ids from `doc_id` (the
+    * shingled near-dup corpus, the cluster corpus, keepBest's
+    * `doc_id % 10000` join, and the sql_dedup_minhash twin): a
+    * regenerated corpus with ≥10000 documents would silently collide
+    * real docs with planted copies in BOTH engines — the hash gate
+    * would stay green on wrong semantics — so drift fails loudly here
+    * instead (r11 ADVICE, widened r12 after review). One-value driver
+    * check, memoized per (JVM, sf dir).
+    */
+  private val variantIdChecked = new graft.KeyedMemo[java.lang.Boolean]
+  private[graft] def assertVariantIdHeadroom(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import s.implicits._
+    variantIdChecked.getOrBuild(dir) {
+      val maxId = Tables(s, dir, "documents")
+        .agg(max($"doc_id")).head.getLong(0)
+      require(maxId < 10000L,
+        s"planted-variant id scheme assumes doc_id < 10000; max is $maxId " +
+          "— the corpus drifted, widen the variant offset")
+      java.lang.Boolean.TRUE
+    }
+    ()
+  }
+
   private[graft] def shingledCorpus(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    assertVariantIdHeadroom(s, dir)
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
@@ -354,16 +380,7 @@ object DedupQueries {
     val base = Tables(s, dir, "documents")
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
-    // the +10000/+20000 planted-variant id scheme (and every downstream
-    // base_id = doc_id % 10000 join, e.g. keepBest) assumes base ids fit
-    // below 10000 — a regenerated corpus with more documents would
-    // silently collide/mis-join, so fail LOUDLY here instead (r11
-    // ADVICE). One-value driver check, once per (JVM, sf dir).
-    val maxId = Tables(s, dir, "documents")
-      .agg(max($"doc_id")).head.getLong(0)
-    require(maxId < 10000L,
-      s"cluster corpus id scheme assumes doc_id < 10000; max is $maxId — " +
-        "the corpus drifted, widen the planted-variant offset")
+    assertVariantIdHeadroom(s, dir)
     val corpus = base.select(explode(array(
         struct($"doc_id", $"toks"),
         struct(($"doc_id" + 10000).as("doc_id"),

@@ -1073,7 +1073,9 @@ object SimilarityQueries {
     pool.shutdown()
     if (failures.nonEmpty) throw failures.head
     import scala.jdk.CollectionConverters._
-    items.asScala.toSeq
+    // name-sorted so the warm-up ledger diffs round-over-round (branch
+    // completion order is nondeterministic)
+    items.asScala.toSeq.sortBy(_._1)
   }
 
   val ivfPrunedRead: Q = (s, dir) => {

@@ -33,6 +33,17 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("full").asText() == "target/bench_full.json")
   }
 
+  test("summary line survives a comma-decimal default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val l = line // re-evaluates under the German default locale
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+      assert(l.contains("\"value\":144.400"),
+        s"locale leaked into the number format: $l")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("summary stays short even with a pathological sf dir path") {
     val long = Bench.summaryLine(1e9, 99999, 99999, 1e9,
       "/" + "x" * 200, 1e9, 99999, 1e9, 1e9)

@@ -65,6 +65,20 @@ class AvroIOSpec extends SparkSpec {
     assert(back.collect().head.getLong(0) == 42L)
   }
 
+  test("write(read(path)...) back to the SAME path is safe (two-phase commit)") {
+    val path = tmp("selfwrite")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 6L).map(i => Row(i, 1, 1.0, 1.0f, true, "x", null, null)), 3),
+      st)
+    AvroIO.write(df, path)
+    // the lazy job reads the existing .avro files while writing .tmp;
+    // the old set is only swapped out after the job succeeds
+    AvroIO.write(AvroIO.read(spark, path).filter("l % 2 = 0"), path)
+    val back = AvroIO.read(spark, path).collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == Seq(2L, 4L, 6L), s"self-rewrite corrupted: ${back.toSeq}")
+  }
+
   test("zero-partition frame still writes a schema-bearing file") {
     val df = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], st) // 0 partitions
