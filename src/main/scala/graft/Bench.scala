@@ -28,6 +28,15 @@ object Bench {
       .config("spark.local.dir", Scratch.sparkLocalDir)
       .config("spark.sql.warehouse.dir",
         s"${Scratch.dir}/graft_warehouse_${Scratch.runToken}")
+      // ContextCleaner only releases dropped broadcasts / localCheckpoint
+      // blocks / shuffle files after a DRIVER GC notices the references
+      // died; the default periodic-GC interval (30 min) never fires
+      // inside one bench run, so across 259 queries the old gen fills
+      // with dead blocks and every late-run query pays mounting GC.
+      // Harmless on an idle host; on a loaded one it is the difference
+      // between 0.08 s and 30 s for an 11-row query (r12 driver-record
+      // tail spikes — attribution in BENCH_NOTES.md).
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup so the first measured query doesn't pay one-time
@@ -61,7 +70,19 @@ object Bench {
       case None => SparkEntry.queries
     }
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // per-query JVM GC time (ms, summed over the reps): the r12 driver
+    // record showed recurring 30 s tail spikes on 11-row queries that a
+    // quiet-host median-of-3 never reproduces — heap-pressure GC stalls
+    // are the hypothesis, and this ledger makes the next driver record
+    // carry its own attribution instead of another round of guessing
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val gcLedger = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = selected.map { case (name, fn) =>
+      val gc0 = gcMs()
       val times = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -73,6 +94,7 @@ object Bench {
           } finally CacheTracker.releaseAll()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      gcLedger += name -> (gcMs() - gc0)
       // median of the successful reps; a failed query reports its wall
       // time as 0 and lands in `errors`
       val med =
@@ -80,6 +102,7 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> med
     }
+    val gcTotalMs = gcLedger.values.sum
     // Locale.ROOT: a comma-decimal default locale would emit "141,700"
     // and break both JSON records (String.format is locale-sensitive)
     def fmt(v: Double): String =
@@ -121,8 +144,10 @@ object Bench {
     val ratioTotal = if (duckTotal > 0) total / duckTotal else 0.0
     val warmJson = warmItems.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val gcJson = gcLedger.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"train_warmup_sec":${fmt(trainSec)},"warmup_items":$warmJson,"n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$qs,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"train_warmup_sec":${fmt(trainSec)},"warmup_items":$warmJson,"n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$qs,"gc_ms":$gcJson,"gc_total_ms":$gcTotalMs,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)}}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -137,7 +162,7 @@ object Bench {
     // the full record at target/bench_full.json.
     println(full)
     println(summaryLine(total, results.size, errors.size, trainSec, sfDir,
-      duckTotal, duckNulls, ratioTotal, ratioMedian))
+      duckTotal, duckNulls, ratioTotal, ratioMedian, gcTotalMs))
     spark.stop()
   }
 
@@ -148,10 +173,10 @@ object Bench {
     */
   def summaryLine(total: Double, n: Int, errors: Int, trainSec: Double,
       sfDir: String, duckTotal: Double, duckNulls: Int, ratioTotal: Double,
-      ratioMedian: Double): String = {
+      ratioMedian: Double, gcTotalMs: Long = 0L): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"gc_total_ms":$gcTotalMs,"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}"""
   }
 
   /** Times every [[SparkEntry.oracleSql]] entry in DuckDB via

@@ -801,7 +801,8 @@ object Queries {
       AdvancedJoins.all, RelationalExtras.all, SqlQueries.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
       graft.text.HtmlQueries.all,
-      graft.text.BpeQueries.all, graft.text.ClassifierQueries.all,
+      graft.text.BpeQueries.all, graft.text.UnigramQueries.all,
+      graft.text.ClassifierQueries.all,
       graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,
       graft.pipeline.CurationQueries.all,

@@ -364,24 +364,27 @@ object RefQueries {
     import s.implicits._
     val st = org.apache.spark.sql.types.StructType
       .fromDDL("id BIGINT, v STRING, _bad STRING")
+    // parse ONCE behind a Generate barrier (explode of a 1-element array —
+    // no row multiplication): CollapseProject would otherwise re-inline
+    // the from_json into every downstream reference, evaluating the parse
+    // three times per line (r12 verdict; at ingest scale the triple parse
+    // is real money). Class and fields both derive from the one struct.
     val parsed = jsonlLines.toDF("line_no", "line")
       .select($"line_no",
-        from_json($"line", st, Map(
+        explode(array(from_json($"line", st, Map(
           "allowSingleQuotes" -> "false",
-          "columnNameOfCorruptRecord" -> "_bad")).as("j"))
-    parsed.select($"line_no",
+          "columnNameOfCorruptRecord" -> "_bad")))).as("j"))
+    parsed
+      .select($"line_no",
         when($"j".isNull || $"j._bad".isNotNull, "malformed")
           .when($"j.id".isNull, "coerce_fail")
-          .otherwise("ok").as("cls"))
-      .select($"line_no", $"cls") // recompute fields under the class
-      .join(jsonlLines.toDF("line_no", "line"), "line_no")
+          .otherwise("ok").as("cls"),
+        $"j")
       .select($"line_no", $"cls",
-        when($"cls" =!= "malformed",
-          from_json($"line", st, Map("allowSingleQuotes" -> "false",
-            "columnNameOfCorruptRecord" -> "_bad")).getField("id")).as("id"),
-        when($"cls" =!= "malformed",
-          from_json($"line", st, Map("allowSingleQuotes" -> "false",
-            "columnNameOfCorruptRecord" -> "_bad")).getField("v")).as("v"))
+        // fields are NULLED for malformed rows (PERMISSIVE retains
+        // partial fields on a type failure — the quarantine must not)
+        when($"cls" =!= "malformed", $"j.id").as("id"),
+        when($"cls" =!= "malformed", $"j.v").as("v"))
       .orderBy($"line_no")
   }
 

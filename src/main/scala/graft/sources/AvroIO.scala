@@ -86,53 +86,90 @@ object AvroIO {
       (Math.floorMod(us, 1000000L) * 1000L).toInt,
       java.time.ZoneOffset.UTC)
 
+  /** Generation-numbered part-file name: `part-PPPPP-of-NNNNN-gGGGGG.avro`.
+    * Carrying the partition COUNT in every name makes a generation's
+    * completeness checkable from the listing alone (all N pids present),
+    * and the generation number orders writes without any clock.
+    */
+  private val PartName = raw"part-(\d+)-of-(\d+)-g(\d+)\.avro".r
+
+  private def partName(pid: Int, n: Int, gen: Int): String =
+    f"part-$pid%05d-of-$n%05d-g$gen%05d.avro"
+
   /** One Avro container file per partition under `path` (a directory).
     * Empty partitions still emit a (header-only) file so a round-trip of
     * an empty frame keeps its schema; a ZERO-partition frame gets one
     * driver-written header-only file for the same reason.
     *
-    * Two-phase commit: the job writes `part-*.avro.tmp`, and only after
-    * it SUCCEEDS does the driver delete the previous `part-*.avro` set
-    * and rename the new files in. A mid-job failure therefore leaves
-    * the previous consistent file set intact (an eager pre-delete would
-    * destroy it), re-writing with fewer partitions cannot leave stale
-    * files for [[read]] to glob back as duplicate rows, and
-    * write(read(path).transform(...), path) is safe — the inputs are
-    * still present while the lazy job reads them.
+    * Crash-safe generational commit: the job writes the next generation
+    * as `*.avro.tmp`, and only after it SUCCEEDS does the driver rename
+    * exactly this generation's files in and then delete the older
+    * generations. [[read]] picks the newest COMPLETE generation (all
+    * `NNNNN` pids present), so every crash window is covered:
+    *   - mid-job failure: commit never runs, old generation intact;
+    *   - crash mid-rename: new generation incomplete → read still picks
+    *     the old one (its deletes haven't started);
+    *   - crash mid-delete: both generations complete → read picks the new
+    *     (higher) one; leftovers are swept by the next write's commit.
+    * Orphaned `*.avro.tmp` files from a failed job are deleted at the
+    * START of the next write (tmps are never live data), so they can
+    * never be renamed in as phantom rows by a later commit.
+    * Re-writing with fewer partitions cannot leave stale files, and
+    * write(read(path).transform(...), path) is safe — the old
+    * generation is still present while the lazy job reads it.
     */
   def write(df: DataFrame, path: String): Unit = {
     val st = df.schema
     val schemaJson = avroSchemaFor(st, "row").toString
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val dirPath = new Path(path)
-    def commit(): Unit = {
-      if (fs.exists(dirPath))
-        fs.listStatus(dirPath).map(_.getPath)
-          .filter(_.getName.endsWith(".avro"))
-          .foreach(p => fs.delete(p, false))
+    // sweep orphaned tmps from any previously FAILED write before this
+    // job starts — they are dead data and must never reach a commit
+    if (fs.exists(dirPath))
       fs.listStatus(dirPath).map(_.getPath)
         .filter(_.getName.endsWith(".avro.tmp"))
-        .foreach { p =>
-          val dest = new Path(p.getParent,
-            p.getName.stripSuffix(".tmp"))
-          require(fs.rename(p, dest), s"AvroIO: rename $p -> $dest failed")
+        .foreach(p => fs.delete(p, false))
+    // next generation = 1 + highest generation present (legacy unnumbered
+    // part files count as generation 0)
+    val gen: Int = (if (fs.exists(dirPath))
+      fs.listStatus(dirPath).map(_.getPath.getName).collect {
+        case PartName(_, _, g) => g.toInt
+      }.foldLeft(0)(math.max)
+    else 0) + 1
+    def commit(n: Int): Unit = {
+      // phase 1: rename exactly THIS job's files in (pid 0 until n)
+      (0 until n).foreach { pid =>
+        val src = new Path(dirPath, partName(pid, n, gen) + ".tmp")
+        val dest = new Path(dirPath, partName(pid, n, gen))
+        require(fs.rename(src, dest), s"AvroIO: rename $src -> $dest failed")
+      }
+      // phase 2 (the new generation is now complete): delete every older
+      // .avro — prior generations, legacy names, partials of crashed runs
+      fs.listStatus(dirPath).map(_.getPath)
+        .filter { p =>
+          p.getName.endsWith(".avro") && (p.getName match {
+            case PartName(_, _, g) => g.toInt != gen
+            case _ => true
+          })
         }
+        .foreach(p => fs.delete(p, false))
     }
     val rdd = df.rdd
     if (rdd.getNumPartitions == 0) {
       val schema = new Schema.Parser().parse(schemaJson)
-      val out = fs.create(new Path(path, "part-00000.avro.tmp"), true)
+      val out = fs.create(new Path(path, partName(0, 1, gen) + ".tmp"), true)
       new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema)).create(schema, out)
         .close()
-      commit()
+      commit(1)
       return
     }
+    val nParts = rdd.getNumPartitions
     rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val fs = FileSystem.get(
         new java.net.URI(path), new Configuration())
-      val out = fs.create(new Path(path, f"part-$pid%05d.avro.tmp"), true)
+      val out = fs.create(new Path(path, partName(pid, nParts, gen) + ".tmp"), true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema)).create(schema, out)
       try rows.foreach { row =>
@@ -154,10 +191,11 @@ object AvroIO {
       } finally w.close()
       Iterator.empty
     }.count()
-    commit()
+    commit(nParts)
   }
 
-  /** File-parallel read of a [[write]]-produced directory. The schema
+  /** File-parallel read of a [[write]]-produced directory: the newest
+    * COMPLETE generation (see [[write]]'s commit protocol). The schema
     * comes from the first container file's own header (every file
     * embeds it), mapped back to the StructType; files decode
     * independently, one task each.
@@ -165,8 +203,22 @@ object AvroIO {
   def read(s: SparkSession, path: String): DataFrame = {
     val conf = new Configuration()
     val fs = FileSystem.get(new java.net.URI(path), conf)
-    val parts = fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    val avros = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".avro"))
+    val byGen = avros.flatMap { p =>
+      p.getName match {
+        case PartName(pid, n, g) => Some((g.toInt, n.toInt, pid.toInt, p))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    val complete = byGen.filter { case (_, fsOfGen) =>
+      val n = fsOfGen.head._2
+      fsOfGen.map(_._3).distinct.length == n
+    }
+    val parts: Array[Path] =
+      if (complete.nonEmpty)
+        complete.maxBy(_._1)._2.sortBy(_._3).map(_._4)
+      else avros.sortBy(_.getName) // legacy unnumbered layout
     require(parts.nonEmpty, s"AvroIO.read: no .avro files under $path")
     val first = new DataFileStream[GenericRecord](
       fs.open(parts.head), new GenericDatumReader[GenericRecord]())

@@ -1062,15 +1062,32 @@ object SimilarityQueries {
         timed("nng_compact_graph")(nngCompactEdges(cs, dir))
       })
     // wait for EVERY branch before returning/throwing, so a failed branch
-    // never leaves another racing the first measured query
-    val failures = branches.flatMap { f =>
-      try { f.get(); None } catch {
-        case e: java.util.concurrent.ExecutionException =>
-          Some(Option(e.getCause).getOrElse(e))
-        case e: InterruptedException => Some(e)
+    // never leaves another racing the first measured query. The wait is
+    // BOUNDED (a wedged Spark job in one branch must hang the bench
+    // loudly, not silently forever), and shutdown lives in a finally so
+    // no exception path can leak the non-daemon pool threads.
+    val perBranchTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_TIMEOUT", "900").toLong
+    val failures =
+      try branches.zipWithIndex.flatMap { case (f, i) =>
+        try {
+          f.get(perBranchTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+          None
+        } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e))
+          case e: java.util.concurrent.TimeoutException =>
+            System.err.println(
+              s"[warmup] branch $i still running after ${perBranchTimeoutSec}s")
+            Some(e)
+          case e @ (_: InterruptedException |
+                    _: java.util.concurrent.CancellationException) =>
+            Some(e)
+        }
+      } finally {
+        pool.shutdownNow()
+        ()
       }
-    }
-    pool.shutdown()
     if (failures.nonEmpty) throw failures.head
     import scala.jdk.CollectionConverters._
     // name-sorted so the warm-up ledger diffs round-over-round (branch

@@ -25,8 +25,8 @@ class BenchSpec extends AnyFunSuite {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.readTree(line) // throws on malformed JSON
     for (k <- Seq("metric", "value", "unit", "n", "errors",
-        "train_warmup_sec", "sf", "duckdb_total", "duckdb_nulls",
-        "ratio_total", "ratio_median", "full"))
+        "train_warmup_sec", "gc_total_ms", "sf", "duckdb_total",
+        "duckdb_nulls", "ratio_total", "ratio_median", "full"))
       assert(node.has(k), s"missing key $k in $line")
     assert(node.get("n").asInt() == 252)
     assert(node.get("ratio_total").asDouble() == 0.616)

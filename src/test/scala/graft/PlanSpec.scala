@@ -574,6 +574,32 @@ class PlanSpec extends SparkSpec {
       "both lookups must read the one checkpointed degree table:\n" + p)
   }
 
+  test("jsonl quarantine parses each line exactly once, no self-join") {
+    val df = Queries.queries("ref_jsonl_quarantine")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one from_json behind the Generate barrier: class + both fields all
+    // derive from the single parsed struct (the r12 triple-parse is the
+    // regression this pins against — at ingest scale it is 3x the money)
+    val n = "from_json".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly ONE from_json in the plan, got $n:\n$p")
+    assert(!p.contains("Join"),
+      "single-parse quarantine needs no self-join to recover fields:\n" + p)
+  }
+
+  test("embedding outliers: 1-row mean and stats frames broadcast, no cartesian") {
+    val df = Queries.queries("curate_embedding_outliers")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // both 1-row sides carry explicit broadcast hints; the corpus-side
+    // scan must never degrade to CartesianProduct if a refactor drops one
+    assert(!p.contains("CartesianProduct"),
+      "1-row mean/stats side lost its broadcast hint:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row frames should attach via broadcast nested-loop:\n" + p)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("exact-substring dedup: cached grams, doc-keyed merge window, no cartesian") {
     val p = plan("dedup_exact_substring")
     assert(!p.contains("CartesianProduct"),

@@ -90,6 +90,46 @@ class AvroIOSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("orphaned .tmp files from a FAILED write are never committed as data") {
+    val path = tmp("orphan")
+    def frame(ids: Seq[Long], parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(i => Row(i, 1, 1.0, 1.0f, true, "x", null, null)), parts), st)
+    AvroIO.write(frame(1L to 4L, 4), path)
+    // simulate a failed 8-partition write that died mid-job: its tmps are
+    // on disk, commit never ran — copy a real container file under tmp
+    // names so the bytes would decode if ever (wrongly) renamed in
+    val dir = new java.io.File(path)
+    val donor = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    (5 to 7).foreach { pid =>
+      java.nio.file.Files.copy(donor.toPath,
+        new java.io.File(dir, f"part-$pid%05d-of-00008-g00009.avro.tmp").toPath)
+    }
+    // a later SUCCESSFUL 1-partition write must not resurrect them
+    AvroIO.write(frame(Seq(42L), 1), path)
+    val back = AvroIO.read(spark, path).collect().map(_.getLong(0)).toSeq
+    assert(back == Seq(42L), s"orphan tmps leaked back as rows: $back")
+    assert(!dir.listFiles().exists(_.getName.endsWith(".avro.tmp")),
+      "orphan tmps survived the next write")
+  }
+
+  test("crash mid-commit: an INCOMPLETE newer generation is ignored on read") {
+    val path = tmp("midcommit")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 3L).map(i => Row(i, 1, 1.0, 1.0f, true, "x", null, null)), 3), st)
+    AvroIO.write(df, path)
+    // simulate a crash between rename k=0 and k=1 of a 2-partition commit:
+    // one file of generation 99 exists, its sibling never landed
+    val dir = new java.io.File(path)
+    val donor = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(dir, "part-00000-of-00002-g00099.avro").toPath)
+    val back = AvroIO.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == Seq(1L, 2L, 3L),
+      s"read picked an incomplete generation: $back")
+  }
+
   test("unsupported types fail loudly at write time") {
     val bad = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(Seq(1, 2)))),
