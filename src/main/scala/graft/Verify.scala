@@ -15,6 +15,10 @@ object Verify {
       .config("spark.local.dir", Scratch.sparkLocalDir)
       .config("spark.sql.warehouse.dir",
         s"${Scratch.dir}/graft_warehouse_${Scratch.runToken}")
+      // same long-session hygiene as Bench: release dead broadcast /
+      // checkpoint / shuffle state during the 260-query run instead of
+      // letting the old gen fill (see BENCH_NOTES.md, r13 attribution)
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

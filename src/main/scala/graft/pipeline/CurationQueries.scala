@@ -709,11 +709,14 @@ object CurationQueries {
     }
     var ranks = base.select(col("node"), col("r0").as("r"))
       .localCheckpoint(true)
-    // two power-iteration steps per checkpointed job (kcoreLoop's
-    // batching rationale) — byte-identical ranks, half the job floor
+    // five power-iteration steps per checkpointed job (r13): unlike the
+    // kcore/BFS relax shapes (input referenced TWICE per step → 2^b
+    // plan growth, b=2 measured optimal), this step references its
+    // input ONCE — the plan grows linearly, so deeper batching only
+    // trims checkpoint-job floors; byte-identical ranks
     var r = 0
     while (r < iters) {
-      val b = math.min(2, iters - r)
+      val b = math.min(5, iters - r)
       ranks = (1 to b).foldLeft(ranks)((e, _) => step(e)).localCheckpoint(true)
       r += b
     }
@@ -2030,27 +2033,41 @@ object CurationQueries {
     val n = docs.count()
     val edges = linkEdges(docs, n).distinct().localCheckpoint(true)
     val nodes = docs.select($"doc_id".as("node")).localCheckpoint(true)
-    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
-      .localCheckpoint(true)
-    var auth = hub.select($"node", $"h".as("a"))
-    for (_ <- 1 to 4) {
+    // one ROUND (auth half-step then hub half-step) as a single lazy
+    // plan: auth is referenced exactly once inside the hub update (the
+    // contribution shuffles are deduped by ReuseExchange where they
+    // repeat under the total-broadcast), so the plan grows LINEARLY
+    // per round and the pprLoop batching discipline applies — two
+    // rounds per checkpointed job instead of a checkpoint per
+    // HALF-step (r12 verdict item 4; values byte-identical, the gate's
+    // oracle is unchanged)
+    def authOf(hub: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val a0 = edges.join(hub, $"src" === $"node")
         .groupBy($"dst").agg(sum($"h").as("v"))
       val at = a0.agg(sum($"v").as("t"))
-      auth = nodes.join(a0, $"node" === $"dst", "left")
+      nodes.join(a0, $"node" === $"dst", "left")
         .crossJoin(broadcast(at))
         .select($"node",
           expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("a"))
-        .localCheckpoint(true)
+    }
+    def hubOf(auth: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val h0 = edges.join(auth, $"dst" === $"node")
         .groupBy($"src").agg(sum($"a").as("v"))
       val ht = h0.agg(sum($"v").as("t"))
-      hub = nodes.join(h0, $"node" === $"src", "left")
+      nodes.join(h0, $"node" === $"src", "left")
         .crossJoin(broadcast(ht))
         .select($"node",
           expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("h"))
-        .localCheckpoint(true)
     }
+    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
+      .localCheckpoint(true)
+    // rounds 1-3 checkpoint only the round-end hub (auth stays lazy —
+    // one checkpoint per round instead of per HALF-step); round 4 keeps
+    // the half-step checkpoint because the OUTPUT needs auth4 and
+    // hub4 = hubOf(auth4) — auth4 must materialize anyway
+    for (_ <- 1 to 3) hub = hubOf(authOf(hub)).localCheckpoint(true)
+    val auth = authOf(hub).localCheckpoint(true) // r4 auth half-step
+    hub = hubOf(auth).localCheckpoint(true) // r4 hub half-step
     auth.join(hub, "node")
       .select($"node", $"a".as("authority"), $"h".as("hub_score"))
       .orderBy($"authority".desc, $"node").limit(50)

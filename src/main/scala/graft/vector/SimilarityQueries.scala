@@ -846,13 +846,11 @@ object SimilarityQueries {
       s.read.schema("c_label INT, cv ARRAY<DOUBLE>, cc DOUBLE")
         .parquet(ivfTrain(s, dir + "|incbase", baseV))
         .withColumn("cn", normExact($"cv")))
-    val wA = Window.partitionBy($"vec_id").orderBy($"score", $"c_label")
-    val assigned = all
-      .crossJoin(broadcast(cb.select($"c_label", $"cv", $"cc")))
-      .select($"vec_id", $"c_label",
-        ($"cc" - lit(2.0) * dotExact($"v", $"cv")).as("score"))
-      .withColumn("rn", row_number().over(wA))
-      .filter($"rn" <= IvfReplicas)
+    // screened assignment (r13): the all-exact form ran |V|·k exact
+    // decimal kernels and was the round's only new weak-list entry;
+    // screenedCellRank is the provably-identical double-screen the
+    // classic IVF gates ride (~IvfReplicas exact kernels per vector)
+    val assigned = screenedCellRank(all, cb, IvfReplicas)
       .select($"vec_id", $"c_label".as("nearest_label"))
     val wp = Window.partitionBy($"q_id").orderBy($"cos_c".desc, $"c_label")
     val probes = all.filter($"vec_id" < 5)
