@@ -2953,6 +2953,100 @@ object SimilarityQueries {
        |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct
        |FROM qq LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** INT8 scalar quantization with a recall@10 report — the third
+    * compression tier beside the 1-bit signatures ([[hammingRecall]])
+    * and 16-byte PQ codes ([[pqRecallReport]]): symmetric per-tensor
+    * quantization q = v·127/absmax ∈ [−127, 127] (one shared scale, so
+    * Σ qa·qb stays PROPORTIONAL to the true dot — a per-dimension
+    * affine scheme would re-weight dimensions and destroy the cosine
+    * ranking on these zero-centered embeddings), search by integer dot
+    * product. At 100 TB this is the 4×-memory tier whose scores stay
+    * EXACT integers (64·127² < 2³¹) — no float anywhere in the rank,
+    * SIMD-able int8 kernels replace the float path.
+    *
+    * Determinism: values enter on the 1e-6 grid (`round(v·1e6)` — both
+    * engines compute the identical double and round half-away-from-
+    * zero); everything after is int64. The quantizing division shifts
+    * into non-negative range first — `(vi + amax)·127 div amax − 127` —
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, and they only agree on non-negative operands. Ground
+    * truth is the shared double-screened exact top-10.
+    */
+  val sq8Recall: Q = (s, dir) => {
+    import s.implicits._
+    val grid = Tables(s, dir, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("vi"))
+    // per-tensor scale: the corpus-wide max |v| on the grid (≥1 guard)
+    val bounds = broadcast(grid
+      .select(explode($"vi").as("x"))
+      .agg(greatest(max(abs($"x")), lit(1L)).as("amax")))
+    val quant = graft.CacheTracker.persistTracked(grid.crossJoin(bounds)
+      .select($"vec_id", expr(
+        "transform(vi, x -> ((x + amax) * 127) div amax - 127)").as("qa")))
+    val queries = broadcast(quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qa".as("qb")))
+    val wA = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val atop = quant.crossJoin(queries)
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+        .as("score"))
+      .withColumn("rank", row_number().over(wA))
+      .filter($"rank" <= 10)
+    val best = atop.filter($"rank" === 1)
+      .select($"q_id", $"vec_id".as("best_id"), $"score".as("best_score"))
+    val hits = atop.select($"q_id", $"vec_id")
+      .join(exactCosineTopIds(s, dir, 10), Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    Tables(s, dir, "embeddings").filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .join(best, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"h", lit(0L)).as("hits"),
+        (coalesce($"h", lit(0L)) * 10).as("recall_pct"),
+        $"best_id", $"best_score")
+      .orderBy($"q_id")
+  }
+
+  val sq8RecallSql: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+       |b AS (SELECT greatest(MAX(abs(x)), 1) AS amax FROM g),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id, d, ((x + amax) * 127) // amax - 127 AS q
+       |  FROM g CROSS JOIN b),
+       |qqv AS (SELECT vec_id AS q_id, d, q AS qq FROM qv WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT q_id, c.vec_id, CAST(SUM(c.q * qq) AS BIGINT) AS score
+       |  FROM qv c JOIN qqv ON c.d = qqv.d AND c.vec_id <> qqv.q_id
+       |  GROUP BY q_id, c.vec_id),
+       |ar AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM sc),
+       |atop AS (SELECT * FROM ar WHERE rank <= 10),
+       |qq AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |       FROM embeddings WHERE vec_id < 5),
+       |full_top AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM (SELECT q_id, vec_id,
+       |        ${sqlCosine("embedding", "q_emb")} AS cosine
+       |      FROM embeddings CROSS JOIN qq WHERE vec_id <> q_id))
+       |  WHERE rank <= 10),
+       |hits AS (
+       |  SELECT q_id, COUNT(*) AS h
+       |  FROM atop JOIN full_top USING (q_id, vec_id) GROUP BY q_id),
+       |best AS (SELECT q_id, vec_id AS best_id, score AS best_score
+       |         FROM atop WHERE rank = 1)
+       |SELECT qq.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h, 0) * 10 AS BIGINT) AS recall_pct,
+       |  best_id, best_score
+       |FROM qq LEFT JOIN hits USING (q_id) LEFT JOIN best USING (q_id)
+       |ORDER BY qq.q_id""".stripMargin
+
   /** Index-quality monitoring for the QUANTIZED tier: recall@5 of the
     * PQ ADC ranking against exact cosine top-5 — the per-build report
     * that makes codebook regressions (a bad Lloyd init, a stale
@@ -4627,6 +4721,7 @@ object SimilarityQueries {
     "sim_pq_recall_report" -> (pqRecallReport, Some(pqRecallReportSql)),
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
+    "sim_sq8_recall" -> (sq8Recall, Some(sq8RecallSql)),
     "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep, Some(ivfNprobeSweepSql)),
     "sim_ivf_cell_stats" -> (ivfCellStats, Some(ivfCellStatsSql)),
     "sim_pq_distortion" -> (pqDistortion, Some(pqDistortionSql)),

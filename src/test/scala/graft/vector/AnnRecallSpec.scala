@@ -41,6 +41,20 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF recall vs exact top-5 collapsed: $hits/${exact.size}")
   }
 
+  test("int8 scalar quantization holds recall@10 >= 0.9 on every query") {
+    val rows = graft.Queries.queries("sim_sq8_recall")(spark, sf0001)
+      .collect()
+    graft.CacheTracker.releaseAll()
+    assert(rows.length == 5, "one report row per standard query")
+    rows.foreach { r =>
+      // symmetric per-tensor int8 on unit-normalized vectors: measured
+      // 100% at sf0.001/0.01 and 90-100% at sf0.1 — a drop below 0.9
+      // means the quantizer (scale, shift-before-div) regressed
+      assert(r.getLong(2) >= 90,
+        s"sq8 recall collapsed for q=${r.getLong(0)}: ${r.getLong(2)}%")
+    }
+  }
+
   test("pq distortion: nonnegative, identity-consistent, full-corpus per subspace") {
     val rows = graft.Queries.queries("sim_pq_distortion")(spark, sf0001)
       .collect()
