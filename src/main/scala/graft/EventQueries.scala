@@ -894,7 +894,71 @@ object EventQueries {
       |       ELSE 'poisson_like' END AS regime
       |FROM stats ORDER BY event_type""".stripMargin
 
+  /** Exponentially-decayed activity ranking — the "trending now"
+    * scoring every feed/leaderboard pipeline runs: each user's events
+    * are weighted by 2^(day − d_max) (half-life = one day) so
+    * yesterday counts half of today, last week ~1%. Computed EXACTLY
+    * as integers by scaling the whole corpus by 2^(d_max − d_min):
+    * score = Σ_days cnt(u, d) · (1 << (d − d_min)) — a left shift per
+    * day, no pow()/libm anywhere, so ranks cannot drift cross-engine
+    * (the same scaled-integer trick as the fixed-point PageRank).
+    * Per-day counts widen to decimal/HUGEINT before the sum and land
+    * behind [[graft.functions.Exact.loudLong]]: 30 days of span leaves
+    * 2^29 headroom × per-user-day counts ≪ int64; a year-long window
+    * at scale would bucket days into weeks first (same shift trick,
+    * exponent ≤ 52) — the recipe documents its own headroom.
+    *
+    * Scale shape: one shuffle to (user, day) counts, one per-user
+    * aggregate, a global top-50 (rank window over the already
+    * user-collapsed frame — 1 row per user, not per event).
+    */
+  val decayedCounts: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"user_id", $"day").agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val dec = "decimal(38,0)"
+    val scored = daily.crossJoin(broadcast(bounds))
+      .select($"user_id", $"y",
+        expr("shiftleft(cast(1 as bigint), cast(day - d0 as int))").as("w"),
+        ($"d1" - $"day").as("age"))
+      .groupBy($"user_id")
+      .agg(loudLong(sum($"y".cast(dec) * $"w".cast(dec))).as("score"),
+        sum($"y").as("n_events"),
+        min($"age").as("days_idle"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"score".desc, $"user_id")).cast("int"))
+      .filter($"rank" <= 50)
+      .select($"rank", $"user_id", $"score", $"n_events", $"days_idle")
+      .orderBy($"rank")
+  }
+
+  val decayedCountsSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |scored AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(y AS HUGEINT) *
+      |      (CAST(1 AS BIGINT) << (day - d0))) AS BIGINT) AS score,
+      |    CAST(SUM(y) AS BIGINT) AS n_events,
+      |    MIN(d1 - day) AS days_idle
+      |  FROM daily CROSS JOIN bounds
+      |  GROUP BY user_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, user_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(rank AS INTEGER) AS rank, user_id, score, n_events,
+      |  days_idle
+      |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_decayed_counts" -> (decayedCounts, Some(decayedCountsSql)),
     "events_burstiness" -> (burstiness, Some(burstinessSql)),
     "events_seasonality_dow" -> (seasonalityDow, Some(seasonalityDowSql)),
     "events_cusum_changepoint" ->

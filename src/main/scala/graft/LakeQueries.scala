@@ -849,7 +849,86 @@ object LakeQueries {
        |FROM states GROUP BY version, o_orderstatus
        |ORDER BY version, o_orderstatus""".stripMargin
 
+  /** Merge-on-read DELETE via a deletion vector — the modern
+    * row-level-delete path (Delta deletion vectors / Iceberg position
+    * deletes) beside [[deleteKeys]]'s copy-on-write: the delete writes
+    * ONLY a tiny sidecar listing the dead keys (O(deleted) bytes, no
+    * data-file rewrite — at 100 TB that is the difference between a
+    * kilobyte DV write and rewriting a multi-GB partition), and every
+    * read anti-joins the scan against the broadcast DV. Compaction
+    * later applies the DV physically (rewrites the touched partition
+    * minus the dead keys) and retires it — after which the plain scan
+    * and the DV-masked scan must agree.
+    *
+    * The gate reads all three states: `raw` (v1, DV ignored — the
+    * before-image time travel still serves), `dv_applied` (v1 ⋉ DV,
+    * the merge-on-read view every query sees after the delete), and
+    * `compacted` (v2, DV folded into the files) — with the dead-key
+    * count per state proving the mask: present in raw, zero in the
+    * other two, totals identical between dv_applied and compacted.
+    *
+    * Scale shape: the DV is keyed and broadcast (production DVs are
+    * per-file bitmaps — same read-side contract: a scan-local mask,
+    * never a shuffle); compaction rewrites only the touched partition
+    * and carries the rest (the [[operators.Snapshots]] manifest carry).
+    */
+  val deletionVectors: Q = (s, dir) => {
+    import s.implicits._
+    val root = s"${Scratch.dir}/graft_lake_dv_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
+      vacInvocation.incrementAndGet()
+    val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val v1 = operators.Snapshots.read(s, root, 1)
+    // the DELETE: write the deletion vector sidecar, touch no data file
+    val dvPath = root + "/_dv/v00001"
+    v1.filter($"o_orderstatus" === "F" && $"o_orderkey" % 6 === 0)
+      .select($"o_orderkey").write.mode("overwrite").parquet(dvPath)
+    val dv = s.read.parquet(dvPath)
+    val masked = v1.join(broadcast(dv), Seq("o_orderkey"), "left_anti")
+    // compaction applies the DV: rewrite ONLY the F partition minus the
+    // dead keys, carry every other partition's files forward
+    operators.Snapshots.commit(s, root,
+      masked.filter($"o_orderstatus" === "F"), "o_orderstatus",
+      carry = rel => !rel.contains("o_orderstatus=F/"))
+    val v2 = operators.Snapshots.read(s, root, 2)
+    def summarize(df: org.apache.spark.sql.DataFrame, st: String) =
+      df.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("total"),
+          sum(($"o_orderstatus" === "F" && $"o_orderkey" % 6 === 0)
+            .cast("long")).as("n_dv_keys"))
+        .withColumn("state", lit(st))
+    summarize(v1, "raw")
+      .unionByName(summarize(masked, "dv_applied"))
+      .unionByName(summarize(v2, "compacted"))
+      .select($"state", $"o_orderstatus", $"n_rows", $"total", $"n_dv_keys")
+      .orderBy($"state", $"o_orderstatus")
+  }
+
+  val deletionVectorsSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |masked AS (
+       |  SELECT * FROM base
+       |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 6 = 0)),
+       |states AS (
+       |  SELECT 'raw' AS state, o_orderkey, o_orderstatus, o_totalprice
+       |  FROM base
+       |  UNION ALL SELECT 'dv_applied', o_orderkey, o_orderstatus,
+       |    o_totalprice FROM masked
+       |  UNION ALL SELECT 'compacted', o_orderkey, o_orderstatus,
+       |    o_totalprice FROM masked)
+       |SELECT state, o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 6 = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dv_keys
+       |FROM states GROUP BY state, o_orderstatus
+       |ORDER BY state, o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_deletion_vectors" -> (deletionVectors, Some(deletionVectorsSql)),
     "lake_delete_keys" -> (deleteKeys, Some(deleteKeysSql)),
     "lake_vacuum_retention" -> (vacuumRetention, Some(vacuumRetentionSql)),
     "lake_bloom_index" -> (bloomIndex, Some(bloomIndexSql)),

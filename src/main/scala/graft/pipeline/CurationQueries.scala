@@ -2529,7 +2529,119 @@ object CurationQueries {
        |FROM alloc ORDER BY source""".stripMargin
   }
 
+  /** DSIR-style importance resampling — select pretraining documents
+    * whose hashed n-gram feature distribution matches a TARGET domain
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling"): estimate a target and a raw unigram distribution
+    * over 256 hashed word features (the md5 [[graft.functions.KeyHash]]
+    * buckets — engine-stable, no tokenizer-specific vocab to ship), give
+    * every feature the add-one-smoothed log-ratio weight
+    * λ(f) = ln(p̂_target(f) / p̂_raw(f)), score each document by
+    * Σ_tokens λ(f(token)), and keep the top-k. The target here is the
+    * `lang = 'en'` slice, so the report's per-language composition
+    * shift IS the demonstration that the selector pulls the target
+    * domain out of a mixed corpus.
+    *
+    * Measured honesty note (the [[graft.text.TextQueries.lmPerplexity]]
+    * caveat applies): the synthetic corpus shares ONE 31-word vocabulary
+    * across all five languages, so the inter-language signal available
+    * to ANY distribution matcher is frequency-profile + length, not
+    * vocabulary. The selector still enriches the target measurably —
+    * en's share of the selected set vs its corpus share: 48% vs 38.6%
+    * (sf0.001), 59% vs 43.6% (sf0.01), 57% vs 41.2% (sf0.1) — and that
+    * enrichment is pinned in DsirImportanceSpec; on a natural-language
+    * corpus the hashed-vocabulary signal would dominate.
+    *
+    * Determinism: λ is quantized to the 1e-6 grid ([[graft.text
+    * .TextQueries.lmPerplexity]]'s discipline — both engines sum
+    * identical decimals), per-doc scores are exact micro-unit integers,
+    * and selection is deterministic top-k on (score, doc_id) — the
+    * gate-able stand-in for DSIR's Gumbel-noise sampling (same selected
+    * set in expectation, reproducible on any engine/partitioning).
+    *
+    * Scale shape: feature counts shuffle once on the 256-value feature
+    * key (partial aggs collapse the token stream map-side); λ is a
+    * 256-row broadcast; per-doc scoring is one scan + one groupBy
+    * doc_id; top-k is a rank window over the already-collapsed per-doc
+    * frame. Nothing is corpus-quadratic and the only corpus-sized
+    * shuffle carries (doc_id, feature) pairs.
+    */
+  val dsirImportance: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = 256
+    val topK = 100
+    val base = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", $"lang",
+          graft.text.TextAnalysis.tokens($"text").as("toks")))
+    val feat = graft.CacheTracker.persistTracked(
+      base.select($"doc_id", $"lang", explode($"toks").as("w"))
+        .select($"doc_id", $"lang",
+          graft.functions.KeyHash.bucket("dsir", $"w", b).as("f")))
+    val tstat = feat.filter($"lang" === "en").agg(count(lit(1)).as("nt"))
+    val sstat = feat.agg(count(lit(1)).as("ns"))
+    val ct = feat.filter($"lang" === "en")
+      .groupBy($"f").agg(count(lit(1)).as("ctc"))
+    val cs = feat.groupBy($"f").agg(count(lit(1)).as("csc"))
+    val lam = cs.join(ct, Seq("f"), "left")
+      .crossJoin(broadcast(tstat)).crossJoin(broadcast(sstat))
+      .select($"f", round(log(
+        ((coalesce($"ctc", lit(0L)) + lit(1.0)) * ($"ns" + lit(b))) /
+          (($"csc" + lit(1.0)) * ($"nt" + lit(b)))), 6).as("lam"))
+    val docw = feat.join(broadcast(lam), "f")
+      .groupBy($"doc_id")
+      .agg((sum($"lam".cast("decimal(22,6)")) * 1000000)
+        .cast("long").as("m"))
+    val sel = docw.withColumn("rnk",
+      row_number().over(Window.orderBy($"m".desc, $"doc_id")))
+    base.select($"doc_id", $"lang").join(sel, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"rnk" <= topK, 1L).otherwise(0L)).as("n_selected"),
+        coalesce(max(when($"rnk" <= topK, $"m")), lit(0L))
+          .as("sel_weight_micro"))
+      .orderBy($"lang")
+  }
+
+  val dsirImportanceSql: String = {
+    val fw = graft.functions.KeyHash.sqlBucket("dsir", "w", 256)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.text.TextAnalysis.sqlTokens("text")} AS toks
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, lang, $fw AS f
+       |  FROM (SELECT doc_id, lang, unnest(toks) AS w FROM base)),
+       |tstat AS (SELECT COUNT(*) AS nt FROM feat WHERE lang = 'en'),
+       |sstat AS (SELECT COUNT(*) AS ns FROM feat),
+       |ct AS (SELECT f, COUNT(*) AS c FROM feat WHERE lang = 'en' GROUP BY f),
+       |cs AS (SELECT f, COUNT(*) AS c FROM feat GROUP BY f),
+       |lam AS (
+       |  SELECT cs.f, round(ln(
+       |    ((COALESCE(ct.c, 0) + 1.0) * (ns + 256)) /
+       |    ((cs.c + 1.0) * (nt + 256))), 6) AS lam
+       |  FROM cs LEFT JOIN ct USING (f) CROSS JOIN tstat CROSS JOIN sstat),
+       |docw AS (
+       |  SELECT fe.doc_id,
+       |    CAST(SUM(CAST(lam AS DECIMAL(22,6))) * 1000000 AS BIGINT) AS m
+       |  FROM feat fe JOIN lam USING (f) GROUP BY fe.doc_id),
+       |sel AS (
+       |  SELECT doc_id, m,
+       |    row_number() OVER (ORDER BY m DESC, doc_id) AS rnk
+       |  FROM docw)
+       |SELECT b.lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN s.rnk <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  COALESCE(MAX(CASE WHEN s.rnk <= 100 THEN s.m END), 0)
+       |    AS sel_weight_micro
+       |FROM base b LEFT JOIN sel s USING (doc_id)
+       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_dsir_importance" -> (dsirImportance, Some(dsirImportanceSql)),
     "curate_temperature_mix" -> (temperatureMix, Some(temperatureMixSql)),
     "curate_water_filling" -> (waterFilling, Some(waterFillingSql)),
     "curate_token_budget_trim" ->

@@ -630,6 +630,124 @@ object TextQueries {
        |  CASE WHEN oov_rate > 0.5 THEN 'filter' ELSE 'keep' END AS verdict
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing — the corpus-curation step that
+    * made the CommonCrawl pipelines famous: score every document with a
+    * per-LANGUAGE smoothed bigram LM and split each language into
+    * head / middle / tail terciles by perplexity (head = lowest
+    * perplexity = keep-first; tail = candidates for dropping or
+    * down-weighting). The LM is per-language (CCNet trains one LM per
+    * language — a zh document must not be scored against an en model),
+    * trained in-engine on the same corpus it scores, which is exactly
+    * the self-scored bucketing CCNet's quality split does.
+    *
+    * Determinism: per-bigram logprob quantized to the 1e-6 grid, the
+    * per-doc mean 9-rounded in EXACT INTEGER arithmetic (the
+    * [[lmPerplexity]] half-away-from-zero template — no double in the
+    * tie decision), and the tercile split orders by that exact
+    * nano-integer with doc_id ties, so bucket membership cannot flip
+    * between engines. ntile semantics (first `n mod 3` tiles get the
+    * extra row) agree across engines.
+    *
+    * Scale shape: LM counts shuffle on the (lang, term) key like the
+    * BM25 posting join; per-language vocab sizes broadcast; the
+    * bucket split is one window over (lang) — at 100 TB the window is
+    * the sort-within-language a real CCNet shard split pays, and the
+    * output is the per-(lang, bucket) summary a curation report reads.
+    */
+  val perplexityBuckets: Q = (s, dir) => {
+    import s.implicits._
+    val tr = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2))
+    def bigramsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => concat_ws(" ", element_at($"toks", i),
+            element_at($"toks", i + 1)))).as("bg"))
+    val uni = tr.select($"lang", explode($"toks").as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c1"))
+    val big = bigramsOf(tr).groupBy($"lang", $"bg").agg(count(lit(1)).as("c2"))
+    val vstats = broadcast(uni.groupBy($"lang").agg(count(lit(1)).as("v"))
+      .withColumnRenamed("lang", "vlang"))
+    val perDoc = bigramsOf(tr)
+      .withColumn("prev", split($"bg", " ").getItem(0))
+      .join(big, Seq("lang", "bg"), "left")
+      .join(uni.withColumnRenamed("lang", "ulang"),
+        $"lang" === $"ulang" && $"prev" === $"w", "left")
+      .join(vstats, $"lang" === $"vlang")
+      .select($"doc_id",
+        round(log((coalesce($"c2", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + $"v")), 6).as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"lp".cast("decimal(22,6)")).as("sdec"))
+      .withColumn("m", ($"sdec" * 1000000).cast("long"))
+      .withColumn("r9", expr(
+        "(2 * abs(m) * 1000 + n_bigrams) div (2 * n_bigrams)"))
+      .select($"doc_id", $"n_bigrams",
+        when($"m" < 0, -$"r9").otherwise($"r9").as("nano"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"nano".desc, $"doc_id")
+    perDoc.join(tr.select($"doc_id", $"lang"), "doc_id")
+      .withColumn("bucket", ntile(3).over(wb))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bigrams").as("n_bigrams"),
+        (max($"nano").cast("double") / lit(1e9)).as("lp_hi"),
+        (min($"nano").cast("double") / lit(1e9)).as("lp_lo"))
+      .withColumn("band", when($"bucket" === 1, "head")
+        .when($"bucket" === 2, "middle").otherwise("tail"))
+      .select($"lang", $"bucket", $"band", $"n_docs", $"n_bigrams",
+        $"lp_hi", $"lp_lo")
+      .orderBy($"lang", $"bucket")
+  }
+
+  val perplexityBucketsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+       |tr AS (SELECT * FROM base WHERE len(toks) >= 2),
+       |uni AS (
+       |  SELECT lang, w, COUNT(*) AS c1
+       |  FROM (SELECT lang, unnest(toks) AS w FROM tr) GROUP BY lang, w),
+       |vstats AS (SELECT lang, COUNT(*) AS v FROM uni GROUP BY lang),
+       |trbg AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM tr),
+       |big AS (SELECT lang, bg, COUNT(*) AS c2 FROM trbg GROUP BY lang, bg),
+       |lp AS (
+       |  SELECT t.doc_id,
+       |    round(ln((COALESCE(b.c2, 0) + 1.0) / (COALESCE(u.c1, 0) + v.v)), 6) AS lp
+       |  FROM trbg t
+       |  LEFT JOIN big b ON t.lang = b.lang AND t.bg = b.bg
+       |  LEFT JOIN uni u ON t.lang = u.lang AND string_split(t.bg, ' ')[1] = u.w
+       |  JOIN vstats v ON t.lang = v.lang),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CAST(lp AS DECIMAL(22,6))) * 1000000 AS BIGINT) AS m
+       |  FROM lp GROUP BY doc_id),
+       |nano AS (
+       |  SELECT doc_id, n_bigrams,
+       |    CASE WHEN m < 0
+       |      THEN -((2 * abs(m) * 1000 + n_bigrams) // (2 * n_bigrams))
+       |      ELSE (2 * abs(m) * 1000 + n_bigrams) // (2 * n_bigrams) END AS nano
+       |  FROM agg),
+       |bucketed AS (
+       |  SELECT t.lang, n.doc_id, n.n_bigrams, n.nano,
+       |    ntile(3) OVER (PARTITION BY t.lang
+       |      ORDER BY n.nano DESC, n.doc_id) AS bucket
+       |  FROM nano n JOIN tr t USING (doc_id))
+       |SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+       |  CASE WHEN bucket = 1 THEN 'head'
+       |       WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS band,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(MAX(nano) AS DOUBLE) / 1e9 AS lp_hi,
+       |  CAST(MIN(nano) AS DOUBLE) / 1e9 AS lp_lo
+       |FROM bucketed GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
+
   /** Two-pass heavy hitters: a bounded-memory Misra-Gries sketch
     * ([[graft.operators.MisraGries]], capacity 16) proposes the
     * candidate set, then an exact count pass over ONLY the candidates
@@ -1315,6 +1433,8 @@ object TextQueries {
     "text_line_dedup" -> (lineDedup, Some(lineDedupSql)),
     "text_heavy_hitters" -> (heavyHitters, Some(heavyHittersSql)),
     "text_lm_perplexity" -> (lmPerplexity, Some(lmPerplexitySql)),
+    "text_perplexity_buckets" ->
+      (perplexityBuckets, Some(perplexityBucketsSql)),
     "text_chunk_windows" -> (chunkWindows, Some(chunkWindowsSql)),
     "text_repetition_quality" -> (repetitionQuality, Some(repetitionQualitySql)),
     "text_token_stats" -> (tokenStats, Some(tokenStatsSql)),

@@ -2049,6 +2049,136 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Reciprocal-rank fusion — the standard way production retrieval
+    * stacks combine a lexical and a vector ranking WITHOUT score
+    * calibration (the weighted blend in [[hybridSearch]] needs the two
+    * score scales reconciled; RRF consumes only the RANKS, so it is
+    * the robust default in every hybrid-search engine). Each side
+    * contributes a bounded top-100 candidate list; fused score =
+    * Σ_lists floor(1e9 / (60 + rank)) over the union — the classic
+    * k=60 RRF formula lifted onto the integer 1e9 grid so the score
+    * is EXACT (`div`/`//` floor division, no float in the decision
+    * path; cf. the floor-identity discipline in curate_temperature_mix).
+    *
+    * Rank determinism: the lexical list ranks by pure-integer
+    * coordination match (matched query bigrams, then total tf, then
+    * doc_id) — no ln()/libm anywhere, unlike BM25, so ranks cannot
+    * drift cross-engine; the vector list ranks by [[VectorOps.cosine]]
+    * (exact-decimal dots → correctly-rounded double sqrt/div, engine-
+    * identical bits), ties on vec_id.
+    *
+    * Scale shape: fusion itself is O(q·k) on ALREADY-BOUNDED lists —
+    * one full-outer join on (q_id, item_id) + a per-query top-10
+    * window. The lexical candidate generation reuses the BM25 posting
+    * discipline (semi-join the exploded term stream to the broadcast
+    * query-term set BEFORE any groupBy); the vector side is the brute
+    * baseline here and an IVF/NNG read at scale — fusion is agnostic
+    * to how the lists were produced.
+    */
+  val rrfFusion: Q = (s, dir) => {
+    import s.implicits._
+    val qIds = Seq(3L, 57L, 201L)
+    val topIn = 100
+    val toks = graft.text.TextAnalysis.tokens($"text")
+    val base = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
+          i => concat_ws(" ", element_at($"toks", i),
+            element_at($"toks", i + 1))).as("bg")))
+    val exploded = base.select($"doc_id", explode($"bg").as("t"))
+    val qTerms = exploded.filter($"doc_id".isin(qIds: _*))
+      .select($"doc_id".as("q_id"), $"t").distinct()
+    val posting = exploded
+      .join(broadcast(qTerms.select($"t").distinct()), "t")
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val lex = qTerms.join(posting, "t")
+      .filter($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id")
+      .agg(count(lit(1)).as("mt"), sum($"tf").as("stf"))
+    val wl = Window.partitionBy($"q_id")
+      .orderBy($"mt".desc, $"stf".desc, $"doc_id")
+    val lexTop = lex
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter($"lex_rank" <= topIn)
+      .select($"q_id", $"doc_id".as("item_id"), $"lex_rank")
+    val emb = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val qEmb = broadcast(emb.filter($"vec_id".isin(qIds: _*))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
+    val wv = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val vecTop = emb.crossJoin(qEmb)
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cos"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter($"vec_rank" <= topIn)
+      .select($"q_id", $"vec_id".as("item_id"), $"vec_rank")
+    val fused = lexTop.join(vecTop, Seq("q_id", "item_id"), "full_outer")
+      .select($"q_id", $"item_id",
+        coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+        coalesce($"vec_rank", lit(0L)).as("vec_rank"))
+      .withColumn("rrf", expr(
+        "(case when lex_rank > 0 then 1000000000 div (60 + lex_rank) else 0 end)" +
+          " + (case when vec_rank > 0 then 1000000000 div (60 + vec_rank) else 0 end)"))
+    val w = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"item_id")
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"rank", $"item_id", $"rrf", $"lex_rank", $"vec_rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1]) AS bg
+       |  FROM (SELECT doc_id, ${graft.text.TextAnalysis.sqlTokens("text")} AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 2),
+       |ex AS (SELECT doc_id, unnest(bg) AS t FROM base),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, t FROM ex
+       |       WHERE doc_id IN (3, 57, 201)),
+       |posting AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM ex
+       |  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t),
+       |lex AS (
+       |  SELECT q_id, doc_id, COUNT(*) AS mt, SUM(tf) AS stf
+       |  FROM qt JOIN posting USING (t)
+       |  WHERE doc_id <> q_id GROUP BY q_id, doc_id),
+       |lextop AS (
+       |  SELECT q_id, doc_id AS item_id, lex_rank FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY mt DESC, stf DESC, doc_id) AS lex_rank FROM lex)
+       |  WHERE lex_rank <= 100),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id IN (3, 57, 201)),
+       |vec AS (
+       |  SELECT q_id, vec_id, ${sqlCosine("embedding", "q_emb")} AS cos
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+       |vectop AS (
+       |  SELECT q_id, vec_id AS item_id, vec_rank FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS vec_rank FROM vec)
+       |  WHERE vec_rank <= 100),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.item_id, v.item_id) AS item_id,
+       |    COALESCE(l.lex_rank, 0) AS lex_rank,
+       |    COALESCE(v.vec_rank, 0) AS vec_rank
+       |  FROM lextop l FULL OUTER JOIN vectop v
+       |    ON l.q_id = v.q_id AND l.item_id = v.item_id),
+       |scored AS (
+       |  SELECT q_id, item_id, lex_rank, vec_rank,
+       |    (CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END)
+       |    + (CASE WHEN vec_rank > 0 THEN 1000000000 // (60 + vec_rank) ELSE 0 END)
+       |      AS rrf
+       |  FROM fused),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, item_id) AS rank FROM scored)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, item_id, rrf,
+       |  lex_rank, vec_rank
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Johnson–Lindenstrauss random projection — embedding COMPRESSION,
     * the cheap sibling of PQ: 64-d vectors project to 16-d through a
     * deterministic integer-hash ±weight matrix (the same no-RNG-state
@@ -4734,6 +4864,7 @@ object SimilarityQueries {
     "sim_random_projection" -> (randomProjection, Some(randomProjectionSql)),
     "arr_embedding_stats" -> (arrayStats, Some(arrayStatsSql)),
     "sim_hybrid_search" -> (hybridSearch, Some(hybridSearchSql)),
+    "sim_rrf_fusion" -> (rrfFusion, Some(rrfFusionSql)),
     "sim_knn_brute" -> (knnBrute, Some(knnBruteSql)),
     "sim_knn_topk_agg" -> (knnTopkAgg, Some(knnBruteSql)),
     "sim_ann_lsh" -> (annLsh, Some(annLshSql)),
