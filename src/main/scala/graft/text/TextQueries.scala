@@ -658,19 +658,24 @@ object TextQueries {
     import s.implicits._
     val tr = graft.CacheTracker.persistTracked(
       Tables(s, dir, "documents")
+        // the one-file scan would tokenize on ONE core (the r12
+        // single-partition lesson) — spread before the per-row work
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", $"lang", tokens($"text").as("toks"))
         .filter(size($"toks") >= 2))
-    def bigramsOf(df: org.apache.spark.sql.DataFrame) =
-      df.select($"doc_id", $"lang",
+    // the bigram stream feeds BOTH the LM count table and the per-doc
+    // scoring pass — build it once
+    val trbg = graft.CacheTracker.persistTracked(
+      tr.select($"doc_id", $"lang",
         explode(transform(sequence(lit(1), size($"toks") - 1),
           i => concat_ws(" ", element_at($"toks", i),
-            element_at($"toks", i + 1)))).as("bg"))
+            element_at($"toks", i + 1)))).as("bg")))
     val uni = tr.select($"lang", explode($"toks").as("w"))
       .groupBy($"lang", $"w").agg(count(lit(1)).as("c1"))
-    val big = bigramsOf(tr).groupBy($"lang", $"bg").agg(count(lit(1)).as("c2"))
+    val big = trbg.groupBy($"lang", $"bg").agg(count(lit(1)).as("c2"))
     val vstats = broadcast(uni.groupBy($"lang").agg(count(lit(1)).as("v"))
       .withColumnRenamed("lang", "vlang"))
-    val perDoc = bigramsOf(tr)
+    val perDoc = trbg
       .withColumn("prev", split($"bg", " ").getItem(0))
       .join(big, Seq("lang", "bg"), "left")
       .join(uni.withColumnRenamed("lang", "ulang"),

@@ -41,6 +41,8 @@ object QueryProbe {
       case "countmin" => countmin(spark, sfDir, reps)
       case "hybrid" => hybrid(spark, sfDir, reps)
       case "hot_cell" => hotCell(spark, sfDir, reps)
+      case "rrf" => rrf(spark, sfDir, reps)
+      case "ppl_buckets" => pplBuckets(spark, sfDir, reps)
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
@@ -159,6 +161,87 @@ object QueryProbe {
     }
     timed("full gate", reps)(
       graft.Queries.queries("sim_hybrid_search")(s, dir).count())
+  }
+
+  private def rrf(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.text.TextAnalysis
+    def base = graft.Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i),
+          element_at($"toks", i + 1))).as("bg"))
+    timed("lex side (postings+window)", reps) {
+      import org.apache.spark.sql.expressions.Window
+      val b = graft.CacheTracker.persistTracked(base)
+      val exploded = b.select($"doc_id", explode($"bg").as("t"))
+      val qTerms = exploded.filter($"doc_id".isin(3L, 57L, 201L))
+        .select($"doc_id".as("q_id"), $"t").distinct()
+      val posting = exploded
+        .join(broadcast(qTerms.select($"t").distinct()), "t")
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      val lex = qTerms.join(posting, "t").filter($"doc_id" =!= $"q_id")
+        .groupBy($"q_id", $"doc_id")
+        .agg(count(lit(1)).as("mt"), sum($"tf").as("stf"))
+      val wl = Window.partitionBy($"q_id")
+        .orderBy($"mt".desc, $"stf".desc, $"doc_id")
+      lex.withColumn("lex_rank", row_number().over(wl))
+        .filter($"lex_rank" <= 100).count()
+    }
+    timed("vec side (cosines+window)", reps) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.vector.VectorOps._
+      val emb = graft.Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding")
+      val qEmb = broadcast(emb.filter($"vec_id".isin(3L, 57L, 201L))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
+      val wv = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      emb.crossJoin(qEmb).filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", cosine($"embedding", $"q_emb").as("cos"))
+        .withColumn("vec_rank", row_number().over(wv))
+        .filter($"vec_rank" <= 100).count()
+    }
+    timed("full gate", reps)(
+      graft.Queries.queries("sim_rrf_fusion")(s, dir).count())
+  }
+
+  private def pplBuckets(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.text.TextAnalysis.tokens
+    def tr = graft.Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+    def bigramsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => concat_ws(" ", element_at($"toks", i),
+            element_at($"toks", i + 1)))).as("bg"))
+    timed("persist tr (tokenize)", reps) {
+      graft.CacheTracker.persistTracked(tr).count()
+    }
+    timed("LM counts (uni+big)", reps) {
+      val t = graft.CacheTracker.persistTracked(tr)
+      t.select($"lang", explode($"toks").as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1))).count()
+      bigramsOf(t).groupBy($"lang", $"bg").agg(count(lit(1))).count()
+    }
+    timed("per-doc score joins", reps) {
+      val t = graft.CacheTracker.persistTracked(tr)
+      val uni = t.select($"lang", explode($"toks").as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("c1"))
+      val big = bigramsOf(t).groupBy($"lang", $"bg")
+        .agg(count(lit(1)).as("c2"))
+      bigramsOf(t)
+        .withColumn("prev", split($"bg", " ").getItem(0))
+        .join(big, Seq("lang", "bg"), "left")
+        .join(uni.withColumnRenamed("lang", "ulang"),
+          $"lang" === $"ulang" && $"prev" === $"w", "left")
+        .groupBy($"doc_id").agg(count(lit(1))).count()
+    }
+    timed("full gate", reps)(
+      graft.Queries.queries("text_perplexity_buckets")(s, dir).count())
   }
 
   private def hotCell(s: SparkSession, dir: String, reps: Int): Unit = {
