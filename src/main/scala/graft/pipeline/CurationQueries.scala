@@ -2640,7 +2640,112 @@ object CurationQueries {
        |GROUP BY b.lang ORDER BY b.lang""".stripMargin
   }
 
+  /** T5-style span corruption — the seq2seq denoising objective's data
+    * prep (Raffel et al.): mask ~15% of token positions, merge
+    * CONSECUTIVE masked positions into one span, replace each span in
+    * the input with a sentinel `<X_k>` and emit the spans behind their
+    * sentinels as the target sequence. Position masks are md5-keyed on
+    * (doc, position) — the [[selBucket]] discipline — so the corruption
+    * of a document is deterministic, engine-independent, and stable
+    * under corpus growth (re-running the pipeline never re-corrupts
+    * existing examples differently).
+    *
+    * Span mechanics are pure windows: first-of-span = masked with an
+    * unmasked (or absent) predecessor; the sentinel index is the
+    * running count of span starts up to the position — no iterative
+    * state, one pass. Assembly is an ordered fold per doc (array_sort
+    * on position ↔ `string_agg(... ORDER BY p)`), so the output
+    * strings hash-gate exactly.
+    *
+    * Scale shape: posexplode → two window functions over (doc_id, p) →
+    * one groupBy doc_id — a single shuffle on doc_id (the window and
+    * the final agg share it); everything is narrow per-row work before
+    * that. Inputs are capped at 48 tokens per example the way a real
+    * pretraining prep fixes its sequence length upstream.
+    */
+  val spanCorruption: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextAnalysis.tokens($"text")
+    val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", slice(toks, 1, 48).as("toks"))
+      .filter(size($"toks") >= 2)
+    val pos = base
+      .select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
+      .withColumn("masked", graft.functions.KeyHash.bucket100("t5mask",
+        concat($"doc_id".cast("string"), lit("|"), $"p".cast("string")))
+        < 15)
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p")
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = pos
+      .withColumn("first_span",
+        $"masked" && !coalesce(lag($"masked", 1).over(wDoc), lit(false)))
+      .withColumn("k", sum($"first_span".cast("long")).over(wRun) - 1L)
+      .withColumn("sentinel",
+        concat(lit("<X_"), $"k".cast("string"), lit(">")))
+      .withColumn("ipiece",
+        when(!$"masked", $"tok").when($"first_span", $"sentinel"))
+      .withColumn("tpiece",
+        when($"first_span", concat($"sentinel", lit(" "), $"tok"))
+          .when($"masked", $"tok"))
+    def assemble(piece: String) = array_join(expr(
+      s"filter(transform(array_sort(collect_list(struct(p, $piece)))," +
+        s" x -> x.$piece), x -> x is not null)"), " ")
+    flagged.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"masked".cast("long")).as("n_masked"),
+        sum($"first_span".cast("long")).as("n_spans"),
+        assemble("ipiece").as("input_text"),
+        assemble("tpiece").as("target_text"))
+      .orderBy($"doc_id")
+  }
+
+  val spanCorruptionSql: String = {
+    val mask = graft.functions.KeyHash.sqlBucket100("t5mask",
+      "CAST(doc_id AS VARCHAR) || '|' || CAST(p AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_slice(${graft.text.TextAnalysis.sqlTokens("text")}, 1, 48)
+       |      AS toks
+       |  FROM documents),
+       |tr AS (SELECT * FROM base WHERE len(toks) >= 2),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM tr),
+       |flags AS (
+       |  SELECT doc_id, p, toks[p + 1] AS tok, $mask < 15 AS masked
+       |  FROM pos),
+       |runs AS (
+       |  SELECT *, masked AND NOT COALESCE(lag(masked) OVER (
+       |      PARTITION BY doc_id ORDER BY p), false) AS first_span
+       |  FROM flags),
+       |ks AS (
+       |  SELECT *, SUM(CASE WHEN first_span THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS k
+       |  FROM runs),
+       |pieces AS (
+       |  SELECT doc_id, p, masked, first_span,
+       |    '<X_' || CAST(k AS VARCHAR) || '>' AS sentinel,
+       |    CASE WHEN NOT masked THEN tok
+       |         WHEN first_span THEN '<X_' || CAST(k AS VARCHAR) || '>'
+       |    END AS ipiece,
+       |    CASE WHEN first_span
+       |           THEN '<X_' || CAST(k AS VARCHAR) || '>' || ' ' || tok
+       |         WHEN masked THEN tok
+       |    END AS tpiece
+       |  FROM ks)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(SUM(CASE WHEN first_span THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spans,
+       |  COALESCE(string_agg(ipiece, ' ' ORDER BY p), '') AS input_text,
+       |  COALESCE(string_agg(tpiece, ' ' ORDER BY p), '') AS target_text
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_span_corruption" -> (spanCorruption, Some(spanCorruptionSql)),
     "curate_dsir_importance" -> (dsirImportance, Some(dsirImportanceSql)),
     "curate_temperature_mix" -> (temperatureMix, Some(temperatureMixSql)),
     "curate_water_filling" -> (waterFilling, Some(waterFillingSql)),
