@@ -902,6 +902,83 @@ object SimilarityQueries {
        |  CASE WHEN vec_id % 10 = 0 THEN 'delta' ELSE 'base' END AS origin
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF index DELETE — the remaining lifecycle verb beside train /
+    * assign / add ([[ivfIncrementalAdd]]) and the NNG family's
+    * insert/delete/compact: deletions tombstone (vec_id % 7 = 3 here —
+    * GDPR erasure, stale-content retirement), the cell-bucketed index
+    * is NOT rewritten, and the search path masks tombstones at
+    * candidate-read time — exactly how production vector stores absorb
+    * deletes between periodic rebuilds (the rebuild that physically
+    * drops them is [[ivfIncrementalAdd]]'s retrain, the same division
+    * of labor as [[graft.LakeQueries.deletionVectors]] on the lake
+    * side). Each result row carries the per-query count of candidates
+    * the tombstone mask suppressed in its probed cells, so the gate
+    * PROVES the mask did work (vec 3 is itself tombstoned — a deleted
+    * vector may still query, it must never be returned).
+    *
+    * Scale shape: identical to [[ivfSearch]] plus one broadcast-joined
+    * tombstone predicate on the candidate stream — the mask never
+    * touches un-probed cells and adds no shuffle (at deployment the
+    * tombstone set is a bitmap sidecar per cell file, the DV pattern).
+    */
+  val ivfDeleteTombstone: Q = (s, dir) => {
+    import s.implicits._
+    val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val candAll = graft.CacheTracker.persistTracked(
+      assigned.select($"vec_id", $"nearest_label")
+        .join(broadcast(probes), $"nearest_label" === $"probe_label")
+        .where($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id").distinct()
+        .withColumn("dead", $"vec_id" % 7 === 3))
+    val suppressed = candAll.filter($"dead").groupBy($"q_id")
+      .agg(count(lit(1)).as("suppressed_in_probe"))
+    val q = vectors.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"xn".as("qxn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    candAll.filter(!$"dead").select($"q_id", $"vec_id")
+      .join(vectors.select($"vec_id", $"v", $"xn"), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id",
+        (dotExact($"v", $"qv") / ($"xn" * $"qxn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .join(broadcast(suppressed), Seq("q_id"), "left")
+      .select($"q_id", $"rank", $"vec_id", round($"cosine", 9).as("cosine"),
+        coalesce($"suppressed_in_probe", lit(0L)).as("suppressed_in_probe"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ivfDeleteTombstoneSql: String =
+    s"""WITH $sqlIvfCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS probe_label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, c_label) AS prn
+       |    FROM scored WHERE vec_id < 5)
+       |  WHERE prn <= $IvfProbes),
+       |candall AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assign a ON a.c_label = p.probe_label
+       |  WHERE a.vec_id <> p.q_id),
+       |supp AS (
+       |  SELECT q_id, COUNT(*) AS suppressed_in_probe
+       |  FROM candall WHERE vec_id % 7 = 3 GROUP BY q_id),
+       |rescored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    ${sqlCosine("e.embedding", "qe.embedding")} AS cosine
+       |  FROM candall c JOIN embeddings e ON c.vec_id = e.vec_id
+       |                 JOIN embeddings qe ON c.q_id = qe.vec_id
+       |  WHERE c.vec_id % 7 <> 3),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM rescored)
+       |SELECT r.q_id, CAST(r.rank AS INTEGER) AS rank, r.vec_id,
+       |  round(r.cosine, 9) AS cosine,
+       |  COALESCE(s.suppressed_in_probe, 0) AS suppressed_in_probe
+       |FROM ranked r LEFT JOIN supp s ON r.q_id = s.q_id
+       |WHERE r.rank <= 5 ORDER BY r.q_id, r.rank""".stripMargin
+
   /** Filtered ANN — the vector-store feature RAG deployments lean on:
     * a metadata predicate (here `label % 2 = 0`) combined with ANN
     * search, as PRE-filtering: the predicate prunes the candidate set
@@ -4878,6 +4955,8 @@ object SimilarityQueries {
     "sim_ivfpq_search" -> (ivfpqSearch, Some(ivfpqSearchSql)),
     "sim_ivfpq_residual" -> (ivfpqResidual, Some(ivfpqResidualSql)),
     "sim_ivf_filtered_search" -> (ivfFilteredSearch, Some(ivfFilteredSearchSql)),
-    "sim_ivf_incremental_add" -> (ivfIncrementalAdd, Some(ivfIncrementalAddSql))
+    "sim_ivf_incremental_add" -> (ivfIncrementalAdd, Some(ivfIncrementalAddSql)),
+    "sim_ivf_delete_tombstone" ->
+      (ivfDeleteTombstone, Some(ivfDeleteTombstoneSql))
   )
 }
