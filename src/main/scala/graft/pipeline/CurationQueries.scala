@@ -2744,7 +2744,113 @@ object CurationQueries {
        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** BERT-style MLM masking — the encoder sibling of
+    * [[spanCorruption]] (Devlin et al.): select 15% of token positions;
+    * of those, 80% become `[MASK]`, 10% are swapped for a pseudo-random
+    * OTHER token drawn from the document (position-keyed, never the
+    * original slot's token by construction: offset 1 + h mod (n−1)
+    * wraps around the full ring except self), 10% keep the original
+    * token (the trick that forces the model to also model unmasked
+    * input). Every choice is md5-position-keyed — two INDEPENDENT
+    * hashes (different salts) for "is selected" and "which action", so
+    * the 80/10/10 split is unbiased within the selected set — making
+    * the corruption deterministic, engine-identical, and stable under
+    * corpus growth.
+    *
+    * Output is the training example itself (masked sequence + the
+    * label positions/tokens the loss reads) plus the per-doc action
+    * counts, all hash-gated. Scale shape: pure per-row work after one
+    * posexplode; ordered reassembly shares the single doc_id shuffle —
+    * the [[spanCorruption]] plan with one fewer window.
+    */
+  val mlmMasking: Q = (s, dir) => {
+    import s.implicits._
+    val toks = graft.text.TextAnalysis.tokens($"text")
+    val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", slice(toks, 1, 48).as("toks"))
+      .filter(size($"toks") >= 2)
+    val key = concat($"doc_id".cast("string"), lit("|"), $"p".cast("string"))
+    val pos = base
+      .select($"doc_id", size($"toks").as("n"),
+        posexplode($"toks").as(Seq("p", "tok")), $"toks")
+      .withColumn("sel",
+        graft.functions.KeyHash.bucket100("mlmsel", key) < 15)
+      .withColumn("act",
+        graft.functions.KeyHash.bucket100("mlmact", key))
+      .withColumn("action",
+        when(!$"sel", "keep_unselected")
+          .when($"act" < 80, "mask")
+          .when($"act" < 90, "random")
+          .otherwise("keep_selected"))
+      // "random" replacement: another position's token from the same
+      // doc, offset 1..n-1 ahead on the ring — never position p itself
+      .withColumn("repl", element_at($"toks",
+        (($"p" + lit(1L) + graft.functions.KeyHash.hash48("mlmrep", key)
+          % ($"n" - 1)) % $"n" + 1L).cast("int")))
+      .withColumn("piece",
+        when($"action" === "mask", lit("[MASK]"))
+          .when($"action" === "random", $"repl")
+          .otherwise($"tok"))
+      .withColumn("lpiece", when($"sel",
+        concat($"p".cast("string"), lit(":"), $"tok")))
+    def assemble(piece: String) = array_join(expr(
+      s"filter(transform(array_sort(collect_list(struct(p, $piece)))," +
+        s" x -> x.$piece), x -> x is not null)"), " ")
+    pos.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"sel".cast("long")).as("n_selected"),
+        sum(($"action" === "mask").cast("long")).as("n_masked"),
+        sum(($"action" === "random").cast("long")).as("n_random"),
+        assemble("piece").as("masked_text"),
+        assemble("lpiece").as("labels"))
+      .orderBy($"doc_id")
+  }
+
+  val mlmMaskingSql: String = {
+    val key = "CAST(doc_id AS VARCHAR) || '|' || CAST(p AS VARCHAR)"
+    val sel = graft.functions.KeyHash.sqlBucket100("mlmsel", key)
+    val act = graft.functions.KeyHash.sqlBucket100("mlmact", key)
+    val rep = graft.functions.KeyHash.sqlHash48("mlmrep", key)
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_slice(${graft.text.TextAnalysis.sqlTokens("text")}, 1, 48)
+       |      AS toks
+       |  FROM documents),
+       |tr AS (SELECT * FROM base WHERE len(toks) >= 2),
+       |pos AS (
+       |  SELECT doc_id, len(toks) AS n, unnest(range(0, len(toks))) AS p,
+       |    toks
+       |  FROM tr),
+       |acts AS (
+       |  SELECT doc_id, n, p, toks[p + 1] AS tok, toks,
+       |    $sel < 15 AS sel, $act AS act,
+       |    toks[CAST((p + 1 + $rep % (n - 1)) % n + 1 AS INTEGER)] AS repl
+       |  FROM pos),
+       |pieces AS (
+       |  SELECT doc_id, p, sel,
+       |    CASE WHEN NOT sel THEN 'keep_unselected'
+       |         WHEN act < 80 THEN 'mask'
+       |         WHEN act < 90 THEN 'random'
+       |         ELSE 'keep_selected' END AS action,
+       |    CASE WHEN sel AND act < 80 THEN '[MASK]'
+       |         WHEN sel AND act >= 80 AND act < 90 THEN repl
+       |         ELSE tok END AS piece,
+       |    CASE WHEN sel THEN CAST(p AS VARCHAR) || ':' || tok END AS lpiece
+       |  FROM acts)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(SUM(CASE WHEN action = 'mask' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_masked,
+       |  CAST(SUM(CASE WHEN action = 'random' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_random,
+       |  COALESCE(string_agg(piece, ' ' ORDER BY p), '') AS masked_text,
+       |  COALESCE(string_agg(lpiece, ' ' ORDER BY p), '') AS labels
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_mlm_masking" -> (mlmMasking, Some(mlmMaskingSql)),
     "curate_span_corruption" -> (spanCorruption, Some(spanCorruptionSql)),
     "curate_dsir_importance" -> (dsirImportance, Some(dsirImportanceSql)),
     "curate_temperature_mix" -> (temperatureMix, Some(temperatureMixSql)),
