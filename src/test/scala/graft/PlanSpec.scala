@@ -353,6 +353,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("RRF fusion: posting join is hash on the term key, no cartesian") {
+    val p = plan("sim_rrf_fusion")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      "the lexical candidate join must ride the term key:\n" + p)
+  }
+
+  test("DSIR scores through a broadcast of the 256-row weight table") {
+    val p = plan("curate_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("span corruption and MLM masking stay single-shuffle per doc") {
+    // one posexplode + windows/agg sharing the doc_id exchange — the
+    // per-row masking must never introduce a join
+    Seq("curate_span_corruption", "curate_mlm_masking").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n grew a join:\n" + p)
+      assert(p.contains("Generate"), s"$n lost its posexplode:\n" + p)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // The complement of the explicit salting in join_skew_salted: when
     // skew is only discovered at runtime, AQE must split the oversized
