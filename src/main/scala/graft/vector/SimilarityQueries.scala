@@ -3254,6 +3254,120 @@ object SimilarityQueries {
        |FROM qq LEFT JOIN hits USING (q_id) LEFT JOIN best USING (q_id)
        |ORDER BY qq.q_id""".stripMargin
 
+  /** Tiered cascade re-ranking — the memory-hierarchy read path a
+    * production ANN stack composes from its compression tiers: the
+    * 1-bit Hamming tier (8 B/vector, XOR+popcount) screens the corpus
+    * to 64 candidates per query, the INT8 tier (64 B/vector, integer
+    * dot) re-ranks those to 16, and only the 16 survivors pay the
+    * exact float kernel for the final top-5 — so the expensive kernel
+    * count per query is 16, not |corpus|, while every tier's score
+    * rides in the output (h_dist, sq8_score, cosine) making the funnel
+    * auditable. This composes [[hammingKnn]]'s signatures and
+    * [[sq8Recall]]'s quantization into the cascade those gates
+    * individually report recall for.
+    *
+    * Determinism: tier 1 is pure integer Hamming distance, tier 2 pure
+    * integer dot on grid-quantized values, tier 3 exact-decimal cosine
+    * — ties on vec_id at every tier, so the funnel's membership is
+    * engine-exact at each stage by construction (no float screen, no
+    * margin argument needed anywhere).
+    *
+    * Scale shape: one broadcast of the 5-query signature/code sides,
+    * the corpus scanned once per tier but tiers 2-3 touch only
+    * candidate rows (equi-joins on vec_id); windows partition by q_id.
+    */
+  val cascadeRerank: Q = (s, dir) => {
+    import s.implicits._
+    val sigs = hammingPackedOn(Tables(s, dir, "embeddings"))
+    val qsig = broadcast(sigs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"h1".as("q1"), $"h2".as("q2")))
+    val wH = Window.partitionBy($"q_id").orderBy($"h_dist", $"vec_id")
+    val t1 = sigs.crossJoin(qsig).filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("cast(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) as int)")
+          .as("h_dist"))
+      .withColumn("hrn", row_number().over(wH)).filter($"hrn" <= 64)
+      .select($"q_id", $"vec_id", $"h_dist")
+    val grid = Tables(s, dir, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("vi"))
+    val bounds = broadcast(grid
+      .select(explode($"vi").as("x"))
+      .agg(greatest(max(abs($"x")), lit(1L)).as("amax")))
+    val quant = graft.CacheTracker.persistTracked(grid.crossJoin(bounds)
+      .select($"vec_id", expr(
+        "transform(vi, x -> ((x + amax) * 127) div amax - 127)").as("qa")))
+    val qQuant = broadcast(quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qa".as("qb")))
+    val wS = Window.partitionBy($"q_id").orderBy($"sq8_score".desc, $"vec_id")
+    val t2 = t1.join(quant, "vec_id").join(qQuant, "q_id")
+      .select($"q_id", $"vec_id", $"h_dist", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+        .as("sq8_score"))
+      .withColumn("srn", row_number().over(wS)).filter($"srn" <= 16)
+      .select($"q_id", $"vec_id", $"h_dist", $"sq8_score")
+    val embf = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val qEmb = broadcast(embf.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
+    val wX = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    t2.join(embf, "vec_id").join(qEmb, "q_id")
+      .select($"q_id", $"vec_id", $"h_dist", $"sq8_score",
+        cosine($"embedding", $"q_emb").as("cosine"))
+      .withColumn("rank", row_number().over(wX)).filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"h_dist", $"sq8_score",
+        round($"cosine", 9).as("cosine"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val cascadeRerankSql: String =
+    s"""WITH ${sqlSignWeightsCte(64)},
+       |sigs AS MATERIALIZED (SELECT vec_id,
+       |    ${sqlSignBits("embedding", 64)} AS sig
+       |  FROM embeddings CROSS JOIN swt),
+       |qsig AS (SELECT vec_id AS q_id, sig AS qs FROM sigs WHERE vec_id < 5),
+       |hd AS (
+       |  SELECT q_id, vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CASE WHEN sig[i] = qs[i] THEN 0 ELSE 1 END)) AS INTEGER)
+       |      AS h_dist
+       |  FROM sigs CROSS JOIN qsig WHERE vec_id <> q_id),
+       |t1 AS (SELECT q_id, vec_id, h_dist FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY h_dist, vec_id) AS hrn FROM hd)
+       |  WHERE hrn <= 64),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+       |b AS (SELECT greatest(MAX(abs(x)), 1) AS amax FROM g),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id, d, ((x + amax) * 127) // amax - 127 AS q
+       |  FROM g CROSS JOIN b),
+       |sq AS (
+       |  SELECT t1.q_id, t1.vec_id, t1.h_dist,
+       |    CAST(SUM(c.q * qq.q) AS BIGINT) AS sq8_score
+       |  FROM t1 JOIN qv c ON c.vec_id = t1.vec_id
+       |          JOIN qv qq ON qq.vec_id = t1.q_id AND qq.d = c.d
+       |  GROUP BY t1.q_id, t1.vec_id, t1.h_dist),
+       |t2 AS (SELECT q_id, vec_id, h_dist, sq8_score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY sq8_score DESC, vec_id) AS srn
+       |    FROM sq)
+       |  WHERE srn <= 16),
+       |qq2 AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |        FROM embeddings WHERE vec_id < 5),
+       |ex AS (
+       |  SELECT t2.q_id, t2.vec_id, t2.h_dist, t2.sq8_score,
+       |    ${sqlCosine("e.embedding", "q_emb")} AS cosine
+       |  FROM t2 JOIN embeddings e ON e.vec_id = t2.vec_id
+       |          JOIN qq2 ON qq2.q_id = t2.q_id),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM ex)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, h_dist,
+       |  sq8_score, round(cosine, 9) AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Index-quality monitoring for the QUANTIZED tier: recall@5 of the
     * PQ ADC ranking against exact cosine top-5 — the per-build report
     * that makes codebook regressions (a bad Lloyd init, a stale
@@ -4929,6 +5043,7 @@ object SimilarityQueries {
     "sim_hamming_knn" -> (hammingKnn, Some(hammingKnnSql)),
     "sim_hamming_recall" -> (hammingRecall, Some(hammingRecallSql)),
     "sim_sq8_recall" -> (sq8Recall, Some(sq8RecallSql)),
+    "sim_cascade_rerank" -> (cascadeRerank, Some(cascadeRerankSql)),
     "sim_ivf_nprobe_sweep" -> (ivfNprobeSweep, Some(ivfNprobeSweepSql)),
     "sim_ivf_cell_stats" -> (ivfCellStats, Some(ivfCellStatsSql)),
     "sim_pq_distortion" -> (pqDistortion, Some(pqDistortionSql)),
