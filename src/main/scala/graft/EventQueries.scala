@@ -957,7 +957,135 @@ object EventQueries {
       |  days_idle
       |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
 
+  /** Marketing attribution — first-touch vs last-touch revenue credit,
+    * the classic conversion-analytics pair: every `purchase` event's
+    * value is credited (a) to the user's most recent click/view
+    * STRICTLY BEFORE it (last-touch) and (b) to the user's earliest
+    * click/view ever (first-touch); purchases with no preceding touch
+    * land in the 'none' bucket so the report partitions revenue
+    * exactly. The per-user "latest preceding touch" is a window ARGMAX
+    * — DuckDB can't MAX a struct over a frame, so the (ts, event_id,
+    * type) triple rides the fixed-width-ASCII string encoding
+    * (lpad(us)|lpad(id)|type; lexicographic MAX = latest, the
+    * winnowing/DP template) identically in both engines, with event_id
+    * making simultaneous-timestamp ties deterministic.
+    *
+    * Scale shape: ONE shuffle on user_id serves both window passes and
+    * at 100 TB is the same user-keyed exchange sessionization already
+    * pays; the output is |models × touch types| rows. Revenue sums
+    * ride the decimal detour.
+    */
+  val attribution: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"value", $"event_id",
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("tkey", when($"event_type".isin("click", "view"),
+        concat(lpad($"us".cast("string"), 20, "0"), lit("|"),
+          lpad($"event_id".cast("string"), 12, "0"), lit("|"),
+          $"event_type")))
+    val wUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wPrev = wUser.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = wUser.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val credited = ev
+      .withColumn("last_touch", max($"tkey").over(wPrev))
+      .withColumn("first_touch", min($"tkey").over(wAll))
+      .filter($"event_type" === "purchase")
+      .select($"value",
+        coalesce(substring_index($"last_touch", "|", -1), lit("none"))
+          .as("last_type"),
+        coalesce(substring_index($"first_touch", "|", -1), lit("none"))
+          .as("first_type"))
+    val lastM = credited.groupBy($"last_type".as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("revenue"))
+      .withColumn("model", lit("last_touch"))
+    val firstM = credited.groupBy($"first_type".as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("revenue"))
+      .withColumn("model", lit("first_touch"))
+    lastM.unionByName(firstM)
+      .select($"model", $"touch_type", $"n_purchases", $"revenue")
+      .orderBy($"model", $"touch_type")
+  }
+
+  val attributionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, value, event_id, epoch_us(ts) AS us,
+       |    CASE WHEN event_type IN ('click', 'view') THEN
+       |      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+       |      lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+       |    END AS tkey
+       |  FROM events),
+       |credited AS (
+       |  SELECT value,
+       |    COALESCE(string_split(MAX(tkey) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '|')[3],
+       |      'none') AS last_type,
+       |    COALESCE(string_split(MIN(tkey) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       |      '|')[3], 'none') AS first_type,
+       |    event_type
+       |  FROM ev),
+       |purchases AS (SELECT * FROM credited WHERE event_type = 'purchase'),
+       |both_models AS (
+       |  SELECT 'last_touch' AS model, last_type AS touch_type, value
+       |  FROM purchases
+       |  UNION ALL
+       |  SELECT 'first_touch', first_type, value FROM purchases)
+       |SELECT model, touch_type, COUNT(*) AS n_purchases,
+       |  ${sqlDsum("value")} AS revenue
+       |FROM both_models GROUP BY model, touch_type
+       |ORDER BY model, touch_type""".stripMargin
+
+  /** Cohort lifetime-value matrix — the retention-economics view every
+    * subscription/commerce pipeline maintains: users are cohorted by
+    * their first-seen absolute week, and each (cohort, age-in-weeks)
+    * cell reports active users and purchase revenue. Week indices are
+    * pure integer day-div-7 (no calendar libm); revenue rides the
+    * decimal detour; the matrix is |cohorts × ages| rows regardless of
+    * corpus size.
+    *
+    * Scale shape: one groupBy (user, week) pass, a broadcast-joinable
+    * per-user cohort table (user-count-sized — shuffled on user_id,
+    * the same key), one final domain-sized aggregate.
+    */
+  val cohortLtv: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"value",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+          .as("w"))
+    val cohort = ev.groupBy($"user_id").agg(min($"w").as("cohort_w"))
+    val cells = ev.join(cohort, "user_id")
+      .withColumn("age", $"w" - $"cohort_w")
+      .groupBy($"cohort_w", $"age")
+      .agg(countDistinct($"user_id").as("active_users"),
+        sum(($"event_type" === "purchase").cast("long")).as("n_purchases"),
+        dsum(when($"event_type" === "purchase", $"value").otherwise(0.0))
+          .as("revenue"))
+    cells.orderBy($"cohort_w", $"age")
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, value,
+       |    epoch_us(ts) // 86400000000 // 7 AS w
+       |  FROM events),
+       |cohort AS (SELECT user_id, MIN(w) AS cohort_w FROM ev GROUP BY 1)
+       |SELECT cohort_w, w - cohort_w AS age,
+       |  COUNT(DISTINCT ev.user_id) AS active_users,
+       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_purchases,
+       |  ${sqlDsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}
+       |    AS revenue
+       |FROM ev JOIN cohort USING (user_id)
+       |GROUP BY cohort_w, age ORDER BY cohort_w, age""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "events_attribution" -> (attribution, Some(attributionSql)),
+    "events_cohort_ltv" -> (cohortLtv, Some(cohortLtvSql)),
     "events_decayed_counts" -> (decayedCounts, Some(decayedCountsSql)),
     "events_burstiness" -> (burstiness, Some(burstinessSql)),
     "events_seasonality_dow" -> (seasonalityDow, Some(seasonalityDowSql)),
