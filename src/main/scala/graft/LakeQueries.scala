@@ -927,7 +927,70 @@ object LakeQueries {
        |FROM states GROUP BY state, o_orderstatus
        |ORDER BY state, o_orderstatus""".stripMargin
 
+  /** Partition-spec EVOLUTION — the Iceberg capability that separates a
+    * table's logical identity from its physical layout: v1 lands
+    * partitioned by `o_orderstatus`, the table's partitioning is then
+    * changed, and v2's delta commit writes under the NEW spec
+    * (`o_month` from the order date) while carrying every v1 file
+    * untouched — old data is NEVER rewritten to the new layout (the
+    * whole point: at 100 TB a re-partition rewrite is a multi-day job;
+    * spec evolution makes it a metadata change). One read then spans
+    * both layouts: each commit dir parses its own hive partition column
+    * from its paths and the union null-fills the column the other
+    * layout doesn't carry ([[operators.Snapshots.read]]'s
+    * commit-granular schema reconciliation).
+    *
+    * The gate reports per (layout, o_orderstatus): row counts, totals,
+    * and the month span — proving v1 rows surface with a null month
+    * (their layout never had it), v2 rows carry their month from the
+    * path, and the logical table is exactly the union.
+    */
+  val partitionEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val root = s"${Scratch.dir}/graft_lake_pe_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
+      vacInvocation.incrementAndGet()
+    val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    // the spec change: the delta batch (odd keys) lands month-partitioned;
+    // o_orderstatus rides as a DATA column in the new-layout files
+    val delta = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+        expr("(year(o_orderdate) * 100 + month(o_orderdate))")
+          .as("o_month"))
+    operators.Snapshots.commit(s, root, delta, "o_month",
+      carry = _ => true)
+    operators.Snapshots.read(s, root, 2)
+      .groupBy($"o_orderstatus",
+        when($"o_month".isNull, "status_layout").otherwise("month_layout")
+          .as("layout"))
+      .agg(count(lit(1)).as("n_rows"), dsum($"o_totalprice").as("total"),
+        min($"o_month").as("month_lo"), max($"o_month").as("month_hi"))
+      .select($"layout", $"o_orderstatus", $"n_rows", $"total",
+        $"month_lo", $"month_hi")
+      .orderBy($"layout", $"o_orderstatus")
+  }
+
+  val partitionEvolutionSql: String =
+    s"""WITH both_layouts AS (
+       |  SELECT o_orderstatus, o_totalprice,
+       |    CAST(NULL AS INTEGER) AS o_month
+       |  FROM orders WHERE o_orderkey % 2 = 0
+       |  UNION ALL
+       |  SELECT o_orderstatus, o_totalprice,
+       |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+       |  FROM orders WHERE o_orderkey % 2 = 1)
+       |SELECT CASE WHEN o_month IS NULL THEN 'status_layout'
+       |            ELSE 'month_layout' END AS layout,
+       |  o_orderstatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  MIN(o_month) AS month_lo, MAX(o_month) AS month_hi
+       |FROM both_layouts GROUP BY 1, 2 ORDER BY layout, o_orderstatus""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "lake_partition_evolution" ->
+      (partitionEvolution, Some(partitionEvolutionSql)),
     "lake_deletion_vectors" -> (deletionVectors, Some(deletionVectorsSql)),
     "lake_delete_keys" -> (deleteKeys, Some(deleteKeysSql)),
     "lake_vacuum_retention" -> (vacuumRetention, Some(vacuumRetentionSql)),
