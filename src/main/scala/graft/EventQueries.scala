@@ -928,10 +928,12 @@ object EventQueries {
       .agg(loudLong(sum($"y".cast(dec) * $"w".cast(dec))).as("score"),
         sum($"y").as("n_events"),
         min($"age").as("days_idle"))
-    scored
+    // bound FIRST (orderBy+limit → TakeOrderedAndProject, distributed
+    // top-k), then rank the 50 survivors — the global row_number window
+    // only ever sees k rows, never the user universe
+    scored.orderBy($"score".desc, $"user_id").limit(50)
       .withColumn("rank", row_number().over(
         Window.orderBy($"score".desc, $"user_id")).cast("int"))
-      .filter($"rank" <= 50)
       .select($"rank", $"user_id", $"score", $"n_events", $"days_idle")
       .orderBy($"rank")
   }

@@ -2568,7 +2568,6 @@ object CurationQueries {
     */
   val dsirImportance: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val b = 256
     val topK = 100
     val base = graft.CacheTracker.persistTracked(
@@ -2594,14 +2593,16 @@ object CurationQueries {
       .groupBy($"doc_id")
       .agg((sum($"lam".cast("decimal(22,6)")) * 1000000)
         .cast("long").as("m"))
-    val sel = docw.withColumn("rnk",
-      row_number().over(Window.orderBy($"m".desc, $"doc_id")))
+    // top-k as orderBy+limit → TakeOrderedAndProject (distributed
+    // per-partition top-k + driver merge of k rows), never a global
+    // row_number window that would drag the corpus to one partition
+    val sel = docw.orderBy($"m".desc, $"doc_id").limit(topK)
+      .withColumnRenamed("m", "selm")
     base.select($"doc_id", $"lang").join(sel, Seq("doc_id"), "left")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_total"),
-        sum(when($"rnk" <= topK, 1L).otherwise(0L)).as("n_selected"),
-        coalesce(max(when($"rnk" <= topK, $"m")), lit(0L))
-          .as("sel_weight_micro"))
+        count($"selm").as("n_selected"),
+        coalesce(max($"selm"), lit(0L)).as("sel_weight_micro"))
       .orderBy($"lang")
   }
 

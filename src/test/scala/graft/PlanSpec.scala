@@ -364,6 +364,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("curate_dsir_importance")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // top-k selection must be the distributed TakeOrderedAndProject,
+    // never a global row_number window over the doc universe
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), "global window over the corpus:\n" + p)
+  }
+
+  test("decayed-counts top-50 bounds before ranking") {
+    val p = plan("events_decayed_counts")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("span corruption and MLM masking stay single-shuffle per doc") {
