@@ -914,16 +914,27 @@ object EventQueries {
     */
   val decayedCounts: Q = (s, dir) => {
     import s.implicits._
-    val daily = Tables(s, dir, "events")
-      .select($"user_id",
-        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
-      .groupBy($"user_id", $"day").agg(count(lit(1)).as("y"))
-    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val daily = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy($"user_id", $"day").agg(count(lit(1)).as("y")))
+    // 1-row bounded driver read (the house cap+1 discipline): the shift
+    // weight WRAPS SILENTLY past 62 bits (Spark masks the shift count),
+    // so the day span is checked loudly here instead of trusting the
+    // corpus — testdata is regenerated between rounds (CLAUDE.md)
+    val b0 = daily.agg(min($"day"), max($"day")).collect()(0)
+    val (d0, d1) = (b0.getLong(0), b0.getLong(1))
+    require(d1 - d0 <= 62,
+      s"events_decayed_counts: day span ${d1 - d0} exceeds the 62-bit " +
+        "shift headroom — bucket days into weeks before decaying")
     val dec = "decimal(38,0)"
-    val scored = daily.crossJoin(broadcast(bounds))
+    val scored = daily
       .select($"user_id", $"y",
-        expr("shiftleft(cast(1 as bigint), cast(day - d0 as int))").as("w"),
-        ($"d1" - $"day").as("age"))
+        expr(s"shiftleft(cast(1 as bigint), cast(day - $d0 as int))")
+          .as("w"),
+        (lit(d1) - $"day").as("age"))
       .groupBy($"user_id")
       .agg(loudLong(sum($"y".cast(dec) * $"w".cast(dec))).as("score"),
         sum($"y").as("n_events"),
@@ -1030,7 +1041,8 @@ object EventQueries {
        |      '|')[3], 'none') AS first_type,
        |    event_type
        |  FROM ev),
-       |purchases AS (SELECT * FROM credited WHERE event_type = 'purchase'),
+       |purchases AS MATERIALIZED (
+       |  SELECT * FROM credited WHERE event_type = 'purchase'),
        |both_models AS (
        |  SELECT 'last_touch' AS model, last_type AS touch_type, value
        |  FROM purchases
@@ -1071,7 +1083,7 @@ object EventQueries {
   }
 
   val cohortLtvSql: String =
-    s"""WITH ev AS (
+    s"""WITH ev AS MATERIALIZED (
        |  SELECT user_id, event_type, value,
        |    epoch_us(ts) // 86400000000 // 7 AS w
        |  FROM events),

@@ -2608,11 +2608,11 @@ object CurationQueries {
 
   val dsirImportanceSql: String = {
     val fw = graft.functions.KeyHash.sqlBucket("dsir", "w", 256)
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |    ${graft.text.TextAnalysis.sqlTokens("text")} AS toks
        |  FROM documents),
-       |feat AS (
+       |feat AS MATERIALIZED (
        |  SELECT doc_id, lang, $fw AS f
        |  FROM (SELECT doc_id, lang, unnest(toks) AS w FROM base)),
        |tstat AS (SELECT COUNT(*) AS nt FROM feat WHERE lang = 'en'),

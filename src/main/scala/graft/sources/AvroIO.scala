@@ -215,11 +215,25 @@ object AvroIO {
       val n = fsOfGen.head._2
       fsOfGen.map(_._3).distinct.length == n
     }
+    // fallback must read ONLY legacy unnumbered files: a crash-torn
+    // partial generation (present in byGen but never complete) is NOT
+    // data — mixing it with legacy rows (or returning it alone on a
+    // fresh directory) would silently serve duplicates/partials. If
+    // generation-numbered files exist but no generation is complete
+    // and no legacy set exists, the directory holds no consistent
+    // snapshot — fail loudly.
+    val legacy =
+      avros.filter(p => !PartName.pattern.matcher(p.getName).matches())
     val parts: Array[Path] =
       if (complete.nonEmpty)
         complete.maxBy(_._1)._2.sortBy(_._3).map(_._4)
-      else avros.sortBy(_.getName) // legacy unnumbered layout
-    require(parts.nonEmpty, s"AvroIO.read: no .avro files under $path")
+      else legacy.sortBy(_.getName) // legacy unnumbered layout only
+    require(parts.nonEmpty,
+      if (byGen.nonEmpty)
+        s"AvroIO.read: only an INCOMPLETE generation exists under $path " +
+          "(crash before the first commit finished) — no consistent " +
+          "snapshot to read"
+      else s"AvroIO.read: no .avro files under $path")
     val first = new DataFileStream[GenericRecord](
       fs.open(parts.head), new GenericDatumReader[GenericRecord]())
     val avroSchema = try first.getSchema finally first.close()

@@ -38,7 +38,7 @@ object BpeQueries {
   /** Merge rounds; both dialects are generated from the same constant. */
   private val BpeMerges = 10
   /** Training vocabulary cap (top word frequencies, total order). */
-  private val BpeVocab = 300
+  private[text] val BpeVocab = 300
 
   /** The training vocabulary of a docs frame: lowercase ascii-alpha
     * words, 2..12 chars, top-[[BpeVocab]] by (freq desc, word) —

@@ -711,12 +711,12 @@ object TextQueries {
   val perplexityBucketsSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
-       |tr AS (SELECT * FROM base WHERE len(toks) >= 2),
+       |tr AS MATERIALIZED (SELECT * FROM base WHERE len(toks) >= 2),
        |uni AS (
        |  SELECT lang, w, COUNT(*) AS c1
        |  FROM (SELECT lang, unnest(toks) AS w FROM tr) GROUP BY lang, w),
        |vstats AS (SELECT lang, COUNT(*) AS v FROM uni GROUP BY lang),
-       |trbg AS (
+       |trbg AS MATERIALIZED (
        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
        |  FROM tr),

@@ -40,7 +40,11 @@ object UnigramQueries {
   import Queries.Q
 
   /** Training words: top-N corpus words by (freq desc, word). */
-  private val SeedWords = 300
+  // the seed vocabulary IS [[BpeQueries.vocabOf]]'s output (the Spark
+  // trainer calls it directly), so the oracle's LIMIT must be THE SAME
+  // constant — an independently tuned copy would silently train the
+  // two engines on different vocabularies
+  private val SeedWords = BpeQueries.BpeVocab
   /** Seed vocabulary cap: top substrings by (count desc, piece). */
   private val SeedPieces = 200
   /** Longest candidate piece. */

@@ -2231,8 +2231,8 @@ object SimilarityQueries {
        |  FROM (SELECT doc_id, ${graft.text.TextAnalysis.sqlTokens("text")} AS toks
        |        FROM documents)
        |  WHERE len(toks) >= 2),
-       |ex AS (SELECT doc_id, unnest(bg) AS t FROM base),
-       |qt AS (SELECT DISTINCT doc_id AS q_id, t FROM ex
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(bg) AS t FROM base),
+       |qt AS MATERIALIZED (SELECT DISTINCT doc_id AS q_id, t FROM ex
        |       WHERE doc_id IN (3, 57, 201)),
        |posting AS (
        |  SELECT doc_id, t, COUNT(*) AS tf FROM ex
@@ -3198,7 +3198,16 @@ object SimilarityQueries {
     * floors, and they only agree on non-negative operands. Ground
     * truth is the shared double-screened exact top-10.
     */
-  val sq8Recall: Q = (s, dir) => {
+  /** Shared symmetric per-tensor INT8 quantization (the [[sq8Recall]]
+    * determinism note applies: 1e-6-grid entry, shift-before-div so
+    * Spark `div` and DuckDB `//` agree): (vec_id, qa ARRAY<BIGINT> in
+    * [−127, 127]). ONE definition for the SQ8 recall gate and
+    * [[cascadeRerank]]'s tier 2 — a drift in either copy would silently
+    * desynchronize the cascade's funnel from the tier it reports
+    * recall for.
+    */
+  private def sq8Quant(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val grid = Tables(s, dir, "embeddings")
       .select($"vec_id", expr(
@@ -3208,9 +3217,27 @@ object SimilarityQueries {
     val bounds = broadcast(grid
       .select(explode($"vi").as("x"))
       .agg(greatest(max(abs($"x")), lit(1L)).as("amax")))
-    val quant = graft.CacheTracker.persistTracked(grid.crossJoin(bounds)
+    graft.CacheTracker.persistTracked(grid.crossJoin(bounds)
       .select($"vec_id", expr(
         "transform(vi, x -> ((x + amax) * 127) div amax - 127)").as("qa")))
+  }
+
+  /** DuckDB mirror of [[sq8Quant]]: the g/b/qv CTE chain ending in
+    * qv = (vec_id, d, q).
+    */
+  private val sqlSq8Ctes: String =
+    """g AS MATERIALIZED (
+      |  SELECT vec_id, d,
+      |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
+      |b AS (SELECT greatest(MAX(abs(x)), 1) AS amax FROM g),
+      |qv AS MATERIALIZED (
+      |  SELECT vec_id, d, ((x + amax) * 127) // amax - 127 AS q
+      |  FROM g CROSS JOIN b)""".stripMargin
+
+  val sq8Recall: Q = (s, dir) => {
+    import s.implicits._
+    val quant = sq8Quant(s, dir)
     val queries = broadcast(quant.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"qa".as("qb")))
     val wA = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
@@ -3237,14 +3264,7 @@ object SimilarityQueries {
   }
 
   val sq8RecallSql: String =
-    s"""WITH g AS MATERIALIZED (
-       |  SELECT vec_id, d,
-       |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x
-       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
-       |b AS (SELECT greatest(MAX(abs(x)), 1) AS amax FROM g),
-       |qv AS MATERIALIZED (
-       |  SELECT vec_id, d, ((x + amax) * 127) // amax - 127 AS q
-       |  FROM g CROSS JOIN b),
+    s"""WITH $sqlSq8Ctes,
        |qqv AS (SELECT vec_id AS q_id, d, q AS qq FROM qv WHERE vec_id < 5),
        |sc AS (
        |  SELECT q_id, c.vec_id, CAST(SUM(c.q * qq) AS BIGINT) AS score
@@ -3307,16 +3327,7 @@ object SimilarityQueries {
           .as("h_dist"))
       .withColumn("hrn", row_number().over(wH)).filter($"hrn" <= 64)
       .select($"q_id", $"vec_id", $"h_dist")
-    val grid = Tables(s, dir, "embeddings")
-      .select($"vec_id", expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-        .as("vi"))
-    val bounds = broadcast(grid
-      .select(explode($"vi").as("x"))
-      .agg(greatest(max(abs($"x")), lit(1L)).as("amax")))
-    val quant = graft.CacheTracker.persistTracked(grid.crossJoin(bounds)
-      .select($"vec_id", expr(
-        "transform(vi, x -> ((x + amax) * 127) div amax - 127)").as("qa")))
+    val quant = sq8Quant(s, dir)
     val qQuant = broadcast(quant.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"qa".as("qb")))
     val wS = Window.partitionBy($"q_id").orderBy($"sq8_score".desc, $"vec_id")
@@ -3355,14 +3366,7 @@ object SimilarityQueries {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY q_id ORDER BY h_dist, vec_id) AS hrn FROM hd)
        |  WHERE hrn <= 64),
-       |g AS MATERIALIZED (
-       |  SELECT vec_id, d,
-       |    CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x
-       |  FROM embeddings CROSS JOIN range(1, 65) t(d)),
-       |b AS (SELECT greatest(MAX(abs(x)), 1) AS amax FROM g),
-       |qv AS MATERIALIZED (
-       |  SELECT vec_id, d, ((x + amax) * 127) // amax - 127 AS q
-       |  FROM g CROSS JOIN b),
+       |$sqlSq8Ctes,
        |sq AS (
        |  SELECT t1.q_id, t1.vec_id, t1.h_dist,
        |    CAST(SUM(c.q * qq.q) AS BIGINT) AS sq8_score

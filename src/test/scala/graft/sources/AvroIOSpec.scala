@@ -130,6 +130,39 @@ class AvroIOSpec extends SparkSpec {
       s"read picked an incomplete generation: $back")
   }
 
+  test("legacy fallback never mixes in a crash-torn partial generation") {
+    val path = tmp("legacymix")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 3L).map(i => Row(i, 1, 1.0, 1.0f, true, "x", null, null)), 1), st)
+    AvroIO.write(df, path)
+    val dir = new java.io.File(path)
+    val generated = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    // legacy unnumbered layout + a partial (never-completed) generation
+    java.nio.file.Files.copy(generated.toPath,
+      new java.io.File(dir, "legacy-part-0.avro").toPath)
+    java.nio.file.Files.move(generated.toPath,
+      new java.io.File(dir, "part-00000-of-00002-g00007.avro").toPath)
+    val back = AvroIO.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq
+    assert(back == Seq(1L, 2L, 3L),
+      s"fallback mixed a torn generation into legacy data: $back")
+  }
+
+  test("a torn FIRST generation with no prior data fails loudly") {
+    val path = tmp("tornfirst")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, 1, 1.0, 1.0f, true, "x", null, null)), 1), st)
+    AvroIO.write(df, path)
+    val dir = new java.io.File(path)
+    val generated = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    // leave ONLY an incomplete generation behind
+    java.nio.file.Files.move(generated.toPath,
+      new java.io.File(dir, "part-00000-of-00002-g00001.avro").toPath)
+    val e = intercept[IllegalArgumentException](AvroIO.read(spark, path))
+    assert(e.getMessage.contains("INCOMPLETE generation"), e.getMessage)
+  }
+
   test("unsupported types fail loudly at write time") {
     val bad = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(Seq(1, 2)))),
