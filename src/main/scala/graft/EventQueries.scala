@@ -929,6 +929,12 @@ object EventQueries {
     require(d1 - d0 <= 62,
       s"events_decayed_counts: day span ${d1 - d0} exceeds the 62-bit " +
         "shift headroom — bucket days into weeks before decaying")
+    // div/`//` only agree on non-negative operands (Spark truncates
+    // toward zero, DuckDB floors) — a pre-1970 corpus would bucket days
+    // differently across engines, so fail loudly instead
+    require(d0 >= 0,
+      s"events_decayed_counts: min day $d0 is pre-epoch — div vs // " +
+        "floor semantics diverge on negative days")
     val dec = "decimal(38,0)"
     val scored = daily
       .select($"user_id", $"y",
@@ -995,7 +1001,7 @@ object EventQueries {
         expr("unix_micros(cast(ts as timestamp))").as("us"))
       .withColumn("tkey", when($"event_type".isin("click", "view"),
         concat(lpad($"us".cast("string"), 20, "0"), lit("|"),
-          lpad($"event_id".cast("string"), 12, "0"), lit("|"),
+          lpad($"event_id".cast("string"), 20, "0"), lit("|"),
           $"event_type")))
     val wUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val wPrev = wUser.rowsBetween(Window.unboundedPreceding, -1)
@@ -1026,7 +1032,7 @@ object EventQueries {
        |  SELECT user_id, event_type, value, event_id, epoch_us(ts) AS us,
        |    CASE WHEN event_type IN ('click', 'view') THEN
        |      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
-       |      lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+       |      lpad(CAST(event_id AS VARCHAR), 20, '0') || '|' || event_type
        |    END AS tkey
        |  FROM events),
        |credited AS (

@@ -364,6 +364,7 @@ object LakeQueries {
         .filter($"o_orderkey" % 2 === 0)
         .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
           $"o_orderstatus")
+        .repartition($"o_orderstatus")
       operators.Snapshots.commit(s, root, base, "o_orderstatus")
       val updates = Tables(s, dir, "orders")
         .filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
@@ -378,6 +379,7 @@ object LakeQueries {
         touched.unionByName(updates)
           .withColumn("seq", when($"src" === "update", 1L).otherwise(0L)),
         Seq("o_orderkey"), col("seq")).drop("seq")
+        .repartition($"o_orderstatus")
       operators.Snapshots.commit(s, root, merged, "o_orderstatus",
         carry = !_.contains("o_orderstatus=F/"))
       operators.Snapshots.compactCommit(s, root, "o_orderstatus")
@@ -492,6 +494,7 @@ object LakeQueries {
       val base = Tables(s, dir, "orders")
         .filter($"o_orderkey" % 2 === 0)
         .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        .repartition($"o_orderstatus")
       operators.Snapshots.commit(s, root, base, "o_orderstatus")
       val updates = Tables(s, dir, "orders")
         .filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
@@ -505,6 +508,7 @@ object LakeQueries {
         // the evolved column, computed for every row the merge rewrites
         .withColumn("priority_class",
           when($"o_orderkey" % 4 === 0, "high").otherwise("std"))
+        .repartition($"o_orderstatus")
       operators.Snapshots.commit(s, root, merged, "o_orderstatus",
         carry = !_.contains("o_orderstatus=F/"))
       root
@@ -722,9 +726,14 @@ object LakeQueries {
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
       vacInvocation.incrementAndGet()
     val orders = Tables(s, dir, "orders")
+    // cluster each status into one write task before every commit (the
+    // lake_partition_evolution r13 fix: an unclustered partitionBy write
+    // emits tasks×values small files, and every later snapshot read +
+    // the vacuum walk pays the file count back)
     val base = orders.filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
         lit(0L).as("seq"), $"o_orderstatus")
+      .repartition($"o_orderstatus")
     operators.Snapshots.commit(s, root, base, "o_orderstatus")
     val u1 = orders.filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" === "F")
       .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"),
@@ -740,6 +749,7 @@ object LakeQueries {
         .filter($"o_orderstatus".isin(touched.toSeq: _*))
       val merged = operators.Upsert.lastWins(
         live.unionByName(batch), Seq("o_orderkey"), col("seq"))
+        .repartition($"o_orderstatus")
       operators.Snapshots.commit(s, root, merged, "o_orderstatus",
         carry = rel => !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))
     }
@@ -817,9 +827,11 @@ object LakeQueries {
       vacInvocation.incrementAndGet()
     val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .repartition($"o_orderstatus")
     operators.Snapshots.commit(s, root, base, "o_orderstatus")
     val keptF = operators.Snapshots.read(s, root, 1)
       .filter($"o_orderstatus" === "F" && $"o_orderkey" % 6 =!= 0)
+      .repartition($"o_orderstatus")
     operators.Snapshots.commit(s, root, keptF, "o_orderstatus",
       carry = rel => !rel.contains("o_orderstatus=F/"))
     def stateAt(v: Int) = operators.Snapshots.read(s, root, v)
@@ -879,6 +891,7 @@ object LakeQueries {
       vacInvocation.incrementAndGet()
     val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .repartition($"o_orderstatus")
     operators.Snapshots.commit(s, root, base, "o_orderstatus")
     val v1 = operators.Snapshots.read(s, root, 1)
     // the DELETE: write the deletion vector sidecar, touch no data file
@@ -890,7 +903,8 @@ object LakeQueries {
     // compaction applies the DV: rewrite ONLY the F partition minus the
     // dead keys, carry every other partition's files forward
     operators.Snapshots.commit(s, root,
-      masked.filter($"o_orderstatus" === "F"), "o_orderstatus",
+      masked.filter($"o_orderstatus" === "F").repartition($"o_orderstatus"),
+      "o_orderstatus",
       carry = rel => !rel.contains("o_orderstatus=F/"))
     val v2 = operators.Snapshots.read(s, root, 2)
     def summarize(df: org.apache.spark.sql.DataFrame, st: String) =

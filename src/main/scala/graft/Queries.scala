@@ -802,6 +802,7 @@ object Queries {
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,
       graft.text.HtmlQueries.all,
       graft.text.BpeQueries.all, graft.text.UnigramQueries.all,
+      graft.text.WordpieceQueries.all,
       graft.text.ClassifierQueries.all,
       graft.text.DedupQueries.all,
       graft.vector.SimilarityQueries.all,

@@ -1092,6 +1092,7 @@ object StreamQueries {
     val base = orders.filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice", lit("base").as("src"),
         lit(0L).as("seq"), $"o_orderstatus")
+      .repartition($"o_orderstatus")
     graft.operators.Snapshots.commit(s, root, base, "o_orderstatus")
     val csvSchema = "o_orderkey BIGINT, o_totalprice DOUBLE, src STRING, " +
       "seq BIGINT, o_orderstatus STRING"
@@ -1112,6 +1113,7 @@ object StreamQueries {
             .filter($"o_orderstatus".isin(touched.toSeq: _*))
           val merged = graft.operators.Upsert.lastWins(
             live.unionByName(batch), Seq("o_orderkey"), col("seq"))
+            .repartition($"o_orderstatus")
           graft.operators.Snapshots.commit(s, root, merged, "o_orderstatus",
             carry = rel =>
               !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))

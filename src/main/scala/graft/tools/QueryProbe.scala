@@ -41,6 +41,7 @@ object QueryProbe {
       case "countmin" => countmin(spark, sfDir, reps)
       case "hybrid" => hybrid(spark, sfDir, reps)
       case "hot_cell" => hotCell(spark, sfDir, reps)
+      case "graph" => graph(spark, sfDir, reps)
       case "rrf" => rrf(spark, sfDir, reps)
       case "ppl_buckets" => pplBuckets(spark, sfDir, reps)
       case other => sys.error(s"unknown probe $other")
@@ -242,6 +243,34 @@ object QueryProbe {
     }
     timed("full gate", reps)(
       graft.Queries.queries("text_perplexity_buckets")(s, dir).count())
+  }
+
+  private def graph(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.pipeline.CurationQueries
+    timed("linkGraph build+read", reps) {
+      val (docs, adj, _) = CurationQueries.linkGraph(s, dir)
+      docs.count() + adj.count()
+    }
+    timed("frontierBfs 1-src (16r cap)", reps) {
+      val (docs, adj, _) = CurationQueries.linkGraph(s, dir)
+      CurationQueries.frontierBfs(docs, adj, Seq((0L, 0)), 16).count()
+    }
+    timed("frontierBfs 4-src (16r cap)", reps) {
+      val (docs, adj, n) = CurationQueries.linkGraph(s, dir)
+      CurationQueries.frontierBfs(docs, adj,
+        Seq(0L, n / 3, (2 * n) / 3, n - 1).zipWithIndex, 16).count()
+    }
+    timed("kcoreLoop (10r cap)", reps) {
+      val (docs, adj, _) = CurationQueries.linkGraph(s, dir)
+      CurationQueries.kcoreLoop(docs, adj, 10).count()
+    }
+    timed("gate graph_bfs_layers", reps)(
+      graft.Queries.queries("graph_bfs_layers")(s, dir).count())
+    timed("gate graph_kcore", reps)(
+      graft.Queries.queries("graph_kcore")(s, dir).count())
+    timed("gate graph_closeness", reps)(
+      graft.Queries.queries("graph_closeness_landmarks")(s, dir).count())
   }
 
   private def hotCell(s: SparkSession, dir: String, reps: Int): Unit = {

@@ -1136,6 +1136,8 @@ object SimilarityQueries {
       branch { cs =>
         timed("nng_insert_graph")(nngInsertEdges(cs, dir))
         timed("nng_compact_graph")(nngCompactEdges(cs, dir))
+        // the 3-out link-graph adjacency shared by the six graph gates
+        timed("link_graph")(graft.pipeline.CurationQueries.linkGraph(cs, dir))
       })
     // wait for EVERY branch before returning/throwing, so a failed branch
     // never leaves another racing the first measured query. The wait is
@@ -4989,12 +4991,18 @@ object SimilarityQueries {
         .orderBy($"nsq".desc, $"vec_id").limit(1)
         .select($"vec_id".as("c_id"), lit(1).as("round"),
           lit(2.0).as("picked_dist"))
-        .localCheckpoint(true)
-      var picks = first
+      // ONE checkpoint per round (r14): only `state` carries lineage
+      // across rounds, so only state is cut. Each round's pick is a
+      // top-1 TakeOrdered over the just-checkpointed state LEAF — kept
+      // LAZY: it executes once inside the next round's broadcast build
+      // (the 1-row center lookup) and once in the final union, both
+      // leaf-scans, instead of paying its own eager checkpoint job
+      // (was 2 cp jobs/round — 14 scheduled jobs for 8 one-row picks).
+      var pickDfs = List(first)
       var state = emb.select($"vec_id", lit(2.0).as("mind"))
         .localCheckpoint(true)
       for (t <- 2 to KcK) {
-        val cvec = picks.filter($"round" === t - 1)
+        val cvec = pickDfs.head
           .join(emb.select($"vec_id".as("c_id"), $"v".as("cv"),
             $"xn".as("cn")), "c_id")
           .select($"cv", $"cn")
@@ -5008,9 +5016,10 @@ object SimilarityQueries {
         val pick = state.orderBy($"mind".desc, $"vec_id").limit(1)
           .select($"vec_id".as("c_id"), lit(t).as("round"),
             round($"mind", 9).as("picked_dist"))
-        picks = picks.unionByName(pick).localCheckpoint(true)
+        pickDfs ::= pick
       }
-      picks.select($"round", $"c_id", $"picked_dist").orderBy($"round")
+      pickDfs.reverse.reduce(_ unionByName _)
+        .select($"round", $"c_id", $"picked_dist").orderBy($"round")
     }
   }
 
