@@ -1123,6 +1123,10 @@ object SimilarityQueries {
         timed("pq_codebook")(pqTrain(cs, dir, pqSubs(cs, dir)))
         timed("opq_codebook")(pqTrain(cs, dir, opqSubs(cs, dir), tag = "opq"))
         timed("bigram_base")(bigramBase(cs, dir))
+        // the 3-out link-graph adjacency shared by the six graph gates —
+        // parked on the SHORTEST branch (the critical path is the two
+        // NN-descent builds at ~35-43 s; this branch sums ~35 s)
+        timed("link_graph")(graft.pipeline.CurationQueries.linkGraph(cs, dir))
       },
       // shared index artifacts (r11): the banded near-dup pair table
       // (cosine_neardup + dbscan), the NN-descent k-NN graph (the NNG
@@ -1136,8 +1140,6 @@ object SimilarityQueries {
       branch { cs =>
         timed("nng_insert_graph")(nngInsertEdges(cs, dir))
         timed("nng_compact_graph")(nngCompactEdges(cs, dir))
-        // the 3-out link-graph adjacency shared by the six graph gates
-        timed("link_graph")(graft.pipeline.CurationQueries.linkGraph(cs, dir))
       })
     // wait for EVERY branch before returning/throwing, so a failed branch
     // never leaves another racing the first measured query. The wait is
@@ -3209,9 +3211,18 @@ object SimilarityQueries {
     * recall for.
     */
   private def sq8Quant(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    sq8QuantOn(Tables(s, dir, "embeddings"))
+
+  /** [[sq8Quant]] over an arbitrary (vec_id, embedding) frame — split
+    * out so ScaleStressSpec can drive the quantizer on a planted-skew
+    * synthetic corpus through the identical production path.
+    */
+  private[graft] def sq8QuantOn(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val grid = Tables(s, dir, "embeddings")
+    val grid = emb
       .select($"vec_id", expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
         .as("vi"))
@@ -3317,9 +3328,20 @@ object SimilarityQueries {
     * the corpus scanned once per tier but tiers 2-3 touch only
     * candidate rows (equi-joins on vec_id); windows partition by q_id.
     */
-  val cascadeRerank: Q = (s, dir) => {
+  val cascadeRerank: Q = (s, dir) =>
+    cascadeOn(Tables(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding")))
+
+  /** The tier-1/2/3 funnel over an arbitrary (vec_id, embedding) frame
+    * (queries = vec_id < 5) — split out so ScaleStressSpec can plant a
+    * hot 1-bit bucket (thousands of identical signatures) and pin the
+    * funnel's per-tier bounds at 10× corpus scale.
+    */
+  private[graft] def cascadeOn(
+      embIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = embIn.sparkSession
     import s.implicits._
-    val sigs = hammingPackedOn(Tables(s, dir, "embeddings"))
+    val sigs = hammingPackedOn(embIn)
     val qsig = broadcast(sigs.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"h1".as("q1"), $"h2".as("q2")))
     val wH = Window.partitionBy($"q_id").orderBy($"h_dist", $"vec_id")
@@ -3329,7 +3351,7 @@ object SimilarityQueries {
           .as("h_dist"))
       .withColumn("hrn", row_number().over(wH)).filter($"hrn" <= 64)
       .select($"q_id", $"vec_id", $"h_dist")
-    val quant = sq8Quant(s, dir)
+    val quant = sq8QuantOn(embIn)
     val qQuant = broadcast(quant.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"qa".as("qb")))
     val wS = Window.partitionBy($"q_id").orderBy($"sq8_score".desc, $"vec_id")
@@ -3339,7 +3361,7 @@ object SimilarityQueries {
         .as("sq8_score"))
       .withColumn("srn", row_number().over(wS)).filter($"srn" <= 16)
       .select($"q_id", $"vec_id", $"h_dist", $"sq8_score")
-    val embf = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val embf = embIn.select($"vec_id", $"embedding")
     val qEmb = broadcast(embf.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
     val wX = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")

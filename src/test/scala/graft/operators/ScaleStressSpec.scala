@@ -708,4 +708,89 @@ class ScaleStressSpec extends SparkSpec {
       s"10x RAKE diverged from scaled 1x:\n${r10.take(5)}\nvs\n${r1.take(5)}")
     info(f"RAKE on ${docs10.count()} docs: $secs%.1f s")
   }
+
+  test("cascade funnel: 50k corpus with a 10k-copy hot 1-bit bucket stays tier-bounded") {
+    // 50k synthetic 64-dim embeddings (md5-derived components — the
+    // CLAUDE.md determinism rule: never an affine ramp); every vec_id
+    // ≡ 1 (mod 5) is an EXACT copy of query 1's vector, so 10k corpus
+    // vectors share query 1's sign signature — the hot 1-bit bucket.
+    // The funnel must stay bounded (tier 1's rank window caps the
+    // bucket at 64 by (h_dist, vec_id)) and the final top-5 for query 1
+    // must be the 5 smallest copies at h_dist 0 — tie discipline, not
+    // bucket luck.
+    val n = 50000L
+    val md = "conv(substring(md5(concat('se|', cast(id as string), '|', " +
+      "cast(d as string))), 1, 6), 16, 10)"
+    val emb = spark.range(n).select($"id".as("vec_id"), expr(
+        s"""transform(sequence(0, 63), d -> cast(
+           |  (cast($md as double) - 8388608.0) / 8388608.0 as float))"""
+          .stripMargin).as("embedding"))
+      .select($"vec_id",
+        when($"vec_id" % 5 === 1,
+          expr(s"""transform(sequence(0, 63), d -> cast(
+                  |  (cast(${md.replace("cast(id as string)", "'1'")}
+                  |   as double) - 8388608.0) / 8388608.0 as float))"""
+            .stripMargin))
+          .otherwise($"embedding").as("embedding"))
+      .localCheckpoint(true)
+    val (rows, secs) = timed {
+      graft.vector.SimilarityQueries.cascadeOn(emb).collect()
+    }
+    graft.CacheTracker.releaseAll()
+    assert(rows.length == 25, s"5 queries x top-5 expected, got ${rows.length}")
+    val q1 = rows.filter(_.getLong(0) == 1L)
+      .sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getInt(3)))
+    assert(q1.map(_._1).toSeq == Seq(6L, 11L, 16L, 21L, 26L),
+      s"query 1's top-5 must be the 5 smallest hot-bucket copies, got ${q1.toSeq}")
+    assert(q1.forall(_._2 == 0),
+      s"hot-bucket copies must sit at Hamming distance 0, got ${q1.toSeq}")
+    (0 to 4).foreach { q =>
+      val ranks = rows.filter(_.getLong(0) == q.toLong).map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to 5), s"query $q funnel emitted ranks $ranks")
+    }
+    info(f"cascade on $n vectors (10k-copy hot bucket): $secs%.1f s")
+  }
+
+  test("deletion-vector anti-join: skewed delete keys in one hot partition at 200k rows") {
+    // 200k keys, 90% in one hot status partition; the DV deletes every
+    // even key of the hot partition ONLY (90k skewed deletes). The
+    // compaction rewrite must (a) rewrite only the hot partition,
+    // carrying the cold partitions' files forward UNTOUCHED (same
+    // manifest entries), (b) drop exactly the DV keys, (c) leave v1
+    // fully readable — the deletion-vectors contract under delete-key
+    // skew 10x the gate corpus.
+    val root = s"${graft.Scratch.dir}/graft_stress_dv_${graft.Scratch.runToken}"
+    val n = 200000L
+    val base = spark.range(n).select($"id".as("k"),
+        when($"id" % 10 < 9, "HOT").otherwise(concat(lit("C"), $"id" % 3))
+          .as("part"))
+      .repartition($"part")
+    graft.operators.Snapshots.commit(spark, root, base, "part")
+    val v1 = graft.operators.Snapshots.read(spark, root, 1)
+    val dv = v1.filter($"part" === "HOT" && $"k" % 2 === 0).select($"k")
+    val (_, secs) = timed {
+      val masked = v1.join(broadcast(dv), Seq("k"), "left_anti")
+      graft.operators.Snapshots.commit(spark, root,
+        masked.filter($"part" === "HOT").repartition($"part"), "part",
+        carry = rel => !rel.contains("part=HOT/"))
+    }
+    val m1 = graft.operators.Snapshots.manifest(root, 1)
+    val m2 = graft.operators.Snapshots.manifest(root, 2)
+    val cold1 = m1.filterNot(_.contains("part=HOT/")).sorted
+    val cold2 = m2.filterNot(_.contains("part=HOT/")).sorted
+    assert(cold1 == cold2,
+      "cold partitions must carry forward file-identical, not rewrite")
+    assert(m2.filter(_.contains("part=HOT/")).forall(_.startsWith("c00002")),
+      "the hot partition must be fully rewritten by commit 2")
+    val v2 = graft.operators.Snapshots.read(spark, root, 2)
+    val hotN = v2.filter($"part" === "HOT").count()
+    val expectHot = spark.range(n)
+      .filter($"id" % 10 < 9 && $"id" % 2 =!= 0).count()
+    assert(hotN == expectHot, s"hot partition rows $hotN != $expectHot")
+    assert(v2.filter($"part" === "HOT" && $"k" % 2 === 0).count() == 0,
+      "DV keys survived the rewrite")
+    assert(graft.operators.Snapshots.read(spark, root, 1).count() == n,
+      "v1 must remain fully readable after the DV compaction")
+    info(f"DV anti-join at $n rows / 90k skewed deletes: $secs%.1f s")
+  }
 }
