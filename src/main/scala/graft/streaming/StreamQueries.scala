@@ -395,12 +395,16 @@ object StreamQueries {
         // bytes instead of appending duplicate (w_start, event_type)
         // rows — the exactly-once guarantee the file sink gives its
         // siblings, recovered for the foreachBatch rank.
-        batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(out)
+        // Only windows-closing batches emit rows (append mode): skip the
+        // dynamic-overwrite commit machinery on the empty ones (the
+        // lake-upsert guard; writing nothing = the same bytes).
+        if (!batch.isEmpty)
+          batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
       }
       .option("checkpointLocation", ck)
       .outputMode("append")
