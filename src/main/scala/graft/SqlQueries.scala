@@ -145,10 +145,16 @@ object SqlQueries {
     // engines, invisible to the hash gate)
     graft.text.DedupQueries.assertVariantIdHeadroom(s, dir)
     overViews(s, dir, Seq("documents"),
-      s"""WITH docs AS (
+      // docs0's DISTRIBUTE BY is the SQL-dialect form of the r12
+      // single-partition repartition: the exchange sits between the
+      // one-file scan and the tokenize projection, so the per-row work
+      // runs on every core instead of one
+      s"""WITH docs0 AS (
+         |  SELECT doc_id, text FROM graft_documents DISTRIBUTE BY doc_id),
+         |docs AS (
          |  SELECT doc_id,
          |    split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks
-         |  FROM graft_documents),
+         |  FROM docs0),
          |base AS (SELECT * FROM docs WHERE size(toks) >= 15),
          |corpus AS (
          |  SELECT doc_id, toks FROM base

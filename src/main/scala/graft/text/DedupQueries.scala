@@ -60,7 +60,11 @@ object DedupQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     assertVariantIdHeadroom(s, dir)
+    // repartition BEFORE the per-row work: the one-file documents scan is
+    // a single partition, and tokenize+shingle+minhash would otherwise
+    // run one-core (the r12 single-partition lesson, applied r14)
     val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val corpus = base.select(explode(array(
@@ -378,6 +382,7 @@ object DedupQueries {
       dir: String): (String, String) = {
     import s.implicits._
     val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
     assertVariantIdHeadroom(s, dir)
@@ -594,6 +599,7 @@ object DedupQueries {
   val incrementalIngest: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val corpusSh = graft.CacheTracker.persistTracked(
@@ -1089,6 +1095,7 @@ object DedupQueries {
   val shingleContainment: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val corpus = base.select(explode(array(
@@ -1174,6 +1181,7 @@ object DedupQueries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
     val isEval = graft.functions.KeyHash.bucket100("eval|", $"doc_id") < 3
     val evalG = base.filter(isEval && size($"toks") >= 32)
