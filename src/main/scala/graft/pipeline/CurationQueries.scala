@@ -345,6 +345,7 @@ object CurationQueries {
     // shard while producing the identical cumsum (same salted order)
     val spans = graft.operators.HashRank.cumSum(
         Tables(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .select($"source", $"doc_id",
             size(graft.text.TextAnalysis.tokens($"text")).cast("long").as("n_tok"))
           .filter($"n_tok" > 0),
@@ -2208,6 +2209,7 @@ object CurationQueries {
   val curriculumOrder: Q = (s, dir) => {
     import s.implicits._
     val toked = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("toks"))
       .filter(size($"toks") >= 1)
     // read twice: the df table and the per-doc rollup

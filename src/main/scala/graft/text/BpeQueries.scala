@@ -48,6 +48,7 @@ object BpeQueries {
   private[graft] def vocabOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")).between(2, 12) &&
         length(regexp_replace(col("w"), "[a-z]", "")) === 0)

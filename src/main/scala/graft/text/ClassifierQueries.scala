@@ -56,6 +56,7 @@ object ClassifierQueries {
     import graft.functions.Exact._
     val stop = langStopwords.head._2
     val tr = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= 1)
     // originals (y=1) ∪ deterministic junk twins (y=0)

@@ -223,6 +223,7 @@ object TextQueries {
   val winnowingFingerprint: Q = (s, dir) => {
     import s.implicits._
     winnowingOn(Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", tokens($"text").as("toks")))
   }
 
@@ -536,6 +537,7 @@ object TextQueries {
     import graft.functions.Exact._
     val tr = graft.CacheTracker.persistTracked(
       Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", tokens($"text").as("toks"))
         .filter(size($"toks") >= 2))
     def bigramsOf(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
@@ -928,6 +930,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val stop = langStopwords.head._2
     val tc = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .filter(length($"term") > 1 && !$"term".isin(stop: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tn"))
