@@ -144,17 +144,17 @@ object SqlQueries {
     // corpus-drift guard (collisions would be green-but-wrong in BOTH
     // engines, invisible to the hash gate)
     graft.text.DedupQueries.assertVariantIdHeadroom(s, dir)
+    // NOTE r14: a docs0 CTE with DISTRIBUTE BY doc_id (the SQL form of
+    // the single-partition repartition) measured a NULL here — paired
+    // A/B (QueryProbe sqltwin, alternating reps): distribute 2.06 s vs
+    // plain 1.96 s median. The inlined CTE chain re-evaluates shingles
+    // anyway, so the exchange only adds cost; the DSL gate keeps its
+    // repartition (its persist hook makes the parallel tokenize pay).
     overViews(s, dir, Seq("documents"),
-      // docs0's DISTRIBUTE BY is the SQL-dialect form of the r12
-      // single-partition repartition: the exchange sits between the
-      // one-file scan and the tokenize projection, so the per-row work
-      // runs on every core instead of one
-      s"""WITH docs0 AS (
-         |  SELECT doc_id, text FROM graft_documents DISTRIBUTE BY doc_id),
-         |docs AS (
+      s"""WITH docs AS (
          |  SELECT doc_id,
          |    split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks
-         |  FROM docs0),
+         |  FROM graft_documents),
          |base AS (SELECT * FROM docs WHERE size(toks) >= 15),
          |corpus AS (
          |  SELECT doc_id, toks FROM base

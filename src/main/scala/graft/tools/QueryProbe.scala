@@ -42,6 +42,7 @@ object QueryProbe {
       case "hybrid" => hybrid(spark, sfDir, reps)
       case "hot_cell" => hotCell(spark, sfDir, reps)
       case "graph" => graph(spark, sfDir, reps)
+      case "sqltwin" => sqlTwin(spark, sfDir, reps)
       case "rrf" => rrf(spark, sfDir, reps)
       case "ppl_buckets" => pplBuckets(spark, sfDir, reps)
       case other => sys.error(s"unknown probe $other")
@@ -271,6 +272,68 @@ object QueryProbe {
       graft.Queries.queries("graph_kcore")(s, dir).count())
     timed("gate graph_closeness", reps)(
       graft.Queries.queries("graph_closeness_landmarks")(s, dir).count())
+  }
+
+  /** A/B the sql_dedup_minhash DISTRIBUTE BY doc_id exchange (r14):
+    * identical SQL text modulo the docs0 CTE, alternating reps in one
+    * session so host-load bursts hit both variants equally.
+    */
+  private def sqlTwin(s: SparkSession, dir: String, reps: Int): Unit = {
+    graft.functions.Registry.registerAll(s)
+    // through the registry, not SqlQueries directly — initializing the
+    // SqlQueries object before Queries trips a cross-object init cycle
+    val withD = graft.Queries.queries("sql_dedup_minhash")
+    def run() = withD(s, dir).count()
+    val (k, cap) = (graft.Tuning.minhashK, graft.Tuning.lshBandCap)
+    val noDist = {
+      val q: graft.Queries.Q = (ss, dd) => {
+        graft.Tables(ss, dd, "documents").createOrReplaceTempView("graft_documents")
+        ss.sql(
+          s"""WITH docs AS (
+             |  SELECT doc_id,
+             |    split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks
+             |  FROM graft_documents),
+             |base AS (SELECT * FROM docs WHERE size(toks) >= 15),
+             |corpus AS (
+             |  SELECT doc_id, toks FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 10000, slice(toks, 1, size(toks) - 5) FROM base),
+             |shingled AS (SELECT doc_id, word_shingles(toks, 3) AS sh FROM corpus),
+             |sig AS (SELECT doc_id, posexplode(minhash_md5(sh, $k)) AS (i, h)
+             |        FROM shingled),
+             |bandt AS (
+             |  SELECT doc_id, CAST(floor(i / 2) AS INT) AS band,
+             |    array_join(transform(array_sort(collect_list(struct(i, h))),
+             |      st -> st.h), '|') AS mh
+             |  FROM sig GROUP BY doc_id, CAST(floor(i / 2) AS INT)),
+             |sized AS (
+             |  SELECT doc_id, band, mh,
+             |    COUNT(*) OVER (PARTITION BY band, mh) AS gsz FROM bandt),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sized a JOIN sized b ON a.band = b.band AND a.mh = b.mh
+             |  WHERE a.gsz <= $cap AND a.doc_id < b.doc_id),
+             |j AS (
+             |  SELECT doc_a, doc_b,
+             |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             |      CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+             |  FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
+             |            JOIN shingled sb ON cand.doc_b = sb.doc_id)
+             |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4
+             |ORDER BY doc_a, doc_b""".stripMargin)
+      }
+      () => q(s, dir).count()
+    }
+    val ts = (1 to reps).flatMap { _ =>
+      val t0 = System.nanoTime(); val na = run(); val a = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); val nb = noDist(); val b = (System.nanoTime() - t1) / 1e9
+      require(na == nb, s"variant row counts diverged: $na vs $nb")
+      Seq(("distribute", a), ("plain", b))
+    }
+    Seq("distribute", "plain").foreach { v =>
+      val xs = ts.filter(_._1 == v).map(_._2).sorted
+      println(f"[probe] sqltwin:$v%-12s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
   }
 
   private def hotCell(s: SparkSession, dir: String, reps: Int): Unit = {
