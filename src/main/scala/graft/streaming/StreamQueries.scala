@@ -396,15 +396,21 @@ object StreamQueries {
         // rows — the exactly-once guarantee the file sink gives its
         // siblings, recovered for the foreachBatch rank.
         // Only windows-closing batches emit rows (append mode): skip the
-        // dynamic-overwrite commit machinery on the empty ones (the
-        // lake-upsert guard; writing nothing = the same bytes).
-        if (!batch.isEmpty)
-          batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out)
+        // dynamic-overwrite commit machinery on the empty ones. The
+        // batch is PERSISTED first so the emptiness probe and the write
+        // share one evaluation of the windowed aggregate (a bare
+        // isEmpty would re-run the agg for the write on the non-empty
+        // batch — costing more than the skipped empty commits save).
+        val b = batch.persist()
+        try {
+          if (b.count() > 0)
+            b.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(out)
+        } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", ck)
       .outputMode("append")
