@@ -1193,9 +1193,6 @@ object CurationQueries {
       org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wC = Window.partitionBy($"src").orderBy($"c".desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // r14 dirty-delta: est_r(v) can only differ from est_{r-1}(v) if
     // some NEIGHBOR's estimate changed in round r-1 (the h-index reads
     // exactly the neighbor multiset), so each round recomputes h only
@@ -1206,6 +1203,23 @@ object CurationQueries {
     // checkpointed frame as a column; convergence is a columnar scan of
     // the blocks the checkpoint just wrote (the ConnectedComponents
     // discipline — never a join+count job).
+    //
+    // H per node comes from the VALUE HISTOGRAM folded in ONE
+    // aggregate expression over the per-node (c, cnt) list (collected
+    // after the map-side-combining (src, c) count): h = max over the
+    // desc-c prefix of min(c, Σcnt). The list is #distinct-neighbor-
+    // estimates long (bounded by max coreness, never degree — hub-safe
+    // like the old histogram window), and folding it in-row replaces
+    // the window's extra exchange+sort per round.
+    val hOfHist = expr(
+      """aggregate(
+        |  array_sort(hist, (a, b) ->
+        |    CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 ELSE 0 END),
+        |  named_struct('cum', 0L, 'h', 0L),
+        |  (acc, x) -> named_struct(
+        |    'cum', acc.cum + x.cnt,
+        |    'h', greatest(acc.h, least(x.c, acc.cum + x.cnt))),
+        |  acc -> acc.h)""".stripMargin)
     var est = docs
       .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
         $"doc_id" === $"src", "left")
@@ -1221,8 +1235,9 @@ object CurationQueries {
       val h = adj.join(dirty, Seq("src"), "left_semi")
         .join(est.select($"node".as("dst"), $"c"), "dst")
         .groupBy($"src", $"c").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum($"cnt").over(wC))
-        .groupBy($"src").agg(max(least($"c", $"cum")).as("hc"))
+        .groupBy($"src")
+        .agg(collect_list(struct($"c", $"cnt")).as("hist"))
+        .select($"src", hOfHist.as("hc"))
       est = est.join(h, $"node" === $"src", "left")
         .select($"node", coalesce($"hc", $"c").as("c"),
           ($"hc".isNotNull && $"hc" =!= $"c").as("chg"))
