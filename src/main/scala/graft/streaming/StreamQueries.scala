@@ -1121,9 +1121,14 @@ object StreamQueries {
           val latest = graft.operators.Snapshots.latestVersion(root)
           val live = graft.operators.Snapshots.read(s, root, latest)
             .filter($"o_orderstatus".isin(touched.toSeq: _*))
+          // NOTE r14: no pre-write clustering here, unlike the batch lake
+          // gates — this runs under withStatePartitions (4 shuffle
+          // partitions), so the unclustered write emits ≤4×3 files and a
+          // clustering exchange per commit costs more than it saves; the
+          // base commit below/above runs OUTSIDE the stream confs at 32
+          // partitions and keeps its repartition.
           val merged = graft.operators.Upsert.lastWins(
             live.unionByName(batch), Seq("o_orderkey"), col("seq"))
-            .repartition($"o_orderstatus")
           graft.operators.Snapshots.commit(s, root, merged, "o_orderstatus",
             carry = rel =>
               !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))
