@@ -1371,38 +1371,29 @@ object CurationQueries {
       org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // r14 dirty-delta (the kcoreLoop argument, label edition): v's
-    // argmax reads exactly the neighbor-label multiset, so only
-    // neighbors-of-changed can adopt a new label this round. Early
-    // exit on a zero-change round is sound even though synchronous LPA
-    // is non-monotone: identical label vectors are a fixpoint of the
-    // deterministic round map, so rounds r+1..N repeat round r (the
-    // possible 2-cycles by construction never present a zero-change
-    // round, so they run the full fixed budget — same as the oracle).
-    var est = docs.select($"doc_id".as("node"), $"doc_id".as("lab"),
-        lit(true).as("chg"))
+    // NOTE r14 measured NULL (don't re-try): the kcore-style dirty-delta
+    // (recompute the argmax only for neighbors-of-changed + zero-change
+    // early exit) REGRESSED LPA 1.24 -> 1.77 s and modularity
+    // 1.10 -> 1.92 s in full-run A/B — labels keep flipping for all 5
+    // rounds on this graph (no early exit ever fires, dirty sets stay
+    // ~corpus-sized), so the per-round distinct + semi-join + chg scan
+    // is pure overhead. Dirty-delta pays only on loops that CONVERGE
+    // inside their budget (kcore fixpoint ≤ 6, BFS frontier empties);
+    // synchronous LPA at 5 rounds is deliberately pre-convergence.
+    var est = docs.select($"doc_id".as("node"), $"doc_id".as("lab"))
       .localCheckpoint(true)
-    var changed = true
-    var r = 0
-    while (r < rounds && changed) {
-      val dirty = adj
-        .join(est.filter($"chg").select($"node".as("dst")), "dst")
-        .select($"src").distinct()
-      val h = adj.join(dirty, Seq("src"), "left_semi")
+    for (_ <- 1 to rounds) {
+      val h = adj
         .join(est.select($"node".as("dst"), $"lab"), "dst")
         .groupBy($"src", $"lab").agg(count(lit(1)).as("cnt"))
         .groupBy($"src")
         .agg(max(struct($"cnt", (-$"lab").as("nl"))).as("m"))
         .select($"src", (-$"m.nl").as("nlab"))
       est = est.join(h, $"node" === $"src", "left")
-        .select($"node", coalesce($"nlab", $"lab").as("lab"),
-          ($"nlab".isNotNull && $"nlab" =!= $"lab").as("chg"))
+        .select($"node", coalesce($"nlab", $"lab").as("lab"))
         .localCheckpoint(true)
-      changed = est.agg(coalesce(max($"chg"), lit(false)))
-        .head.getBoolean(0)
-      r += 1
     }
-    est.select($"node", $"lab")
+    est
   }
 
   val labelPropagation: Q = (s, dir) => {
