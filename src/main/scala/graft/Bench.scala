@@ -142,12 +142,23 @@ object Bench {
     // ratio (ratio_median is dominated by per-query fixed overhead on the
     // many sub-0.2s queries; the totals weight by real work)
     val ratioTotal = if (duckTotal > 0) total / duckTotal else 0.0
+    // Machine-evaluated regression gate (r15): compare this run's medians
+    // against the newest committed BENCH_SELF_r*.json (or the file named by
+    // SPARK_GRAFT_BENCH_BASELINE) and EMIT the list instead of hand-writing
+    // a "zero regressions" claim — the r14 claim was falsified under one
+    // reading of its own threshold. Pinned wording: a query regresses iff
+    // (now - prev) > 0.3 s AND now / prev > 1.4.
+    val (regressBaseline, priorTimes) = priorRecord()
+    val regs = regressions(priorTimes, results.toMap)
+    val regJson = regs.map { case (q, prev, now) =>
+      s"""{"q":"$q","prev":${fmt(prev)},"now":${fmt(now)}}"""
+    }.mkString("[", ",", "]")
     val warmJson = warmItems.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val gcJson = gcLedger.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"train_warmup_sec":${fmt(trainSec)},"warmup_items":$warmJson,"n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$qs,"gc_ms":$gcJson,"gc_total_ms":$gcTotalMs,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"train_warmup_sec":${fmt(trainSec)},"warmup_items":$warmJson,"n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$qs,"gc_ms":$gcJson,"gc_total_ms":$gcTotalMs,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"regress_baseline":${regressBaseline.map(b => "\"" + b + "\"").getOrElse("null")},"regressions":$regJson}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -162,8 +173,69 @@ object Bench {
     // the full record at target/bench_full.json.
     println(full)
     println(summaryLine(total, results.size, errors.size, trainSec, sfDir,
-      duckTotal, duckNulls, ratioTotal, ratioMedian, gcTotalMs))
+      duckTotal, duckNulls, ratioTotal, ratioMedian, gcTotalMs, regs.size))
     spark.stop()
+  }
+
+  /** The pinned regression predicate (r15, machine-evaluated): a query
+    * regresses vs the prior committed record iff BOTH the absolute delta
+    * exceeds `deltaSec` (default 0.3 s) AND the ratio exceeds `minRatio`
+    * (default 1.4×). Queries absent from either side never regress.
+    * Returns (name, prev, now) sorted by descending delta.
+    */
+  def regressions(prior: Map[String, Double], now: Map[String, Double],
+      deltaSec: Double = 0.3, minRatio: Double = 1.4):
+      Seq[(String, Double, Double)] =
+    now.toSeq.flatMap { case (q, v) =>
+      prior.get(q).collect {
+        case p if p > 0 && v - p > deltaSec && v / p > minRatio => (q, p, v)
+      }
+    }.sortBy { case (_, p, v) => p - v }
+
+  /** The prior committed per-query record: the file named by
+    * SPARK_GRAFT_BENCH_BASELINE, else the newest BENCH_SELF_r*.json in
+    * the working directory (highest round number). Returns (filename,
+    * queries map); (None, empty) when no baseline exists or parsing
+    * fails — the bench then reports an empty regression list rather
+    * than failing.
+    */
+  def priorRecord(): (Option[String], Map[String, Double]) = {
+    try {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+        .map(java.nio.file.Paths.get(_))
+        .orElse {
+          import scala.jdk.CollectionConverters._
+          val re = "BENCH_SELF_r(\\d+)\\.json".r
+          java.nio.file.Files.list(java.nio.file.Paths.get("."))
+            .iterator().asScala
+            .flatMap { p =>
+              p.getFileName.toString match {
+                case re(n) => Some((n.toInt, p))
+                case _ => None
+              }
+            }.toSeq.sortBy(-_._1).headOption.map(_._2)
+        }
+      path match {
+        case Some(p) if java.nio.file.Files.exists(p) =>
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = m.readTree(txt)
+          val qn = node.get("queries")
+          if (qn == null || !qn.isObject) (None, Map.empty)
+          else {
+            import scala.jdk.CollectionConverters._
+            val qs = qn.fieldNames().asScala.map { k =>
+              k -> qn.get(k).asDouble()
+            }.toMap
+            (Some(p.getFileName.toString), qs)
+          }
+        case _ => (None, Map.empty)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] baseline record unavailable: $e")
+        (None, Map.empty)
+    }
   }
 
   /** The single short JSON line the driver's bounded tail-capture parses —
@@ -173,10 +245,10 @@ object Bench {
     */
   def summaryLine(total: Double, n: Int, errors: Int, trainSec: Double,
       sfDir: String, duckTotal: Double, duckNulls: Int, ratioTotal: Double,
-      ratioMedian: Double, gcTotalMs: Long = 0L): String = {
+      ratioMedian: Double, gcTotalMs: Long = 0L, regressions: Int = 0): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"gc_total_ms":$gcTotalMs,"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"full":"target/bench_full.json"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"gc_total_ms":$gcTotalMs,"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions,"full":"target/bench_full.json"}"""
   }
 
   /** Times every [[SparkEntry.oracleSql]] entry in DuckDB via

@@ -720,11 +720,34 @@ object LakeQueries {
     * states, byte-stable across the delete; the oracle replays the
     * merge history and knows nothing about files — exactly the point.
     */
-  val vacuumRetention: Q = (s, dir) => {
+  /** One merge commit of the vacuum fixture: read the touched
+    * partitions of the latest version, last-wins upsert the batch,
+    * commit clustered by partition value (carrying untouched
+    * partitions forward by reference).
+    */
+  private[graft] def vacuumMergeIn(s: org.apache.spark.sql.SparkSession, root: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
     import s.implicits._
-    val root = s"${Scratch.dir}/graft_lake_vac_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
-      vacInvocation.incrementAndGet()
+    val touched = batch.select($"o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    val latest = operators.Snapshots.latestVersion(root)
+    val live = operators.Snapshots.read(s, root, latest)
+      .filter($"o_orderstatus".isin(touched.toSeq: _*))
+    val merged = operators.Upsert.lastWins(
+      live.unionByName(batch), Seq("o_orderkey"), col("seq"))
+      .repartition($"o_orderstatus")
+    operators.Snapshots.commit(s, root, merged, "o_orderstatus",
+      carry = rel => !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))
+  }
+
+  /** Build the three-version merge history at `root`: base load (even
+    * keys), F-partition merge (u1), all-partition merge (u2). Pure
+    * function of the read-only corpus — the vacuum gate copies a
+    * memoized build instead of re-committing per invocation.
+    */
+  private[graft] def vacuumBuildFixture(s: org.apache.spark.sql.SparkSession, dir: String,
+      root: String): Unit = {
+    import s.implicits._
     val orders = Tables(s, dir, "orders")
     // cluster each status into one write task before every commit (the
     // lake_partition_evolution r13 fix: an unclustered partitionBy write
@@ -741,20 +764,49 @@ object LakeQueries {
     val u2 = orders.filter($"o_orderkey" % 5 === 0)
       .select($"o_orderkey", ($"o_totalprice" * 3).as("o_totalprice"),
         lit("u2").as("src"), lit(2L).as("seq"), $"o_orderstatus")
-    def mergeIn(batch: org.apache.spark.sql.DataFrame): Unit = {
-      val touched = batch.select($"o_orderstatus").distinct()
-        .collect().map(_.getString(0)).toSet
-      val latest = operators.Snapshots.latestVersion(root)
-      val live = operators.Snapshots.read(s, root, latest)
-        .filter($"o_orderstatus".isin(touched.toSeq: _*))
-      val merged = operators.Upsert.lastWins(
-        live.unionByName(batch), Seq("o_orderkey"), col("seq"))
-        .repartition($"o_orderstatus")
-      operators.Snapshots.commit(s, root, merged, "o_orderstatus",
-        carry = rel => !touched.exists(v => rel.contains(s"o_orderstatus=$v/")))
+    vacuumMergeIn(s, root, u1)
+    vacuumMergeIn(s, root, u2)
+  }
+
+  private val vacFixturePaths = new graft.KeyedMemo[String]
+
+  /** Recursive file copy of a built fixture — the vacuum DELETES files,
+    * so each invocation works on a throwaway copy of the memoized
+    * three-commit build (the r9 stream-staging discipline: input prep
+    * is deterministic over read-only testdata and memoized; the
+    * mutating step stays fresh so the gate re-runs for real).
+    */
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dest)
+      else java.nio.file.Files.copy(p, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    mergeIn(u1)
-    mergeIn(u2)
+  }
+
+  /** The memoized pre-vacuum fixture path — exposed so the bench
+    * warm-up can bill the three-commit build explicitly (the codebook
+    * treatment) instead of the first gate invocation paying it.
+    */
+  private[graft] def vacuumFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    vacFixturePaths.getOrBuild(dir) {
+      val base = s"${Scratch.dir}/graft_lake_vacfix_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+      vacuumBuildFixture(s, dir, base)
+      base
+    }
+
+  val vacuumRetention: Q = (s, dir) => {
+    import s.implicits._
+    val fixture = vacuumFixture(s, dir)
+    val root = s"${Scratch.dir}/graft_lake_vac_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
+      vacInvocation.incrementAndGet()
+    copyTree(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(root))
     val (deleted, _) = operators.Snapshots.vacuum(root, retainFrom = 2)
     require(deleted > 0,
       "vacuum must delete the files only expired versions referenced")

@@ -1176,9 +1176,14 @@ object CurationQueries {
     * The per-round h-index is computed from a VALUE HISTOGRAM, not a
     * per-neighbor rank window: group (node, estimate) → count (an
     * aggregation — map-side combine, so a 10M-degree hub's rows
-    * pre-reduce inside every task), then a window over the histogram
+    * pre-reduce inside every task), then a fold over the histogram
     * whose per-node row count is the number of DISTINCT neighbor
-    * estimates, not the degree. H = max(min(c, cum)) over the
+    * estimates, not the degree. (In round 1 the estimates are raw
+    * degrees, so a hub's histogram is as wide as its distinct
+    * neighbor-DEGREE count; only from round 2 does the monotone
+    * shrink bound it by ~max coreness — still far below degree, and
+    * the map-side combine keeps even the round-1 list aggregated, not
+    * row-per-neighbor.) H = max(min(c, cum)) over the
     * histogram sorted by estimate descending (cum = neighbors with
     * estimate ≥ c) — the identical integer as the rank formulation
     * (max(min(rank, c))), which is why the DuckDB oracle keeps the
@@ -1188,65 +1193,61 @@ object CurationQueries {
     * whole neighbor list on one reducer — the straggler this
     * formulation exists to avoid.
     */
+  /** h = max over the desc-c prefix of min(c, Σcnt), folded in one
+    * aggregate expression over the per-node (c, cnt) histogram list —
+    * shared by both k-core loop formulations so the arithmetic cannot
+    * drift between them.
+    */
+  private val kcoreHOfHist = expr(
+    """aggregate(
+      |  array_sort(hist, (a, b) ->
+      |    CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 ELSE 0 END),
+      |  named_struct('cum', 0L, 'h', 0L),
+      |  (acc, x) -> named_struct(
+      |    'cum', acc.cum + x.cnt,
+      |    'h', greatest(acc.h, least(x.c, acc.cum + x.cnt))),
+      |  acc -> acc.h)""".stripMargin)
+
+  /** Fixed-round h-index iteration: every round recomputes h for ALL
+    * nodes (one aggregate over the whole edge stream), rounds batched
+    * `batch` per eager localCheckpoint. The step references its input
+    * ONCE (adj join est → histogram fold → docs left join), so b=2
+    * batching is safe from the 2^b plan blowup. r15 A/B (QueryProbe
+    * `kcoreab`, alternating reps, identical checksums): this form at
+    * b=2 beat the r14 dirty-delta (3.16 vs 4.52 s median, pairwise in
+    * every rep) AND the r13 window form (3.94 s) — the dirty set's
+    * semi-join + distinct + per-round convergence scan cost more than
+    * the full-recompute rounds they saved, and b=5 was a measured null
+    * for this shape (4.13 s: the histogram fold's deeper per-step plan
+    * eats the saved checkpoints, unlike pprLoop's flat step).
+    */
   private[graft] def kcoreLoop(docs: org.apache.spark.sql.DataFrame,
-      adj: org.apache.spark.sql.DataFrame, rounds: Int):
+      adj: org.apache.spark.sql.DataFrame, rounds: Int, batch: Int = 2):
       org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // r14 dirty-delta: est_r(v) can only differ from est_{r-1}(v) if
-    // some NEIGHBOR's estimate changed in round r-1 (the h-index reads
-    // exactly the neighbor multiset), so each round recomputes h only
-    // for neighbors-of-changed — the dirty set collapses after the
-    // first rounds while the monotone fixpoint lets the loop EARLY-EXIT
-    // on a no-change round (extra rounds are no-ops on both engines, so
-    // the fixed-unroll oracle stays hash-identical). chg rides the
-    // checkpointed frame as a column; convergence is a columnar scan of
-    // the blocks the checkpoint just wrote (the ConnectedComponents
-    // discipline — never a join+count job).
-    //
-    // H per node comes from the VALUE HISTOGRAM folded in ONE
-    // aggregate expression over the per-node (c, cnt) list (collected
-    // after the map-side-combining (src, c) count): h = max over the
-    // desc-c prefix of min(c, Σcnt). The list is #distinct-neighbor-
-    // estimates long (bounded by max coreness, never degree — hub-safe
-    // like the old histogram window), and folding it in-row replaces
-    // the window's extra exchange+sort per round.
-    val hOfHist = expr(
-      """aggregate(
-        |  array_sort(hist, (a, b) ->
-        |    CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 ELSE 0 END),
-        |  named_struct('cum', 0L, 'h', 0L),
-        |  (acc, x) -> named_struct(
-        |    'cum', acc.cum + x.cnt,
-        |    'h', greatest(acc.h, least(x.c, acc.cum + x.cnt))),
-        |  acc -> acc.h)""".stripMargin)
-    var est = docs
-      .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
-        $"doc_id" === $"src", "left")
-      .select($"doc_id".as("node"), coalesce($"c", lit(0L)).as("c"),
-        lit(true).as("chg"))
-      .localCheckpoint(true)
-    var changed = true
-    var r = 0
-    while (r < rounds && changed) {
-      val dirty = adj
-        .join(est.filter($"chg").select($"node".as("dst")), "dst")
-        .select($"src").distinct()
-      val h = adj.join(dirty, Seq("src"), "left_semi")
-        .join(est.select($"node".as("dst"), $"c"), "dst")
+    def step(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val h = adj
+        .join(e.select($"node".as("dst"), $"c"), "dst")
         .groupBy($"src", $"c").agg(count(lit(1)).as("cnt"))
         .groupBy($"src")
         .agg(collect_list(struct($"c", $"cnt")).as("hist"))
-        .select($"src", hOfHist.as("hc"))
-      est = est.join(h, $"node" === $"src", "left")
-        .select($"node", coalesce($"hc", $"c").as("c"),
-          ($"hc".isNotNull && $"hc" =!= $"c").as("chg"))
-        .localCheckpoint(true)
-      changed = est.agg(coalesce(max($"chg"), lit(false)))
-        .head.getBoolean(0)
-      r += 1
+        .select($"src", kcoreHOfHist.as("hc"))
+      docs.join(h, $"doc_id" === $"src", "left")
+        .select($"doc_id".as("node"), coalesce($"hc", lit(0L)).as("c"))
     }
-    est.select($"node", $"c")
+    var est = docs
+      .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
+        $"doc_id" === $"src", "left")
+      .select($"doc_id".as("node"), coalesce($"c", lit(0L)).as("c"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val b = math.min(batch, rounds - r)
+      est = (1 to b).foldLeft(est)((e, _) => step(e)).localCheckpoint(true)
+      r += b
+    }
+    est
   }
 
   /** The canonical undirected adjacency (both directions, eager
@@ -1377,9 +1378,11 @@ object CurationQueries {
     // 1.10 -> 1.92 s in full-run A/B — labels keep flipping for all 5
     // rounds on this graph (no early exit ever fires, dirty sets stay
     // ~corpus-sized), so the per-round distinct + semi-join + chg scan
-    // is pure overhead. Dirty-delta pays only on loops that CONVERGE
-    // inside their budget (kcore fixpoint ≤ 6, BFS frontier empties);
-    // synchronous LPA at 5 rounds is deliberately pre-convergence.
+    // is pure overhead. r15 closed the question: the SAME A/B on kcore
+    // (which DOES converge in ≤6 rounds) also favored plain fixed
+    // rounds — dirty-delta pays only on frontier shapes where the
+    // delta is the WHOLE working set (frontierBfs), never as a bolt-on
+    // to full-relation fixpoints at this scale.
     var est = docs.select($"doc_id".as("node"), $"doc_id".as("lab"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {

@@ -42,6 +42,7 @@ object QueryProbe {
       case "hybrid" => hybrid(spark, sfDir, reps)
       case "hot_cell" => hotCell(spark, sfDir, reps)
       case "graph" => graph(spark, sfDir, reps)
+      case "kcoreab" => kcoreAb(spark, sfDir, reps)
       case "sqltwin" => sqlTwin(spark, sfDir, reps)
       case "rrf" => rrf(spark, sfDir, reps)
       case "ppl_buckets" => pplBuckets(spark, sfDir, reps)
@@ -272,6 +273,64 @@ object QueryProbe {
       graft.Queries.queries("graph_kcore")(s, dir).count())
     timed("gate graph_closeness", reps)(
       graft.Queries.queries("graph_closeness_landmarks")(s, dir).count())
+  }
+
+  /** A/B the k-core loop formulations (r15, the verdict's top item):
+    * the r13 window form reconstructed here vs the fixed-round
+    * histogram fold batched 2/5 per checkpoint (the r14 dirty-delta
+    * lost pairwise in every rep — 4.52 vs 3.16 s median — and was
+    * removed; receipts in BENCH_NOTES r15). Alternating reps in one
+    * session; checksum (Σ coreness) required identical across variants.
+    */
+  private def kcoreAb(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.pipeline.CurationQueries
+    val (docs, adj, _) = CurationQueries.linkGraph(s, dir)
+    docs.count(); adj.count()  // warm the shared artifact outside timing
+    def windowB2(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wC = Window.partitionBy($"src").orderBy($"c".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def step(e: DataFrame): DataFrame = {
+        val h = adj.join(e.select($"node".as("dst"), $"c"), "dst")
+          .groupBy($"src", $"c").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(wC))
+          .groupBy($"src").agg(max(least($"c", $"cum")).as("hc"))
+        docs.join(h, $"doc_id" === $"src", "left")
+          .select($"doc_id".as("node"), coalesce($"hc", lit(0L)).as("c"))
+      }
+      var est = docs
+        .join(adj.groupBy($"src").agg(count(lit(1)).as("c")),
+          $"doc_id" === $"src", "left")
+        .select($"doc_id".as("node"), coalesce($"c", lit(0L)).as("c"))
+        .localCheckpoint(true)
+      var r = 0
+      while (r < 10) {
+        est = (1 to 2).foldLeft(est)((e, _) => step(e)).localCheckpoint(true)
+        r += 2
+      }
+      est
+    }
+    def checksum(df: DataFrame): Long =
+      df.agg(sum($"c")).head.getLong(0)
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      ("window b2 (r13)", () => windowB2()),
+      ("hist-fixed b2", () => CurationQueries.kcoreLoop(docs, adj, 10, 2)),
+      ("hist-fixed b5", () => CurationQueries.kcoreLoop(docs, adj, 10, 5)))
+    val sums = variants.map { case (n, f) => n -> checksum(f()) }.toMap
+    require(sums.values.toSet.size == 1, s"variant checksums diverged: $sums")
+    val ts = (1 to reps).flatMap { _ =>
+      variants.map { case (n, f) =>
+        val t0 = System.nanoTime(); f().count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    variants.foreach { case (n, _) =>
+      val xs = ts.filter(_._1 == n).map(_._2).sorted
+      println(f"[probe] kcore:$n%-20s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
+    timed("gate graph_kcore", reps)(
+      graft.Queries.queries("graph_kcore")(s, dir).count())
   }
 
   /** A/B the sql_dedup_minhash DISTRIBUTE BY doc_id exchange (r14):

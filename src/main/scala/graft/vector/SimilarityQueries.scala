@@ -1127,6 +1127,9 @@ object SimilarityQueries {
         // parked on the SHORTEST branch (the critical path is the two
         // NN-descent builds at ~35-43 s; this branch sums ~35 s)
         timed("link_graph")(graft.pipeline.CurationQueries.linkGraph(cs, dir))
+        // the pre-vacuum three-commit lake fixture (r15): deterministic
+        // input prep the gate then copies and mutates per invocation
+        timed("lake_vacuum_fixture")(graft.LakeQueries.vacuumFixture(cs, dir))
       },
       // shared index artifacts (r11): the banded near-dup pair table
       // (cosine_neardup + dbscan), the NN-descent k-NN graph (the NNG

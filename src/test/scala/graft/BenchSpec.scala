@@ -49,4 +49,35 @@ class BenchSpec extends AnyFunSuite {
       "/" + "x" * 200, 1e9, 99999, 1e9, 1e9)
     assert(long.getBytes("UTF-8").length < 2048)
   }
+
+  test("summary line carries the machine-evaluated regressions count") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(line)
+    assert(node.has("regressions"), s"missing regressions key in $line")
+    val withRegs = Bench.summaryLine(144.4, 252, 0, 69.241, "/x",
+      234.428, 0, 0.616, 1.234, 0L, regressions = 3)
+    assert(m.readTree(withRegs).get("regressions").asInt() == 3)
+  }
+
+  test("regression predicate: delta > 0.3s AND ratio > 1.4x, both required") {
+    val prior = Map("a" -> 1.0, "b" -> 0.2, "c" -> 2.0, "d" -> 0.5)
+    val now = Map(
+      "a" -> 1.35,  // delta 0.35 > 0.3 but ratio 1.35 < 1.4 -> no
+      "b" -> 0.45,  // ratio 2.25 > 1.4 but delta 0.25 < 0.3 -> no
+      "c" -> 3.0,   // delta 1.0 AND ratio 1.5 -> regression
+      "d" -> 0.4,   // improvement -> no
+      "e" -> 9.0)   // absent from prior -> no
+    assert(Bench.regressions(prior, now).map(_._1) == Seq("c"))
+    // boundary values are NOT regressions (strict >; exact-in-binary cases)
+    assert(Bench.regressions(Map("x" -> 1.0), Map("x" -> 1.25)).isEmpty)
+    assert(Bench.regressions(Map("x" -> 1.0), Map("x" -> 1.4)).isEmpty)
+  }
+
+  test("prior record reader finds the newest BENCH_SELF and parses queries") {
+    val (name, qs) = Bench.priorRecord()
+    // the repo carries committed BENCH_SELF_r*.json records
+    assert(name.exists(_.startsWith("BENCH_SELF_r")), s"got $name")
+    assert(qs.nonEmpty && qs.values.forall(_ >= 0.0))
+    assert(qs.contains("q1_pricing_summary"), "per-query map missing keys")
+  }
 }
