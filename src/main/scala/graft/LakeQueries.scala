@@ -770,23 +770,6 @@ object LakeQueries {
 
   private val vacFixturePaths = new graft.KeyedMemo[String]
 
-  /** Recursive file copy of a built fixture — the vacuum DELETES files,
-    * so each invocation works on a throwaway copy of the memoized
-    * three-commit build (the r9 stream-staging discipline: input prep
-    * is deterministic over read-only testdata and memoized; the
-    * mutating step stays fresh so the gate re-runs for real).
-    */
-  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
-      val dest = to.resolve(from.relativize(p))
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(dest)
-      else java.nio.file.Files.copy(p, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
   /** The memoized pre-vacuum fixture path — exposed so the bench
     * warm-up can bill the three-commit build explicitly (the codebook
     * treatment) instead of the first gate invocation paying it.
@@ -806,7 +789,7 @@ object LakeQueries {
     val root = s"${Scratch.dir}/graft_lake_vac_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
       vacInvocation.incrementAndGet()
-    copyTree(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(root))
+    Scratch.copyTree(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(root))
     val (deleted, _) = operators.Snapshots.vacuum(root, retainFrom = 2)
     require(deleted > 0,
       "vacuum must delete the files only expired versions referenced")

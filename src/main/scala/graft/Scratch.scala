@@ -54,4 +54,20 @@ object Scratch {
     * as every other scratch entry instead of leaking tmpfs forever.
     */
   def sparkLocalDir: String = s"$dir/graft_spark_local_$runToken"
+
+  /** Recursive file copy — the fixture-per-invocation helper: gates
+    * whose step MUTATES a directory tree (vacuum deletes files, a
+    * restarted stream appends to checkpoint + sink) copy a memoized
+    * build and mutate the throwaway copy.
+    */
+  def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(dest)
+      else java.nio.file.Files.copy(p, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }

@@ -793,4 +793,96 @@ class ScaleStressSpec extends SparkSpec {
       "v1 must remain fully readable after the DV compaction")
     info(f"DV anti-join at $n rows / 90k skewed deletes: $secs%.1f s")
   }
+
+  test("frontier BFS on a 50k high-diameter chain: 4-source settled union is exact") {
+    // a pure path graph (diameter 49999) defeats any expander luck: each
+    // of 4 sources spaced along the chain can settle ONLY a radius-16
+    // interval inside the round budget, so the settled-set union and the
+    // per-(node, lm) anti-join are exercised at 50k adj rows with an
+    // exactly computable answer: dist(node, src) when <= 16, absent
+    // otherwise — any double-settle or cross-source bleed changes counts
+    val n = 50000L
+    val docs = spark.range(n).select($"id".as("doc_id")).localCheckpoint(true)
+    val und = spark.range(n - 1)
+      .select($"id".as("a"), ($"id" + 1).as("b"))
+    val adj = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    import graft.pipeline.CurationQueries
+    val sources = Seq(0L, 20000L, 30000L, n - 1).zipWithIndex
+    val (settled, secs) = timed {
+      CurationQueries.frontierBfs(docs, adj, sources, 16)
+        .localCheckpoint(true)
+    }
+    // expected rows: interior sources settle 33 nodes (radius 16 both
+    // ways incl. self), endpoint sources 17 (one-sided)
+    val expect = 17 + 33 + 33 + 17
+    assert(settled.count() == expect,
+      s"settled union must hold exactly $expect (node, lm) rows")
+    val wrong = settled
+      .join(spark.createDataFrame(sources).toDF("src_node", "lm2"),
+        $"lm" === $"lm2")
+      .filter(abs($"node" - $"src_node") =!= $"d" || $"d" > 16)
+      .count()
+    assert(wrong == 0, s"$wrong settled rows carry a wrong chain distance")
+    info(f"frontier BFS 4-source on a 50k chain: $secs%.1f s")
+  }
+
+  test("frontier BFS early exit: an 8-node component inside 50k docs settles and stops") {
+    // adjacency holds ONLY the 7 edges of nodes 0..7; the frontier
+    // empties at round 8 (< the 16-round budget) and the early exit must
+    // return exactly the component — at 100x the component size the loop
+    // cost is bounded by the frontier, never the docs table
+    val n = 50000L
+    val docs = spark.range(n).select($"id".as("doc_id")).localCheckpoint(true)
+    val und = spark.range(7).select($"id".as("a"), ($"id" + 1).as("b"))
+    val adj = und.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(und.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+    import graft.pipeline.CurationQueries
+    val (settled, secs) = timed {
+      CurationQueries.frontierBfs(docs, adj, Seq((0L, 0)), 16)
+        .localCheckpoint(true)
+    }
+    val rows = settled.orderBy($"node").collect()
+    assert(rows.length == 8, s"component of 8 expected, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(r.fieldIndex("d")) ==
+      r.getLong(r.fieldIndex("node"))),
+      "chain distances must equal node ids")
+    info(f"frontier BFS early exit (8-node component in 50k docs): $secs%.1f s")
+  }
+
+  test("wordpiece encode at 49k distinct words: planted rare alphabet falls to [UNK]") {
+    // 49k distinct 8-char words over {a..e} at freq 1M dominate the
+    // 200-slot piece vocabulary (every surviving piece weighs >= ~300M);
+    // 16 rare words, each a distinct {k..z} char repeated 8x at freq 2M,
+    // contribute pieces weighing <= 16M — excluded with ~20x margin, so
+    // every rare word must fail whole-word to [UNK] while every common
+    // word must re-concatenate from its pieces. Drives the greedy DP
+    // aggregate + vocabulary window at ~100x the gate's distinct-word
+    // count (the broadcast-encode-table scale risk the gate carries).
+    val common = spark.range(49000)
+      .select(translate(lpad(conv($"id".cast("string"), 10, 5), 8, "0"),
+        "01234", "abcde").as("w"), lit(1000000L).as("freq"))
+    val rare = spark.range(16)
+      .select(expr("repeat(char(107 + id), 8)").as("w"),
+        lit(2000000L).as("freq"))
+    val words = common.unionByName(rare)
+    val (out, secs) = timed {
+      graft.text.WordpieceQueries.encodeOn(spark, words).collect()
+    }
+    assert(out.length == 50, s"top-50 expected, got ${out.length}")
+    val (unk, enc) = out.partition(_.getString(out.head.fieldIndex("wp")) == "[UNK]")
+    assert(unk.length == 16,
+      s"all 16 rare words must surface as [UNK] (got ${unk.length})")
+    assert(unk.forall(_.getInt(out.head.fieldIndex("n_pieces")) == 1),
+      "[UNK] rows must report a single piece")
+    enc.foreach { r =>
+      val w = r.getString(r.fieldIndex("w"))
+      val wp = r.getString(r.fieldIndex("wp"))
+      assert(wp.replace("##", "").replace(" ", "") == w,
+        s"pieces of $w do not re-concatenate: $wp")
+    }
+    info(f"wordpiece encode over 49k distinct words: $secs%.1f s")
+  }
 }
