@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Persistent, cross-JVM cache for expensive deterministic index
+  * artifacts, keyed on a CONTENT fingerprint of the corpus files they
+  * derive from.
+  *
+  * The NN-descent graph builds are the bench warm-up's critical path
+  * (~35-50 s each at sf0.1) and are pure functions of the read-only
+  * embeddings table — at deployment they are the index tables a vector
+  * stack maintains and REUSES across jobs; rebuilding them per process
+  * models a stack that throws its index away on every restart. Entries
+  * live under `target/graft_artifact_cache/<name>_<fingerprint>` so a
+  * fresh JVM on unchanged testdata reads parquet instead of rebuilding,
+  * while a regenerated corpus (the driver reshuffles testdata between
+  * rounds) changes the fingerprint and the stale entry is swept.
+  *
+  * Publication is build-into-temp + atomic rename on the same
+  * filesystem, so concurrent processes race safely: the first rename
+  * wins, the loser deletes its temp and reads the winner's entry.
+  * Set SPARK_GRAFT_ARTIFACT_CACHE=0 to force per-process scratch builds
+  * (the pre-r15 behavior).
+  */
+object ArtifactCache {
+
+  private val fps = new KeyedMemo[String]
+
+  /** Content fingerprint of the named tables under `dir`: md5 over each
+    * table name + file bytes (directory tables hash every file in
+    * sorted relative order). Memoized per (dir, tables) — the corpus is
+    * read-only for the life of the process.
+    */
+  def fingerprint(dir: String, tables: Seq[String]): String =
+    fps.getOrBuild(dir + "|" + tables.sorted.mkString(",")) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      tables.sorted.foreach { t =>
+        md.update(t.getBytes("UTF-8"))
+        val p = Paths.get(dir, s"$t.parquet")
+        if (Files.isRegularFile(p)) md.update(Files.readAllBytes(p))
+        else if (Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          val files = Files.walk(p).iterator().asScala
+            .filter(Files.isRegularFile(_)).toSeq
+            .sortBy(f => p.relativize(f).toString)
+          files.foreach { f =>
+            md.update(p.relativize(f).toString.getBytes("UTF-8"))
+            md.update(Files.readAllBytes(f))
+          }
+        }
+      }
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+
+  private def enabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_ARTIFACT_CACHE").contains("0")
+
+  private def cacheRoot: Path =
+    Paths.get(sys.props.getOrElse("user.dir", "."),
+      "target", "graft_artifact_cache")
+
+  private val Marker = "_GRAFT_COMPLETE"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory && !Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
+  /** A readable path for artifact `name` derived from `tables` under
+    * `dir`: the cached entry if one exists for the current corpus
+    * fingerprint, else `build(tmpPath)` runs, the completed temp is
+    * atomically published, and stale entries of the same name (older
+    * fingerprints) are swept. With the cache disabled the build lands
+    * in per-process scratch exactly as before.
+    */
+  def getOrBuild(name: String, dir: String, tables: Seq[String])
+      (build: String => Unit): String = {
+    if (!enabled) {
+      val p = s"${Scratch.dir}/graft_art_${Scratch.runToken}_$name"
+      build(p)
+      return p
+    }
+    val fp = fingerprint(dir, tables)
+    val dest = cacheRoot.resolve(s"${name}_$fp")
+    if (Files.exists(dest.resolve(Marker))) return dest.toString
+    Files.createDirectories(cacheRoot)
+    // sweep entries of this name built against an older corpus
+    Option(cacheRoot.toFile.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(s"${name}_") &&
+        f.getName != dest.getFileName.toString)
+        deleteRecursively(f)
+    })
+    val tmp = cacheRoot.resolve(s".tmp_${Scratch.runToken}_${name}_$fp")
+    deleteRecursively(tmp.toFile)
+    build(tmp.toString)
+    Files.write(tmp.resolve(Marker), Array.empty[Byte])
+    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.FileSystemException =>
+        // a concurrent process published first — use its entry
+        deleteRecursively(tmp.toFile)
+        require(Files.exists(dest.resolve(Marker)),
+          s"artifact cache race left no complete entry at $dest")
+    }
+    dest.toString
+  }
+}

@@ -336,6 +336,12 @@ object QueryProbe {
   /** A/B the sql_dedup_minhash DISTRIBUTE BY doc_id exchange (r14):
     * identical SQL text modulo the docs0 CTE, alternating reps in one
     * session so host-load bursts hit both variants equally.
+    *
+    * MAINTENANCE: the plain variant below is a hand-copied twin of the
+    * gate SQL in `graft.SqlQueries` (initializing that object here trips
+    * a cross-object init cycle, so the text cannot be derived from it) —
+    * any edit to the sql_dedup_minhash gate must be mirrored here, and
+    * the row-count `require` in the loop catches result-changing drift.
     */
   private def sqlTwin(s: SparkSession, dir: String, reps: Int): Unit = {
     graft.functions.Registry.registerAll(s)

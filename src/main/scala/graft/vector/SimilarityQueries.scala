@@ -3945,13 +3945,14 @@ object SimilarityQueries {
   private[graft] def nngEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = nngPath.getOrBuild(dir) {
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${graft.Scratch.dir}/graft_nng_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-        nngBuild(nngBase(s, dir)).write.mode("overwrite").parquet(p)
+      // persistent across JVMs since r15 ([[graft.ArtifactCache]]): the
+      // build is the warm-up critical path and a pure function of the
+      // embeddings table — a re-run on unchanged testdata is a read
+      graft.ArtifactCache.getOrBuild("nng", dir, Seq("embeddings")) { p =>
+        graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+          nngBuild(nngBase(s, dir)).write.mode("overwrite").parquet(p)
+        }
       }
-      p
     }
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
   }
@@ -4134,30 +4135,29 @@ object SimilarityQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val path = nngInsPath.getOrBuild(dir) {
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${graft.Scratch.dir}/graft_nng_ins_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      val full = nngBase(s, dir)
-      val baseC = graft.CacheTracker.persistTracked(
-        full.filter($"vec_id" % 10 =!= 0))
-      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-        val knnB = nngBuild(baseC).localCheckpoint(true)
-        val undB = graft.CacheTracker.persistTracked(
-          knnB.select($"src".as("node"), $"dst".as("nbr"))
-            .unionByName(knnB.select($"dst".as("node"), $"src".as("nbr")))
-            .distinct())
-        val batch = graft.CacheTracker.persistTracked(
-          full.filter($"vec_id" % 10 === 0)
-            .select($"vec_id".as("q_id"), $"v".as("qv"),
-              $"fn".as("qfn"), $"xn".as("qxn")))
-        val newOut = nngBeamOver(baseC, undB, batch, NngInsW, NngInsR)
-          .select($"q_id".as("src"), $"node".as("dst"))
-        knnB
-          .unionByName(newOut)
-          .unionByName(newOut.select($"dst".as("src"), $"src".as("dst")))
-          .write.mode("overwrite").parquet(p)
+      // persistent across JVMs since r15 — see [[nngEdges]]
+      graft.ArtifactCache.getOrBuild("nng_ins", dir, Seq("embeddings")) { p =>
+        val full = nngBase(s, dir)
+        val baseC = graft.CacheTracker.persistTracked(
+          full.filter($"vec_id" % 10 =!= 0))
+        graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+          val knnB = nngBuild(baseC).localCheckpoint(true)
+          val undB = graft.CacheTracker.persistTracked(
+            knnB.select($"src".as("node"), $"dst".as("nbr"))
+              .unionByName(knnB.select($"dst".as("node"), $"src".as("nbr")))
+              .distinct())
+          val batch = graft.CacheTracker.persistTracked(
+            full.filter($"vec_id" % 10 === 0)
+              .select($"vec_id".as("q_id"), $"v".as("qv"),
+                $"fn".as("qfn"), $"xn".as("qxn")))
+          val newOut = nngBeamOver(baseC, undB, batch, NngInsW, NngInsR)
+            .select($"q_id".as("src"), $"node".as("dst"))
+          knnB
+            .unionByName(newOut)
+            .unionByName(newOut.select($"dst".as("src"), $"src".as("dst")))
+            .write.mode("overwrite").parquet(p)
+        }
       }
-      p
     }
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
   }
@@ -4212,9 +4212,8 @@ object SimilarityQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val path = nngDelPath.getOrBuild(dir) {
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${graft.Scratch.dir}/graft_nng_del_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
+      // persistent across JVMs since r15 — see [[nngEdges]]
+      graft.ArtifactCache.getOrBuild("nng_del", dir, Seq("embeddings")) { p =>
       val full = nngBase(s, dir)
       graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
         val knn = graft.CacheTracker.persistTracked(nngEdges(s, dir))
@@ -4267,7 +4266,7 @@ object SimilarityQueries {
           .select($"src", $"w".as("dst"))
         kept.unionByName(topup).write.mode("overwrite").parquet(p)
       }
-      p
+      }
     }
     s.read.schema("src BIGINT, dst BIGINT").parquet(path)
   }
