@@ -638,6 +638,91 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Holt's double exponential smoothing (level + trend, α = β = 1/4)
+    * over the dense per-type daily-count series — the forecasting
+    * sibling of [[trendSlope]]: where OLS fits ONE line to the whole
+    * span, Holt tracks a drifting level and trend and extrapolates
+    * (the capacity-planning primitive behind "will this event volume
+    * hit the quota next week?"). Exact fixed-point arithmetic in
+    * micro-units: s_t = ⌊(c_t·10⁶ + 3·(s₋ + b₋))/4⌋ and
+    * b_t = ⌊((s_t − s₋) + 3·b₋)/4⌋, where every floor-division runs
+    * through the OFFSET identity ⌊x/4⌋ = ((x + 4e15) div 4) − 1e15 in
+    * BOTH engines — b_t goes negative on decaying series, and Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, so the
+    * shared positive-shifted form is the only safe quotient (the r12
+    * rule: never hash a quotient of possibly-negative integers).
+    * Headroom: c·10⁶ + 3(s+b) + 4e15 stays under int64 for daily
+    * counts up to ~10¹² — documented next to the shift.
+    *
+    * Shape: one shuffle to (type, day) counts, a domain-sized spine
+    * join (gaps are real zero-count days — a forecast over a sparse
+    * series must see them), then ONE bounded per-key fold — the
+    * Viterbi aggregate-expression discipline (no per-step jobs, state
+    * as a struct riding the fold; the DuckDB oracle replays it as a
+    * recursive CTE carrying the counts list in-row, the r13
+    * pre-grouped-list template).
+    */
+  val holtWinters: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
+      .crossJoin(broadcast(daily.select($"event_type").distinct()))
+    val arr = spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"c"))).as("dc"))
+      .select($"event_type", expr("transform(dc, x -> x.c)").as("cs"))
+    val sNew = "(((c * 1000000L + 3L * (acc.s + acc.b)) + 4000000000000000L)" +
+      " div 4L) - 1000000000000000L"
+    val bNew = s"(((($sNew) - acc.s + 3L * acc.b) + 4000000000000000L)" +
+      " div 4L) - 1000000000000000L"
+    val fold = expr(
+      s"""aggregate(slice(cs, 2, size(cs) - 1),
+         |  named_struct('s', element_at(cs, 1) * 1000000L, 'b', 0L),
+         |  (acc, c) -> named_struct('s', $sNew, 'b', $bNew))""".stripMargin)
+    arr.select($"event_type", size($"cs").as("n_days"), fold.as("hw"))
+      .select($"event_type", $"n_days",
+        $"hw.s".as("level_micro"), $"hw.b".as("trend_micro"),
+        ($"hw.s" + lit(7L) * $"hw.b").as("forecast7_micro"))
+      .orderBy($"event_type")
+  }
+
+  val holtWintersSql: String = {
+    val sNew = "((cs[i + 1] * 1000000 + 3 * (s + b) + 4000000000000000)" +
+      " // 4) - 1000000000000000"
+    val bNew = s"(((($sNew) - s + 3 * b) + 4000000000000000)" +
+      " // 4) - 1000000000000000"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |spine AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds),
+       |types AS (SELECT DISTINCT event_type FROM daily),
+       |series AS (
+       |  SELECT t.event_type, s.day, COALESCE(d.c, CAST(0 AS BIGINT)) AS c
+       |  FROM types t CROSS JOIN spine s
+       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day),
+       |arr AS (
+       |  SELECT event_type, list(c ORDER BY day) AS cs
+       |  FROM series GROUP BY event_type),
+       |rec AS (
+       |  SELECT event_type, cs, 1 AS i,
+       |    cs[1] * 1000000 AS s, CAST(0 AS BIGINT) AS b
+       |  FROM arr
+       |  UNION ALL
+       |  SELECT event_type, cs, i + 1, $sNew, $bNew
+       |  FROM rec WHERE i < len(cs))
+       |SELECT event_type, CAST(len(cs) AS INT) AS n_days,
+       |  CAST(s AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+       |  CAST(s + 7 * b AS BIGINT) AS forecast7_micro
+       |FROM rec WHERE i = len(cs)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val trendSlopeSql: String =
     """WITH daily AS (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -1112,6 +1197,7 @@ object EventQueries {
     "events_cusum_changepoint" ->
       (cusumChangepoint, Some(cusumChangepointSql)),
     "events_trend_slope" -> (trendSlope, Some(trendSlopeSql)),
+    "events_holt_winters" -> (holtWinters, Some(holtWintersSql)),
     "events_autocorrelation" -> (autocorrelation, Some(autocorrelationSql)),
     "events_anomaly_mad" -> (anomalyMad, Some(anomalyMadSql)),
     "events_markov_transitions" -> (markovTransitions, Some(markovTransitionsSql)),

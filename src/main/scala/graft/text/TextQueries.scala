@@ -1428,7 +1428,93 @@ object TextQueries {
        |LEFT JOIN dup5 d USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Kneser-Ney smoothed bigram probabilities (absolute discount
+    * D = 3/4, the interpolated form of Kneser & Ney 1995) — the
+    * standard n-gram LM smoothing whose continuation counts are the
+    * piece every naive add-one LM gets wrong. For context u and word w:
+    *
+    *   p(w|u) = max(c(u,w) − D, 0)/c(u)
+    *          + (D·N1+(u,·)/c(u)) · (N1+(·,w)/N)
+    *
+    * with N1+(u,·) = distinct continuations of u, N1+(·,w) = distinct
+    * left-contexts of w, N = distinct bigram types. D = 3/4 makes the
+    * probability an EXACT RATIONAL: multiplying through by 4·c(u)·N
+    * gives num = max(4·c(u,w) − 3, 0)·N + 3·N1+(u,·)·N1+(·,w) and
+    * den = 4·c(u)·N — all int64 (headroom: counts ≤ ~1e5 and N ≤ ~1e6
+    * keep num/den ≤ ~4e11), so the gate emits the exact (num, den)
+    * pair and no float ever nears the hash (the house ratio-statistics
+    * rule). Output: top-3 continuations per context for the 20 most
+    * frequent contexts; within one u the denominator is constant, so
+    * ranking by num IS ranking by probability.
+    *
+    * Scale shape: one shuffle to bigram counts, vocabulary-sized
+    * aggregates for the continuation counts, the global top-20 via
+    * orderBy+limit (TakeOrderedAndProject — never a corpus on one
+    * reducer), then a broadcast semi-join back; the per-u rank window
+    * covers only the 20 survivors' continuation lists.
+    */
+  val kneserNeyBigram: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tr = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+    val bg = graft.CacheTracker.persistTracked(
+      tr.select(explode(transform(sequence(lit(1), size($"toks") - 1),
+          i => struct(element_at($"toks", i).as("u"),
+            element_at($"toks", i + 1).as("w")))).as("b"))
+        .groupBy($"b.u".as("u"), $"b.w".as("w"))
+        .agg(count(lit(1)).as("cuw")))
+    val cu = bg.groupBy($"u")
+      .agg(sum($"cuw").as("cu"), count(lit(1)).as("n1u"))
+    val n1w = bg.groupBy($"w").agg(count(lit(1)).as("n1w"))
+    val nn = broadcast(bg.agg(count(lit(1)).as("nn")))
+    val topU = broadcast(cu.orderBy($"cu".desc, $"u").limit(20))
+    val scored = bg.join(topU, "u")
+      .join(n1w, "w")
+      .crossJoin(nn)
+      .select($"u", $"w", $"cuw",
+        (greatest(lit(4L) * $"cuw" - 3L, lit(0L)) * $"nn" +
+          lit(3L) * $"n1u" * $"n1w").as("num"),
+        (lit(4L) * $"cu" * $"nn").as("den"))
+    val wR = Window.partitionBy($"u").orderBy($"num".desc, $"w")
+    scored.withColumn("rk", row_number().over(wR))
+      .filter($"rk" <= 3)
+      .select($"u", $"w", $"cuw", $"num", $"den", $"rk")
+      .orderBy($"u", $"rk")
+  }
+
+  val kneserNeyBigramSql: String =
+    s"""WITH base AS (
+       |  SELECT ${sqlTokens("text")} AS toks FROM documents),
+       |tr AS (SELECT * FROM base WHERE len(toks) >= 2),
+       |trbg AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bgs
+       |  FROM tr),
+       |bg AS (
+       |  SELECT string_split(bgs, ' ')[1] AS u, string_split(bgs, ' ')[2] AS w,
+       |    COUNT(*) AS cuw
+       |  FROM trbg GROUP BY 1, 2),
+       |cu AS (SELECT u, CAST(SUM(cuw) AS BIGINT) AS cu, COUNT(*) AS n1u
+       |       FROM bg GROUP BY u),
+       |n1w AS (SELECT w, COUNT(*) AS n1w FROM bg GROUP BY w),
+       |nn AS (SELECT COUNT(*) AS nn FROM bg),
+       |topu AS (SELECT u, cu, n1u FROM cu ORDER BY cu DESC, u LIMIT 20),
+       |scored AS (
+       |  SELECT b.u, b.w, b.cuw,
+       |    GREATEST(4 * b.cuw - 3, 0) * n.nn + 3 * t.n1u * w2.n1w AS num,
+       |    4 * t.cu * n.nn AS den
+       |  FROM bg b JOIN topu t USING (u) JOIN n1w w2 USING (w)
+       |  CROSS JOIN nn n),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY u ORDER BY num DESC, w) AS INT) AS rk FROM scored)
+       |SELECT u, w, cuw, num, den, rk FROM r WHERE rk <= 3
+       |ORDER BY u, rk""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_kneser_ney_bigram" -> (kneserNeyBigram, Some(kneserNeyBigramSql)),
     "text_gopher_repetition" ->
       (gopherRepetition, Some(gopherRepetitionSql)),
     "text_winnowing_fingerprint" ->

@@ -250,6 +250,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("Kneser-Ney's global top-20 contexts ride TakeOrderedAndProject, no cartesian") {
+    val p = plan("text_kneser_ney_bigram")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 context selection must be the distributed top-k:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row N join must broadcast, never a cartesian:\n" + p)
+  }
+
   test("minhash LSH computes signatures with the native expression, never a cross join") {
     val p = plan("dedup_minhash_lsh")
     assert(p.contains("minhash_md5"), p)
