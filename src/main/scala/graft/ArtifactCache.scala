@@ -71,9 +71,15 @@ object ArtifactCache {
   /** A readable path for artifact `name` derived from `tables` under
     * `dir`: the cached entry if one exists for the current corpus
     * fingerprint, else `build(tmpPath)` runs, the completed temp is
-    * atomically published, and stale entries of the same name (older
-    * fingerprints) are swept. With the cache disabled the build lands
-    * in per-process scratch exactly as before.
+    * atomically published, and stale entries of the same (name, dir)
+    * slot (older fingerprints — i.e. regenerated testdata) are swept.
+    * The slot carries the CORPUS DIR: entries for sf0.01 and sf0.1
+    * coexist (both corpora are live), and the sweep matches the exact
+    * `name_dirkey_<16-hex>` shape so `nng`'s sweep can never eat
+    * `nng_ins`'s entries (the r15 prefix-collision bug: the first
+    * bench after a Verify at another SF rebuilt all three graphs).
+    * With the cache disabled the build lands in per-process scratch
+    * exactly as before.
     */
   def getOrBuild(name: String, dir: String, tables: Seq[String])
       (build: String => Unit): String = {
@@ -83,16 +89,19 @@ object ArtifactCache {
       return p
     }
     val fp = fingerprint(dir, tables)
-    val dest = cacheRoot.resolve(s"${name}_$fp")
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
+    val slot = s"${name}_$dirKey"
+    val dest = cacheRoot.resolve(s"${slot}_$fp")
     if (Files.exists(dest.resolve(Marker))) return dest.toString
     Files.createDirectories(cacheRoot)
-    // sweep entries of this name built against an older corpus
+    // sweep only this slot's older-fingerprint entries (exact shape)
+    val stale = s"^${java.util.regex.Pattern.quote(slot)}_[0-9a-f]{16}$$".r
     Option(cacheRoot.toFile.listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith(s"${name}_") &&
+      if (stale.matches(f.getName) &&
         f.getName != dest.getFileName.toString)
         deleteRecursively(f)
     })
-    val tmp = cacheRoot.resolve(s".tmp_${Scratch.runToken}_${name}_$fp")
+    val tmp = cacheRoot.resolve(s".tmp_${Scratch.runToken}_${slot}_$fp")
     deleteRecursively(tmp.toFile)
     build(tmp.toString)
     Files.write(tmp.resolve(Marker), Array.empty[Byte])
