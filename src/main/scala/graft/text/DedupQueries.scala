@@ -1249,7 +1249,126 @@ object DedupQueries {
        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared gear-window hash (one definition, two dialects): the mod-64
+    * hash of the 6 code points ending at position i — the FastCDC gear
+    * observation that h = (2·h' + g(c)) mod 2^k makes the low bits
+    * depend only on the last k characters, so the boundary PREDICATE is
+    * a pure per-position window function (engine-parallel), and only
+    * the min-length chunking over the sparse candidate list is
+    * sequential. g(c) = (c·2654435761) mod 8191 (Knuth multiplicative;
+    * c ≤ 0x10FFFF keeps the product < 3e15 — exact in int64).
+    */
+  private def cdcWindowHash(idx: Int => String): String =
+    (0 to 5).map { j =>
+      val coef = 32 >> j
+      s"(${coef} * ((CAST(${idx(5 - j)} AS BIGINT) * 2654435761) % 8191))"
+    }.mkString("(", " + ", ") % 64")
+
+  /** Content-defined chunking (the FastCDC/gear family, Xia et al.
+    * 2016) + cross-document duplicate-chunk analysis — the blob-level
+    * dedup primitive: boundaries follow CONTENT (the 6-point gear
+    * window hash ≡ 0 mod 64, expected chunk ~64 chars, minimum 16), so
+    * an insertion shifts at most the chunk it lands in and duplicate
+    * passages re-align at the next content boundary — the property
+    * fixed-width windows lack and the reason storage/pretraining dedup
+    * pipelines chunk this way. Greedy min-length selection over the
+    * candidate positions is ONE bounded per-doc fold (the Viterbi
+    * aggregate discipline); the final position always closes the last
+    * chunk. Output: the top-20 chunk contents by how many documents
+    * share them — md5 identity, exact counts, fully integer/string.
+    *
+    * Scale shape: per-row candidate scan + fold (scan-local), one
+    * shuffle on the chunk hash, TakeOrderedAndProject for the top-20.
+    * The DuckDB oracle replays the greedy fold as a recursive CTE
+    * carrying the candidate list in-row (the r13 pre-grouped-list
+    * template).
+    */
+  val cdcChunks: Q = (s, dir) => {
+    import s.implicits._
+    val whS = cdcWindowHash(off => s"element_at(cp, i - $off)")
+    val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", graft.text.TextAnalysis.normText($"text").as("norm"))
+      .filter(length($"norm") >= 1)
+      .select($"doc_id", $"norm", expr("codepoints(norm)").as("cp"))
+    val chunks = base
+      .withColumn("cands", expr(
+        s"""filter(
+           |  CASE WHEN size(cp) >= 7 THEN sequence(6, size(cp) - 1)
+           |       ELSE CAST(array() AS ARRAY<INT>) END,
+           |  i -> ($whS) = 0)""".stripMargin))
+      .withColumn("bs2", expr(
+        """concat(
+          |  aggregate(cands,
+          |    named_struct('last', 0, 'bs', CAST(array() AS ARRAY<INT>)),
+          |    (acc, c) -> CASE WHEN c - acc.last >= 16
+          |      THEN named_struct('last', c, 'bs', concat(acc.bs, array(c)))
+          |      ELSE acc END,
+          |    acc -> acc.bs),
+          |  array(size(cp)))""".stripMargin))
+      .select($"doc_id", explode(expr(
+        """transform(bs2, (b, j) -> named_struct(
+          |  'st', CASE WHEN j = 0 THEN 0 ELSE element_at(bs2, j) END,
+          |  'en', b))""".stripMargin)).as("c"), $"norm")
+      .select($"doc_id",
+        md5(expr("substring(norm, c.st + 1, c.en - c.st)").cast("binary"))
+          .as("h"),
+        ($"c.en" - $"c.st").cast("long").as("clen"))
+    chunks.groupBy($"h")
+      .agg(max($"clen").as("clen"),
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy($"n_docs".desc, $"n_occ".desc, $"h")
+      .limit(20)
+  }
+
+  val cdcChunksSql: String = {
+    val whD = cdcWindowHash(off => s"cp[i - $off]")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, ${graft.text.TextAnalysis.sqlNormText("text")} AS norm
+       |  FROM documents),
+       |cpd AS (
+       |  SELECT doc_id, norm, ${graft.functions.Codepoints.sql("norm")} AS cp
+       |  FROM base WHERE length(norm) >= 1),
+       |cand AS (
+       |  SELECT doc_id, norm, CAST(len(cp) AS BIGINT) AS n,
+       |    list_filter(range(6, len(cp)), i -> ($whD) = 0) AS cl
+       |  FROM cpd),
+       |rec AS (
+       |  SELECT doc_id, norm, n, cl, 0 AS i, CAST(0 AS BIGINT) AS last,
+       |    []::BIGINT[] AS bs
+       |  FROM cand
+       |  UNION ALL
+       |  SELECT doc_id, norm, n, cl, i + 1,
+       |    CASE WHEN cl[i + 1] - last >= 16 THEN cl[i + 1] ELSE last END,
+       |    CASE WHEN cl[i + 1] - last >= 16 THEN list_append(bs, cl[i + 1])
+       |         ELSE bs END
+       |  FROM rec WHERE i < len(cl)),
+       |fin AS (
+       |  SELECT doc_id, norm, list_append(bs, n) AS bs2
+       |  FROM rec WHERE i = len(cl)),
+       |pos AS (
+       |  SELECT doc_id, norm, bs2,
+       |    unnest(range(1, len(bs2) + 1)) AS j
+       |  FROM fin),
+       |hs AS (
+       |  SELECT doc_id,
+       |    md5(substr(norm,
+       |      CAST(CASE WHEN j = 1 THEN 0 ELSE bs2[j - 1] END + 1 AS BIGINT),
+       |      CAST(bs2[j] - CASE WHEN j = 1 THEN 0 ELSE bs2[j - 1] END
+       |        AS BIGINT))) AS h,
+       |    CAST(bs2[j] - CASE WHEN j = 1 THEN 0 ELSE bs2[j - 1] END
+       |      AS BIGINT) AS clen
+       |  FROM pos)
+       |SELECT h, MAX(clen) AS clen,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_occ
+       |FROM hs GROUP BY h
+       |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "curate_decontaminate_spans" ->
       (decontaminateSpans, Some(decontaminateSpansSql)),
     "dedup_shingle_containment" ->
