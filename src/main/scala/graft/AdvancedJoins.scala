@@ -790,7 +790,92 @@ object AdvancedJoins {
       |HAVING COUNT(*) >= 2
       |ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  /** KMV (k-minimum-values) sketches with SET-INTERSECTION estimation
+    * (Beyer et al. 2007; the theta-sketch family's core idea) — the
+    * sketch HLL cannot provide: HLL unions but never intersects, while
+    * KMV's k smallest hash values of each set merge into a union
+    * sketch whose members can be TESTED against both input sketches,
+    * yielding a Jaccard/intersection estimator. Here: the
+    * positive-balance customer set vs the has-ordered customer set
+    * (genuinely different sets — the corpus' event-user and
+    * per-language-token candidates measured DEGENERATE: every user
+    * does every event type and all five langs share one 31-token
+    * synthetic vocabulary), k = 64, hash = the house 48-bit md5 slice
+    * (deterministic — both engines build bit-identical sketches, so
+    * the gate hashes the sketch CONTENT, not a tolerance).
+    * Output (one row): the k-th smallest hash of each sketch (the
+    * estimator denominators — distinct(S) ≈ (k−1)·2^48 / h_k, left as
+    * exact integers per the house ratio rule), the union-sketch member
+    * count found in both input sketches (the intersection numerator),
+    * and the EXACT distinct/intersection counts beside them — the
+    * two-pass sketch-gate pattern (the sketch is the operator, the
+    * exact recompute is the quality reference; KmvSpec pins the
+    * estimates within ±50% of exact on this corpus).
+    *
+    * Scale shape: two distinct-aggregates to per-set hash sets, each
+    * top-k via orderBy+limit (TakeOrderedAndProject — the sketch build
+    * IS a distributed top-k), 64-row broadcast joins for membership,
+    * and the exact reference counts as plain distinct aggregations.
+    */
+  val kmvIntersect: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.KeyHash
+    val ha = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "customer").filter($"c_acctbal" > 0)
+        .select(KeyHash.hash48("kmv|", $"c_custkey").as("h")).distinct())
+    val hb = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "orders").select($"o_custkey").distinct()
+        .select(KeyHash.hash48("kmv|", $"o_custkey").as("h")).distinct())
+    val k = 64
+    val skA = broadcast(ha.orderBy($"h").limit(k))
+    val skB = broadcast(hb.orderBy($"h").limit(k))
+    val skU = broadcast(
+      skA.unionByName(skB).distinct().orderBy($"h").limit(k))
+    val common = skU.join(skA, "h").join(skB, "h")
+      .agg(count(lit(1)).as("n_common"))
+    val hks = skA.agg(max($"h").as("hk_a"))
+      .crossJoin(skB.agg(max($"h").as("hk_b")))
+      .crossJoin(skU.agg(max($"h").as("hk_u")))
+    val exact = ha.agg(count(lit(1)).as("exact_a"))
+      .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(ha.join(hb, "h").agg(count(lit(1)).as("exact_inter")))
+    hks.crossJoin(common).crossJoin(exact)
+      .select(lit(k).as("k"), $"hk_a", $"hk_b", $"hk_u", $"n_common",
+        $"exact_a", $"exact_b", $"exact_inter")
+  }
+
+  val kmvIntersectSql: String = {
+    import graft.functions.KeyHash
+    val hc = KeyHash.sqlHash48("kmv|", "c_custkey")
+    val ho = KeyHash.sqlHash48("kmv|", "o_custkey")
+    s"""WITH ha AS (
+       |  SELECT DISTINCT $hc AS h FROM customer WHERE c_acctbal > 0),
+       |hb AS (
+       |  SELECT DISTINCT $ho AS h FROM (
+       |    SELECT DISTINCT o_custkey FROM orders)),
+       |ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+       |skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+       |sku AS (SELECT DISTINCT h FROM (
+       |    SELECT h FROM ska UNION ALL SELECT h FROM skb)
+       |  ORDER BY h LIMIT 64),
+       |common AS (
+       |  SELECT COUNT(*) AS n_common FROM sku
+       |  JOIN ska USING (h) JOIN skb USING (h)),
+       |hks AS (
+       |  SELECT (SELECT MAX(h) FROM ska) AS hk_a,
+       |         (SELECT MAX(h) FROM skb) AS hk_b,
+       |         (SELECT MAX(h) FROM sku) AS hk_u),
+       |exact AS (
+       |  SELECT (SELECT COUNT(*) FROM ha) AS exact_a,
+       |         (SELECT COUNT(*) FROM hb) AS exact_b,
+       |         (SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS exact_inter)
+       |SELECT CAST(64 AS INT) AS k, hk_a, hk_b, hk_u, n_common,
+       |  exact_a, exact_b, exact_inter
+       |FROM hks CROSS JOIN common CROSS JOIN exact""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "agg_kmv_intersect" -> (kmvIntersect, Some(kmvIntersectSql)),
     "agg_frequent_pairs" -> (frequentPairs, Some(frequentPairsSql)),
     "join_asof_nearest" ->
       (asofNearestClickPurchase, Some(asofNearestSql)),
