@@ -40,9 +40,12 @@ object ArtifactCache {
         if (Files.isRegularFile(p)) md.update(Files.readAllBytes(p))
         else if (Files.isDirectory(p)) {
           import scala.jdk.CollectionConverters._
-          val files = Files.walk(p).iterator().asScala
-            .filter(Files.isRegularFile(_)).toSeq
-            .sortBy(f => p.relativize(f).toString)
+          val walk = Files.walk(p)
+          val files =
+            try walk.iterator().asScala
+              .filter(Files.isRegularFile(_)).toSeq
+              .sortBy(f => p.relativize(f).toString)
+            finally walk.close()
           files.foreach { f =>
             md.update(p.relativize(f).toString.getBytes("UTF-8"))
             md.update(Files.readAllBytes(f))
@@ -80,30 +83,53 @@ object ArtifactCache {
     * bench after a Verify at another SF rebuilt all three graphs).
     * With the cache disabled the build lands in per-process scratch
     * exactly as before.
+    *
+    * `version` is a bump-on-change tag for the BUILDER code: the cache
+    * outlives the JVM, so an edited build procedure must change the
+    * entry name or a rerun silently reuses the stale artifact (and the
+    * mismatch surfaces later as a confusing oracle failure). It is
+    * hashed into the fingerprint suffix, so a version bump both misses
+    * the old entry and sweeps it as stale.
     */
-  def getOrBuild(name: String, dir: String, tables: Seq[String])
-      (build: String => Unit): String = {
+  def getOrBuild(name: String, dir: String, tables: Seq[String],
+      version: String = "1")(build: String => Unit): String = {
     if (!enabled) {
       val p = s"${Scratch.dir}/graft_art_${Scratch.runToken}_$name"
       build(p)
       return p
     }
-    val fp = fingerprint(dir, tables)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((fingerprint(dir, tables) + "|v" + version).getBytes("UTF-8"))
+    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
     val dirKey = dir.replaceAll("[^A-Za-z0-9]", "").takeRight(12)
     val slot = s"${name}_$dirKey"
     val dest = cacheRoot.resolve(s"${slot}_$fp")
     if (Files.exists(dest.resolve(Marker))) return dest.toString
     Files.createDirectories(cacheRoot)
-    // sweep only this slot's older-fingerprint entries (exact shape)
+    // sweep only this slot's older-fingerprint entries (exact shape),
+    // plus orphaned temp dirs a crashed/thrown build left behind (the
+    // tmp name embeds a per-process runToken, so no later process would
+    // ever reuse or rename them — without this they leak forever). The
+    // 2h-idle guard (Scratch's convention) keeps a CONCURRENT process's
+    // live build untouched.
     val stale = s"^${java.util.regex.Pattern.quote(slot)}_[0-9a-f]{16}$$".r
+    val orphanCutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     Option(cacheRoot.toFile.listFiles()).foreach(_.foreach { f =>
-      if (stale.matches(f.getName) &&
-        f.getName != dest.getFileName.toString)
+      if ((stale.matches(f.getName) &&
+        f.getName != dest.getFileName.toString) ||
+        (f.getName.startsWith(".tmp_") &&
+          !f.getName.contains(Scratch.runToken) &&
+          f.lastModified() < orphanCutoff))
         deleteRecursively(f)
     })
     val tmp = cacheRoot.resolve(s".tmp_${Scratch.runToken}_${slot}_$fp")
     deleteRecursively(tmp.toFile)
-    build(tmp.toString)
+    try build(tmp.toString)
+    catch {
+      case e: Throwable =>
+        deleteRecursively(tmp.toFile)
+        throw e
+    }
     Files.write(tmp.resolve(Marker), Array.empty[Byte])
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch {

@@ -148,8 +148,9 @@ object Bench {
     // a "zero regressions" claim — the r14 claim was falsified under one
     // reading of its own threshold. Pinned wording: a query regresses iff
     // (now - prev) > 0.3 s AND now / prev > 1.4.
-    val (regressBaseline, priorTimes) = priorRecord()
-    val regs = regressions(priorTimes, results.toMap)
+    val (regressBaseline, priorTimes, priorDuckTotal) = priorRecordWithDuck()
+    val lf = loadFactor(duckTotal, priorDuckTotal)
+    val regs = regressions(priorTimes, results.toMap, loadFactor = lf)
     val regJson = regs.map { case (q, prev, now) =>
       s"""{"q":"$q","prev":${fmt(prev)},"now":${fmt(now)}}"""
     }.mkString("[", ",", "]")
@@ -158,7 +159,7 @@ object Bench {
     val gcJson = gcLedger.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"train_warmup_sec":${fmt(trainSec)},"warmup_items":$warmJson,"n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$qs,"gc_ms":$gcJson,"gc_total_ms":$gcTotalMs,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"regress_baseline":${regressBaseline.map(b => "\"" + b + "\"").getOrElse("null")},"regressions":$regJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"train_warmup_sec":${fmt(trainSec)},"warmup_items":$warmJson,"n":${results.size},"errors":$errs,"sf":"$sfDir","queries":$qs,"gc_ms":$gcJson,"gc_total_ms":$gcTotalMs,"duckdb":$duckJson,"ratio":$ratioJson,"duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"regress_baseline":${regressBaseline.map(b => "\"" + b + "\"").getOrElse("null")},"load_factor":${fmt(lf)},"regressions":$regJson}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -173,24 +174,43 @@ object Bench {
     // the full record at target/bench_full.json.
     println(full)
     println(summaryLine(total, results.size, errors.size, trainSec, sfDir,
-      duckTotal, duckNulls, ratioTotal, ratioMedian, gcTotalMs, regs.size))
+      duckTotal, duckNulls, ratioTotal, ratioMedian, gcTotalMs, regs.size, lf))
     spark.stop()
   }
 
-  /** The pinned regression predicate (r15, machine-evaluated): a query
-    * regresses vs the prior committed record iff BOTH the absolute delta
-    * exceeds `deltaSec` (default 0.3 s) AND the ratio exceeds `minRatio`
-    * (default 1.4×). Queries absent from either side never regress.
-    * Returns (name, prev, now) sorted by descending delta.
+  /** The pinned regression predicate (r15, machine-evaluated; r16
+    * load-normalized): a query regresses vs the prior committed record
+    * iff BOTH the absolute delta exceeds `deltaSec` (default 0.3 s) AND
+    * the ratio exceeds `minRatio` (default 1.4×), after scaling the
+    * prior time by `loadFactor` — the run's own host-load estimate
+    * (this run's `duckdb_total` over the baseline record's, clamped at
+    * ≥ 1). Both engines run in the same process, so a loaded host
+    * inflates them together; without the normalization every loaded
+    * driver run flagged 9–23 phantoms vs the quiet-host baseline
+    * (BENCH_NOTES r15) and the official record read as regressions.
+    * Queries absent from either side never regress. Returns
+    * (name, prev-as-scaled, now) sorted by descending delta.
     */
   def regressions(prior: Map[String, Double], now: Map[String, Double],
-      deltaSec: Double = 0.3, minRatio: Double = 1.4):
-      Seq[(String, Double, Double)] =
+      deltaSec: Double = 0.3, minRatio: Double = 1.4,
+      loadFactor: Double = 1.0): Seq[(String, Double, Double)] =
     now.toSeq.flatMap { case (q, v) =>
-      prior.get(q).collect {
+      prior.get(q).map(_ * loadFactor).collect {
         case p if p > 0 && v - p > deltaSec && v / p > minRatio => (q, p, v)
       }
     }.sortBy { case (_, p, v) => p - v }
+
+  /** The host-load estimate used to normalize the regression gate:
+    * this run's DuckDB total over the baseline record's, clamped at
+    * ≥ 1.0 so a quiet run (or a host FASTER than the baseline's)
+    * evaluates the raw pinned predicate unchanged — the normalization
+    * only ever forgives load, never hides a real regression behind a
+    * faster host. Falls back to 1.0 when either total is absent.
+    */
+  def loadFactor(nowDuckTotal: Double, priorDuckTotal: Double): Double =
+    if (nowDuckTotal > 0 && priorDuckTotal > 0)
+      math.max(1.0, nowDuckTotal / priorDuckTotal)
+    else 1.0
 
   /** The prior committed per-query record: the file named by
     * SPARK_GRAFT_BENCH_BASELINE, else the newest BENCH_SELF_r*.json in
@@ -200,6 +220,14 @@ object Bench {
     * than failing.
     */
   def priorRecord(): (Option[String], Map[String, Double]) = {
+    val (n, q, _) = priorRecordWithDuck()
+    (n, q)
+  }
+
+  /** [[priorRecord]] plus the baseline record's `duckdb_total` (0.0 when
+    * absent) — the denominator of the regression gate's load estimate.
+    */
+  def priorRecordWithDuck(): (Option[String], Map[String, Double], Double) = {
     try {
       val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
         .map(java.nio.file.Paths.get(_))
@@ -221,20 +249,22 @@ object Bench {
           val m = new com.fasterxml.jackson.databind.ObjectMapper()
           val node = m.readTree(txt)
           val qn = node.get("queries")
-          if (qn == null || !qn.isObject) (None, Map.empty)
+          if (qn == null || !qn.isObject) (None, Map.empty, 0.0)
           else {
             import scala.jdk.CollectionConverters._
             val qs = qn.fieldNames().asScala.map { k =>
               k -> qn.get(k).asDouble()
             }.toMap
-            (Some(p.getFileName.toString), qs)
+            val dt = Option(node.get("duckdb_total"))
+              .map(_.asDouble(0.0)).getOrElse(0.0)
+            (Some(p.getFileName.toString), qs, dt)
           }
-        case _ => (None, Map.empty)
+        case _ => (None, Map.empty, 0.0)
       }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] baseline record unavailable: $e")
-        (None, Map.empty)
+        (None, Map.empty, 0.0)
     }
   }
 
@@ -245,10 +275,11 @@ object Bench {
     */
   def summaryLine(total: Double, n: Int, errors: Int, trainSec: Double,
       sfDir: String, duckTotal: Double, duckNulls: Int, ratioTotal: Double,
-      ratioMedian: Double, gcTotalMs: Long = 0L, regressions: Int = 0): String = {
+      ratioMedian: Double, gcTotalMs: Long = 0L, regressions: Int = 0,
+      loadFactor: Double = 1.0): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"gc_total_ms":$gcTotalMs,"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions,"full":"target/bench_full.json"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,"errors":$errors,"train_warmup_sec":${fmt(trainSec)},"gc_total_ms":$gcTotalMs,"sf":"$sfDir","duckdb_total":${fmt(duckTotal)},"duckdb_nulls":$duckNulls,"ratio_total":${fmt(ratioTotal)},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions,"load_factor":${fmt(loadFactor)},"full":"target/bench_full.json"}"""
   }
 
   /** Times every [[SparkEntry.oracleSql]] entry in DuckDB via

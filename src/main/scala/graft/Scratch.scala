@@ -62,12 +62,13 @@ object Scratch {
     */
   def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+    val walk = java.nio.file.Files.walk(from)
+    try walk.iterator().asScala.foreach { p =>
       val dest = to.resolve(from.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(dest)
       else java.nio.file.Files.copy(p, dest,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 }

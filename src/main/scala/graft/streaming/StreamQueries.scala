@@ -1314,13 +1314,23 @@ object StreamQueries {
     // the standard chore of relocating a checkpointed sink
     val metaDir = Paths.get(out, "_spark_metadata")
     import scala.jdk.CollectionConverters._
-    Files.list(metaDir).iterator().asScala.filter(Files.isRegularFile(_))
+    val metaList = Files.list(metaDir)
+    try metaList.iterator().asScala.filter(Files.isRegularFile(_))
       .foreach { f =>
-        val txt = new String(Files.readAllBytes(f),
-          java.nio.charset.StandardCharsets.UTF_8)
-        Files.write(f, txt.replace(fixOut, out)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // the in-place rewrite invalidates any Hadoop checksum sidecar a
+        // checksummed FileSystem would have copied alongside — drop them
+        // so a relocated sink can never read as a ChecksumException
+        if (f.getFileName.toString.matches("^\\..*\\.crc$")) Files.delete(f)
+        else {
+          val crc = f.resolveSibling("." + f.getFileName.toString + ".crc")
+          Files.deleteIfExists(crc)
+          val txt = new String(Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          Files.write(f, txt.replace(fixOut, out)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
+    finally metaList.close()
     runToCompletion(runIn, out, ck)
     s.read.parquet(out)
       .filter($"event_type" =!= "__sentinel__")

@@ -1367,7 +1367,124 @@ object DedupQueries {
        |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 20""".stripMargin
   }
 
+  /** Exact substring-SPAN dedup — the suffix-array-class primitive of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): find and MAP duplicated ≥k-token passages across
+    * document pairs, reporting (doc_a, doc_b, start_a, start_b,
+    * span_tokens) for each maximal shared run. Doc-level MinHash misses
+    * partially-overlapping passages and [[exactSubstring]] only counts
+    * covered tokens per doc — this gate recovers the pairwise span map
+    * itself, including planted passages copied at SHIFTED offsets (the
+    * case fixed-window fingerprints break on).
+    *
+    * Spark-first equivalent of the suffix-array scan: tokenize once →
+    * positional k-gram md5 keys in the scan ([[NearDup.posGramKeys]]) →
+    * one shuffle groups gram occurrences; grams kept only when shared
+    * by ≥2 docs AND total occurrences ≤ [[SpanOccCap]] (stopword-like
+    * grams are pure pair-fanout: a gram in m docs is m² pairs, so the
+    * cap bounds candidates at C(cap,2) per gram — the hot-band-cap
+    * discipline); the self-join on the gram key emits matched position
+    * pairs; maximal spans are gaps-and-islands per (pair, diagonal
+    * pa−pb) — consecutive k-gram hits along a diagonal ARE a longer
+    * shared substring. Global top-100 by span length rides
+    * orderBy+limit → TakeOrderedAndProject. Every shuffle is keyed
+    * (gram, then pair+diag); nothing is all-pairs, nothing lands a
+    * corpus on one reducer.
+    */
+  private val SpanK = 8
+  private val SpanOccCap = 16
+
+  val substringSpans: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 15)
+    // planted plagiarism: a hash-selected ~10% of long docs each spawn a
+    // +50000 variant carrying a 16-27-token passage lifted from the
+    // original at a SHIFTED offset (copied span starts at position 7 in
+    // the source, 6 in the variant), wrapped in tokens the original also
+    // has elsewhere — known recoverable span structure on top of the
+    // corpus's organic 8-gram repeats
+    val lifted = base
+      .filter(graft.functions.KeyHash.bucket100("span|", $"doc_id") < 10 &&
+        size($"toks") >= 40)
+      .select(($"doc_id" + 50000).as("doc_id"),
+        concat(slice($"toks", lit(31), lit(6)),
+          slice($"toks", lit(8), (lit(16) + ($"doc_id" % 12)).cast("int")),
+          slice($"toks", lit(37), lit(4))).as("toks"))
+    val corpus = base.unionByName(lifted)
+    val grams = corpus
+      .select($"doc_id", posexplode(posGramKeys($"toks", SpanK)))
+      .toDF("doc_id", "p", "g")
+    val kept = grams.groupBy($"g")
+      .agg(count(lit(1)).as("occ"), count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"occ" <= SpanOccCap)
+      .select($"g")
+    // the pair join reads hits TWICE — persist the (small, capped) table
+    val hits = graft.CacheTracker.persistTracked(grams.join(kept, "g"))
+    val pairs = hits.as("a").join(hits.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.p").cast("long").as("pa"), col("b.p").cast("long").as("pb"))
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    pairs.withColumn("diag", $"pa" - $"pb")
+      .withColumn("island", $"pa" - row_number().over(w).cast("long"))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"island")
+      .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
+        (max($"pa") - min($"pa") + SpanK).cast("long").as("span_tokens"))
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"span_tokens")
+      .orderBy($"span_tokens".desc, $"doc_a", $"doc_b", $"start_a", $"start_b")
+      .limit(100)
+  }
+
+  val substringSpansSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("span|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |base AS (SELECT * FROM docs WHERE len(toks) >= 15),
+       |lifted AS (
+       |  SELECT doc_id + 50000 AS doc_id,
+       |    list_cat(list_cat(
+       |      list_slice(toks, 31, 36),
+       |      list_slice(toks, 8, 23 + doc_id % 12)),
+       |      list_slice(toks, 37, 40)) AS toks
+       |  FROM base WHERE $b < 10 AND len(toks) >= 40),
+       |corpus AS (
+       |  SELECT doc_id, toks FROM base
+       |  UNION ALL SELECT doc_id, toks FROM lifted),
+       |gr AS (
+       |  SELECT doc_id, unnest(${sqlPosGramStructs("toks", SpanK)}) AS u
+       |  FROM corpus),
+       |grams AS MATERIALIZED (
+       |  SELECT doc_id, CAST(struct_extract(u, 'p') AS BIGINT) AS p,
+       |    struct_extract(u, 'g') AS g
+       |  FROM gr),
+       |kept AS (
+       |  SELECT g FROM grams GROUP BY g
+       |  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= $SpanOccCap),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id, p, g FROM grams JOIN kept USING (g)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+       |  FROM hits a JOIN hits b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+       |    pa - CAST(row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS BIGINT)
+       |      AS island
+       |  FROM pairs)
+       |SELECT doc_a, doc_b, CAST(MIN(pa) AS BIGINT) AS start_a,
+       |  CAST(MIN(pb) AS BIGINT) AS start_b,
+       |  CAST(MAX(pa) - MIN(pa) + $SpanK AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_a, doc_b, diag, island
+       |ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b
+       |LIMIT 100""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "dedup_substring_spans" -> (substringSpans, Some(substringSpansSql)),
     "dedup_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "curate_decontaminate_spans" ->
       (decontaminateSpans, Some(decontaminateSpansSql)),

@@ -26,7 +26,7 @@ class BenchSpec extends AnyFunSuite {
     val node = m.readTree(line) // throws on malformed JSON
     for (k <- Seq("metric", "value", "unit", "n", "errors",
         "train_warmup_sec", "gc_total_ms", "sf", "duckdb_total",
-        "duckdb_nulls", "ratio_total", "ratio_median", "full"))
+        "duckdb_nulls", "ratio_total", "ratio_median", "load_factor", "full"))
       assert(node.has(k), s"missing key $k in $line")
     assert(node.get("n").asInt() == 252)
     assert(node.get("ratio_total").asDouble() == 0.616)
@@ -79,5 +79,28 @@ class BenchSpec extends AnyFunSuite {
     assert(name.exists(_.startsWith("BENCH_SELF_r")), s"got $name")
     assert(qs.nonEmpty && qs.values.forall(_ >= 0.0))
     assert(qs.contains("q1_pricing_summary"), "per-query map missing keys")
+    // the load-normalization denominator rides the same record
+    val (name2, qs2, duckTotal) = Bench.priorRecordWithDuck()
+    assert(name2 == name && qs2 == qs)
+    assert(duckTotal > 0.0, "baseline duckdb_total missing")
+  }
+
+  test("load factor: clamped at 1.0, ratio above, 1.0 on missing totals") {
+    assert(Bench.loadFactor(300.0, 200.0) == 1.5) // loaded run: scale prev up
+    assert(Bench.loadFactor(150.0, 200.0) == 1.0) // faster host: raw predicate
+    assert(Bench.loadFactor(0.0, 200.0) == 1.0)   // duckdb disabled this run
+    assert(Bench.loadFactor(300.0, 0.0) == 1.0)   // baseline had no duck total
+  }
+
+  test("regression predicate is load-normalized: phantoms under uniform load") {
+    // a uniformly 1.6x-loaded host: every query slower by the same factor,
+    // duckdb_total inflated identically -> loadFactor 1.6 -> zero flags
+    val prior = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5)
+    val loaded = prior.map { case (k, v) => k -> v * 1.6 }
+    assert(Bench.regressions(prior, loaded).nonEmpty, "sanity: raw flags fire")
+    assert(Bench.regressions(prior, loaded, loadFactor = 1.6).isEmpty)
+    // a REAL regression still fires through the normalization
+    val real = loaded + ("b" -> 6.0) // 3x beyond the load factor
+    assert(Bench.regressions(prior, real, loadFactor = 1.6).map(_._1) == Seq("b"))
   }
 }
