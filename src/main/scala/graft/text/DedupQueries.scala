@@ -1210,6 +1210,66 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination at the canonical 13-gram scale (the
+    * GPT-3 appendix-C / Lee et al. hygiene step) — the REMOVAL DECISION
+    * on every training doc: any exact 13-gram collision with the
+    * held-out eval set marks the doc `drop`. Complements
+    * [[contaminationCheck]] (per-pair 5-gram containment scores) and
+    * [[decontaminateSpans]] (span-level token accounting) with the
+    * corpus-wide verdict column a pipeline actually filters on.
+    *
+    * Scale shape (the r12 query-anchored discipline): the eval set's
+    * 13-gram md5 set is eval-sized and BROADCAST; the corpus gram
+    * stream semi-joins it BEFORE any aggregation, so the full-corpus
+    * vocabulary never shuffles — train-side cost is one scan at any
+    * corpus size, and the per-doc rollup keys on doc_id.
+    */
+  val decontaminateNgrams: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    // the same hash-selected eval spans as contaminationCheck: 25-token
+    // passages lifted from ~3% of docs — each contributes 13 13-grams,
+    // and its SOURCE doc must come back `drop`
+    val isEval = graft.functions.KeyHash.bucket100("eval|", $"doc_id") < 3
+    val evalG = base.filter(isEval && size($"toks") >= 32)
+      .select(explode(wordShingles(slice($"toks", lit(8), lit(25)), 13)).as("t"))
+      .select(md5($"t".cast("binary")).as("g")).distinct()
+    val hits = base.filter(size($"toks") >= 13)
+      .select($"doc_id", explode(wordShingles($"toks", 13)).as("t"))
+      .select($"doc_id", md5($"t".cast("binary")).as("g"))
+      .join(broadcast(evalG), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    base.select($"doc_id", size($"toks").as("n_toks"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        when($"n_hits".isNull, "keep").otherwise("drop").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateNgramsSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("eval|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |ev AS (
+       |  SELECT DISTINCT md5(t) AS g
+       |  FROM (SELECT unnest(${sqlShingles("list_slice(toks, 8, 32)", 13)}) AS t
+       |        FROM docs WHERE $b < 3 AND len(toks) >= 32)),
+       |tr AS (
+       |  SELECT doc_id, md5(unnest(${sqlShingles("toks", 13)})) AS g
+       |  FROM docs WHERE len(toks) >= 13),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits
+       |  FROM tr JOIN ev USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_toks,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  CASE WHEN h.n_hits IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM docs d LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val decontaminateSpansSql: String = {
     val b = graft.functions.KeyHash.sqlBucket100("eval|", "doc_id")
     s"""WITH docs AS (
@@ -1414,13 +1474,27 @@ object DedupQueries {
         concat(slice($"toks", lit(31), lit(6)),
           slice($"toks", lit(8), (lit(16) + ($"doc_id" % 12)).cast("int")),
           slice($"toks", lit(37), lit(4))).as("toks"))
-    val corpus = base.unionByName(lifted)
+    spanMap(base.unionByName(lifted), SpanK, SpanOccCap)
+      .orderBy($"span_tokens".desc, $"doc_a", $"doc_b", $"start_a", $"start_b")
+      .limit(100)
+  }
+
+  /** The span-map core over any (doc_id, toks) frame — package-private
+    * so ScaleStressSpec can drive it on a 50k-doc synthetic corpus:
+    * positional k-gram keys → occurrence-capped gram groups → pair join
+    * → maximal runs per (pair, diagonal). Returns (doc_a, doc_b,
+    * start_a, start_b, span_tokens), unordered.
+    */
+  private[graft] def spanMap(corpus: org.apache.spark.sql.DataFrame,
+      k: Int, occCap: Int): org.apache.spark.sql.DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val grams = corpus
-      .select($"doc_id", posexplode(posGramKeys($"toks", SpanK)))
+      .select($"doc_id", posexplode(posGramKeys($"toks", k)))
       .toDF("doc_id", "p", "g")
     val kept = grams.groupBy($"g")
       .agg(count(lit(1)).as("occ"), count_distinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2 && $"occ" <= SpanOccCap)
+      .filter($"nd" >= 2 && $"occ" <= occCap)
       .select($"g")
     // the pair join reads hits TWICE — persist the (small, capped) table
     val hits = graft.CacheTracker.persistTracked(grams.join(kept, "g"))
@@ -1433,10 +1507,8 @@ object DedupQueries {
       .withColumn("island", $"pa" - row_number().over(w).cast("long"))
       .groupBy($"doc_a", $"doc_b", $"diag", $"island")
       .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
-        (max($"pa") - min($"pa") + SpanK).cast("long").as("span_tokens"))
+        (max($"pa") - min($"pa") + k).cast("long").as("span_tokens"))
       .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"span_tokens")
-      .orderBy($"span_tokens".desc, $"doc_a", $"doc_b", $"start_a", $"start_b")
-      .limit(100)
   }
 
   val substringSpansSql: String = {
@@ -1488,6 +1560,8 @@ object DedupQueries {
     "dedup_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "curate_decontaminate_spans" ->
       (decontaminateSpans, Some(decontaminateSpansSql)),
+    "curate_decontaminate_ngrams" ->
+      (decontaminateNgrams, Some(decontaminateNgramsSql)),
     "dedup_shingle_containment" ->
       (shingleContainment, Some(shingleContainmentSql)),
     "dedup_url_canonical" -> (urlCanonical, Some(urlCanonicalSql)),

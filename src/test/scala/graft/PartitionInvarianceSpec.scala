@@ -11,9 +11,10 @@ package graft
 class PartitionInvarianceSpec extends SparkSpec {
 
   private val gates = Seq("text_kneser_ney_bigram", "events_holt_winters",
-    "dedup_cdc_chunks", "agg_kmv_intersect")
+    "dedup_cdc_chunks", "agg_kmv_intersect", "dedup_substring_spans",
+    "curate_decontaminate_ngrams")
 
-  test("r15 gates are row-identical under shuffle partitions 3 and 17") {
+  test("r15/r16 gates are row-identical under shuffle partitions 3 and 17") {
     gates.foreach { g =>
       def run(parts: String): Seq[String] =
         Confs.withConf(spark, "spark.sql.shuffle.partitions" -> parts) {

@@ -814,6 +814,22 @@ class PlanSpec extends SparkSpec {
       "nothing here should shuffle-join — eval grams are broadcast:\n" + p)
   }
 
+  test("substring spans: gram-keyed pair join, top-100 as TakeOrderedAndProject") {
+    val p = plan("dedup_substring_spans")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-100 must not be a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      "the pair join must ride the gram equi-key:\n" + p)
+  }
+
+  test("13-gram decontamination: broadcast eval set, verdict keyed on doc") {
+    val p = plan("curate_decontaminate_ngrams")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval 13-gram set must broadcast into the corpus gram stream:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq distortion: persisted slices, broadcast codebook, M-row report") {
     val p = plan("sim_pq_distortion")
     assert(p.contains("InMemoryTableScan"),

@@ -94,6 +94,38 @@ class ScaleStressSpec extends SparkSpec {
     info(f"exact-substring coverage on $n docs: $secs%.1f s")
   }
 
+  test("substring spans: 50k docs, 2000 planted shifted-offset passages") {
+    // 50k synthetic 40-token docs; tokens are md5-derived (NEVER an
+    // affine ramp — the r7 sawtooth correlation trap) so organic 8-gram
+    // collisions are absent, and docs j < 2000 share a 20-token passage
+    // with doc j+25000 at SHIFTED offsets (11 vs 5) — the case
+    // doc-level MinHash misses and CDC only realigns, but the span map
+    // must recover exactly: one span per pair, diagonal 6, length 20,
+    // nothing else. ~1.65M positional grams exercise the gram shuffle,
+    // the cap filter, and the diagonal islands at 10x gate scale.
+    val docs = spark.range(50000).select($"id".as("doc_id"),
+      expr("""transform(sequence(0, 39), p ->
+        CASE WHEN id < 2000 AND p BETWEEN 11 AND 30
+               THEN concat('s', id, '_', p - 11)
+             WHEN id >= 25000 AND id < 27000 AND p BETWEEN 5 AND 24
+               THEN concat('s', id - 25000, '_', p - 5)
+             ELSE substr(md5(concat(id, '|', p)), 1, 8) END)""").as("toks"))
+      .localCheckpoint(true)
+    val (spans, secs) = timed {
+      val r = graft.text.DedupQueries.spanMap(docs, 8, 16).collect()
+      graft.CacheTracker.releaseAll()
+      r
+    }
+    assert(spans.length == 2000, s"expected exactly 2000 spans, got ${spans.length}")
+    spans.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(b == a + 25000 && a < 2000, s"unexpected pair ($a, $b)")
+      assert(r.getLong(2) == 11 && r.getLong(3) == 5 && r.getLong(4) == 20,
+        s"span for pair ($a, $b) mis-mapped: $r")
+    }
+    info(f"substring span map on 50k docs: $secs%.1f s")
+  }
+
   test("semantic dedup: 5x tiled vectors, cluster-bounded screen at 10k corpus") {
     import graft.vector.VectorOps
     // 5 tiles of every sf0.1 embedding (10k vectors), tile j shifted by
