@@ -1127,6 +1127,9 @@ object SimilarityQueries {
         // parked on the SHORTEST branch (the critical path is the two
         // NN-descent builds at ~35-43 s; this branch sums ~35 s)
         timed("link_graph")(graft.pipeline.CurationQueries.linkGraph(cs, dir))
+        // the shared 4-landmark BFS settled table (r16): bfs_layers +
+        // closeness_landmarks both read it; ArtifactCache-persisted
+        timed("landmark_bfs")(graft.pipeline.CurationQueries.landmarkBfs(cs, dir))
         // the pre-vacuum three-commit lake fixture (r15): deterministic
         // input prep the gate then copies and mutates per invocation
         timed("lake_vacuum_fixture")(graft.LakeQueries.vacuumFixture(cs, dir))
