@@ -143,4 +143,19 @@ object ArtifactCache {
     }
     dest.toString
   }
+
+  /** [[getOrBuild]] for builders that STAGE into scratch first (the
+    * Lloyd trainers materialize per-round intermediates and only the
+    * final round is the artifact): `stage` runs only on a cache miss
+    * (or with the cache disabled, reproducing the per-process scratch
+    * behavior exactly) and returns the finished scratch tree, which is
+    * copied into the published entry. Keeps each builder's existing
+    * body untouched — the adapter is the only cache-aware line.
+    */
+  def publishStaged(name: String, dir: String, tables: Seq[String],
+      version: String = "1")(stage: => String): String =
+    if (!enabled) stage
+    else getOrBuild(name, dir, tables, version) { tmp =>
+      Scratch.copyTree(Paths.get(stage), Paths.get(tmp))
+    }
 }

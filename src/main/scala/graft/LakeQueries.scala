@@ -777,10 +777,14 @@ object LakeQueries {
   private[graft] def vacuumFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     vacFixturePaths.getOrBuild(dir) {
-      val base = s"${Scratch.dir}/graft_lake_vacfix_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
-      vacuumBuildFixture(s, dir, base)
-      base
+      // Snapshots manifests store RELATIVE paths (r15), so the fixture
+      // tree is relocation-safe and can live in the cross-JVM cache
+      ArtifactCache.publishStaged("vacfix", dir, Seq("orders")) {
+        val base = s"${Scratch.dir}/graft_lake_vacfix_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+        vacuumBuildFixture(s, dir, base)
+        base
+      }
     }
 
   val vacuumRetention: Q = (s, dir) => {

@@ -1284,16 +1284,22 @@ object CurationQueries {
       dir: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
     val (nodesP, adjP, n) = linkGraphPaths.getOrBuild(dir) {
-      import s.implicits._
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"${graft.Scratch.dir}/graft_linkgraph_" +
-        s"${graft.Scratch.runToken}_$dirKey"
-      val docs = Tables(s, dir, "documents").select($"doc_id")
-        .localCheckpoint(true)
-      val nn = docs.count()
-      docs.write.mode("overwrite").parquet(s"$base/nodes")
-      linkAdj(docs, nn).write.mode("overwrite").parquet(s"$base/adj")
-      (s"$base/nodes", s"$base/adj", nn)
+      val base = graft.ArtifactCache.publishStaged(
+        "linkgraph", dir, Seq("documents")) {
+        import s.implicits._
+        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val b = s"${graft.Scratch.dir}/graft_linkgraph_" +
+          s"${graft.Scratch.runToken}_$dirKey"
+        val docs = Tables(s, dir, "documents").select($"doc_id")
+          .localCheckpoint(true)
+        val nn = docs.count()
+        docs.write.mode("overwrite").parquet(s"$b/nodes")
+        linkAdj(docs, nn).write.mode("overwrite").parquet(s"$b/adj")
+        b
+      }
+      // n re-derives from the artifact so a cross-JVM cache hit skips
+      // the docs scan entirely (one tiny count job, memoized per JVM)
+      (s"$base/nodes", s"$base/adj", s.read.parquet(s"$base/nodes").count())
     }
     (s.read.parquet(nodesP), s.read.parquet(adjP), n)
   }

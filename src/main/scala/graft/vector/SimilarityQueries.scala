@@ -233,11 +233,13 @@ object SimilarityQueries {
   private[graft] def plantedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = plantedPairsPath.getOrBuild(dir) {
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${graft.Scratch.dir}/graft_neardup_pairs_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      lshPairCosines(plantedRaw(s, dir)).write.mode("overwrite").parquet(p)
-      p
+      graft.ArtifactCache.publishStaged("ndpairs", dir, Seq("embeddings")) {
+        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = s"${graft.Scratch.dir}/graft_neardup_pairs_" +
+          s"${graft.RefQueries.runToken}_$dirKey"
+        lshPairCosines(plantedRaw(s, dir)).write.mode("overwrite").parquet(p)
+        p
+      }
     }
     s.read.schema("va BIGINT, vb BIGINT, cosine DOUBLE").parquet(path)
   }
@@ -533,6 +535,13 @@ object SimilarityQueries {
       vectors: org.apache.spark.sql.DataFrame): String = {
     import s.implicits._
     ivfCbPath.getOrBuild(dir) {
+      // `dir` may carry a |variant suffix (the incremental-add base-only
+      // training set) — the fingerprint wants the REAL corpus dir, the
+      // variant distinguishes the cache slot
+      val realDir = dir.takeWhile(_ != '|')
+      val variant = dir.dropWhile(_ != '|').replaceAll("[^A-Za-z0-9]", "")
+      graft.ArtifactCache.publishStaged(
+        s"ivfcb$variant", realDir, Seq("embeddings")) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       def matPath(name: String) = s"${graft.Scratch.dir}/graft_ivf_cb_" +
         s"${graft.RefQueries.runToken}_${dirKey}_$name"
@@ -572,6 +581,7 @@ object SimilarityQueries {
             .toDF("c_label", "pos", "val")), s"lloyd$i")
       }
       matPath(if (IvfLloyd > 0) s"lloyd$IvfLloyd" else "seed")
+      }
     }
   }
 
@@ -1052,16 +1062,19 @@ object SimilarityQueries {
   private def ivfIndexLayout(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
     ivfIdxPaths.getOrBuild(dir) {
-      val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"${graft.Scratch.dir}/graft_ivf_idx_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      assigned.write.partitionBy("nearest_label").mode("overwrite").parquet(idx)
-      val pPath = s"${graft.Scratch.dir}/graft_ivf_probes_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      ivfProbesFor(s, vectors, centroidArr)
-        .write.mode("overwrite").parquet(pPath)
-      (idx, pPath)
+      val base = graft.ArtifactCache.publishStaged(
+        "ivfidx", dir, Seq("embeddings")) {
+        val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val b = s"${graft.Scratch.dir}/graft_ivf_idx_" +
+          s"${graft.RefQueries.runToken}_$dirKey"
+        assigned.write.partitionBy("nearest_label").mode("overwrite")
+          .parquet(s"$b/idx")
+        ivfProbesFor(s, vectors, centroidArr)
+          .write.mode("overwrite").parquet(s"$b/probes")
+        b
+      }
+      (s"$base/idx", s"$base/probes")
     }
 
   /** Forces every per-(JVM, sf-dir) trained/materialized model artifact
@@ -1464,6 +1477,7 @@ object SimilarityQueries {
     import s.implicits._
     import org.apache.spark.sql.DataFrame
     pqCbPath.getOrBuild(s"$dir|$tag") {
+      graft.ArtifactCache.publishStaged(s"pqcb$tag", dir, Seq("embeddings")) {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       def matPath(name: String) = s"${graft.Scratch.dir}/graft_pq_cb_" +
         s"${graft.RefQueries.runToken}_${dirKey}_$tag$name"
@@ -1509,6 +1523,7 @@ object SimilarityQueries {
             .toDF("c_code", "m", "pos", "val")), s"lloyd$i")
       }
       matPath(if (PqLloyd > 0) s"lloyd$PqLloyd" else "seed")
+      }
     }
   }
 
@@ -2031,20 +2046,22 @@ object SimilarityQueries {
   private[graft] def bigramBase(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = bigramBasePath.getOrBuild(dir) {
-      import s.implicits._
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${graft.Scratch.dir}/graft_bigram_base_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      val toks = graft.text.TextAnalysis.tokens($"text")
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", toks.as("toks"))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
-          i => concat_ws(" ", element_at($"toks", i),
-            element_at($"toks", i + 1))).as("bg"))
-        .write.mode("overwrite").parquet(p)
-      p
+      graft.ArtifactCache.publishStaged("bigrams", dir, Seq("documents")) {
+        import s.implicits._
+        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = s"${graft.Scratch.dir}/graft_bigram_base_" +
+          s"${graft.RefQueries.runToken}_$dirKey"
+        val toks = graft.text.TextAnalysis.tokens($"text")
+        Tables(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select($"doc_id", toks.as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", transform(sequence(lit(1), size($"toks") - 1),
+            i => concat_ws(" ", element_at($"toks", i),
+              element_at($"toks", i + 1))).as("bg"))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
     }
     s.read.schema("doc_id BIGINT, bg ARRAY<STRING>").parquet(path)
   }
@@ -4037,11 +4054,13 @@ object SimilarityQueries {
   private[graft] def nngBeamResults(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = nngBeamPath.getOrBuild(dir) {
-      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"${graft.Scratch.dir}/graft_nng_beam_" +
-        s"${graft.RefQueries.runToken}_$dirKey"
-      nngBeamSearch(s, dir).write.mode("overwrite").parquet(p)
-      p
+      graft.ArtifactCache.publishStaged("nngbeam", dir, Seq("embeddings")) {
+        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val p = s"${graft.Scratch.dir}/graft_nng_beam_" +
+          s"${graft.RefQueries.runToken}_$dirKey"
+        nngBeamSearch(s, dir).write.mode("overwrite").parquet(p)
+        p
+      }
     }
     s.read.schema("q_id BIGINT, node BIGINT, rk INT").parquet(path)
   }
