@@ -784,6 +784,124 @@ object Queries {
        |WHERE rank <= 3 ORDER BY media_id, rank""".stripMargin
   }
 
+  /** CROSS-MODAL retrieval over the decoded multimodal corpus — the
+    * audio→image nearest-neighbour search a contrastive-pairing pipeline
+    * (CLIP-style candidate mining) runs against a shared feature space:
+    * both modalities decode to the same 16-bin intensity histogram
+    * (pure integer — no decimal detour), images are INDEXED under their
+    * dominant bin (the IVF coarse-cell analog), and each audio query
+    * PROBES its top-2 bins (nprobe=2 — the recall lever the
+    * single-probe `multimodal_image_simjoin` lacks), ranks candidates
+    * by integer L1, and keeps the top 3.
+    *
+    * Scale shape: the probe and index tables shuffle on the bin key —
+    * candidates exist only within probed cells, never all-pairs; per-cell
+    * membership is bounded by feature-space granularity; the top-3 window
+    * partitions by the query id. Top-2 probe selection itself rides a
+    * per-query window over 16 exploded bins, engine-parallel.
+    */
+  val multimodalCrossmodal: Q = (s, _) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.CacheTracker.persistTracked(
+      graft.multimodal.Multimodal.featurize(
+        graft.multimodal.Multimodal.syntheticCorpus(s, 200)
+          .filter(m => m.kind == "image" || m.kind == "audio"))
+        .toDF().select($"media_id", $"kind", $"histogram"))
+    val imgs = f.filter($"kind" === "image")
+      .select($"media_id".as("nbr_id"), $"histogram".as("h"),
+        array_position($"histogram", array_max($"histogram")).cast("int")
+          .as("blk"))
+    val wp = Window.partitionBy($"qid").orderBy($"v".desc, $"blk")
+    val probes = f.filter($"kind" === "audio")
+      .select($"media_id".as("qid"), posexplode($"histogram").as(Seq("p0", "v")))
+      .withColumn("blk", ($"p0" + 1).cast("int"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= 2)
+      .select($"qid", $"blk")
+    val wk = Window.partitionBy($"media_id").orderBy($"l1", $"nbr_id")
+    probes
+      .join(f.filter($"kind" === "audio")
+        .select($"media_id".as("qid"), $"histogram".as("qh")), "qid")
+      .join(imgs, "blk")
+      .select($"qid".as("media_id"), $"nbr_id", $"blk",
+        aggregate(zip_with($"qh", $"h", (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).as("l1"))
+      .withColumn("rank", row_number().over(wk))
+      .filter($"rank" <= 3)
+      .orderBy($"media_id", $"rank")
+  }
+
+  /** DuckDB mirror: the LCG/resize/histogram CTEs of
+    * [[multimodalImageSimSql]] over BOTH modalities (ids ≢ 2 mod 3),
+    * dominant-bin index, per-query top-2 probe ranks, L1 + top-3.
+    */
+  val multimodalCrossmodalSql: String = {
+    val bins = (0 until 16)
+      .map(i => s"COUNT(*) FILTER (WHERE b // 16 = $i)").mkString(",\n    ")
+    s"""WITH RECURSIVE ids AS (
+       |  SELECT range::BIGINT AS id FROM range(200) WHERE range % 3 IN (0, 1)
+       |),
+       |lcg AS (
+       |  SELECT id, 0 AS i,
+       |         ((((id::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+       |            * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s,
+       |         (256 + id % 512) AS len
+       |  FROM ids
+       |  UNION ALL
+       |  SELECT id, i + 1,
+       |         (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+       |         len
+       |  FROM lcg WHERE i < len - 1
+       |),
+       |small AS (
+       |  SELECT i.id,
+       |         ((p.range // 16) * (32 + i.id % 16) // 16) * (32 + i.id % 32)
+       |           + (p.range % 16) * (32 + i.id % 32) // 16 AS big_idx,
+       |         (256 + i.id % 512) AS len
+       |  FROM ids i, range(256) p
+       |),
+       |vals AS (
+       |  SELECT sm.id, (l.s // 72057594037927936)::INT AS b
+       |  FROM small sm JOIN lcg l ON l.id = sm.id AND l.i = sm.big_idx % sm.len
+       |),
+       |hists AS (
+       |  SELECT id, list_value(
+       |    $bins) AS h
+       |  FROM vals GROUP BY id
+       |),
+       |imgs AS (
+       |  SELECT id AS nbr_id, h,
+       |    CAST(list_position(h, list_max(h)) AS INT) AS blk
+       |  FROM hists WHERE id % 3 = 0
+       |),
+       |abins AS (
+       |  SELECT id AS qid, h AS qh, t.k AS blk, h[t.k] AS v
+       |  FROM hists CROSS JOIN range(1, 17) t(k)
+       |  WHERE id % 3 = 1
+       |),
+       |probes AS (
+       |  SELECT qid, qh, CAST(blk AS INT) AS blk FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY v DESC, blk) AS pr
+       |    FROM abins)
+       |  WHERE pr <= 2
+       |),
+       |cand AS (
+       |  SELECT p.qid AS media_id, i.nbr_id, p.blk,
+       |    CAST(list_sum(list_transform(range(1, 17),
+       |      j -> abs(p.qh[j] - i.h[j]))) AS BIGINT) AS l1
+       |  FROM probes p JOIN imgs i ON p.blk = i.blk
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY media_id ORDER BY l1, nbr_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT media_id, nbr_id, blk, l1, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY media_id, rank""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = {
     val modules: Seq[Map[String, (Q, Option[String])]] = Seq(
       Map(
@@ -796,7 +914,9 @@ object Queries {
         "multimodal_audio_vad" -> (multimodalAudioVad, Some(multimodalAudioVadSql)),
         "multimodal_image_ahash" -> (multimodalImageAhash, Some(multimodalImageAhashSql)),
         "multimodal_image_phash" -> (multimodalImagePhash, Some(multimodalImagePhashSql)),
-        "multimodal_image_simjoin" -> (multimodalImageSim, Some(multimodalImageSimSql))),
+        "multimodal_image_simjoin" -> (multimodalImageSim, Some(multimodalImageSimSql)),
+        "multimodal_crossmodal_ann" ->
+          (multimodalCrossmodal, Some(multimodalCrossmodalSql))),
       RefQueries.all, TpchQueries.all, EventQueries.all, LakeQueries.all,
       AdvancedJoins.all, RelationalExtras.all, SqlQueries.all,
       graft.text.TextQueries.all, graft.text.Utf8Queries.all,

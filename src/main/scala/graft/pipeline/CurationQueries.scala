@@ -2996,7 +2996,69 @@ object CurationQueries {
        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Length-bucketed BATCHING — the dynamic-batching step a training
+    * data loader runs to minimize padding waste (group sequences of
+    * similar length so each batch pads to its own max, not the global
+    * max): docs ranked by (token count DESC, doc_id), packed into
+    * fixed-size batches of 32, per-batch padding accounting
+    * (`pad_waste = max_len·n_docs − Σlen` — the tokens a padded tensor
+    * would spend on filler).
+    *
+    * Scale shape: the global length rank NEVER rides an unpartitioned
+    * row_number over the corpus (the one-reducer trap). Two phases: the
+    * within-length rank windows partition by `n_toks` (bounded groups),
+    * and the cross-length offsets come from the per-length HISTOGRAM —
+    * distinct-length-sized, the only ordered window in the plan runs
+    * over it (the quantile-gate discipline). rank = offset(longer
+    * lengths) + within-length row_number reproduces the global
+    * (n_toks DESC, doc_id) order bit-for-bit; the oracle uses the naive
+    * global window, pinning the equivalence cross-engine.
+    */
+  val lengthBatching: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        size(graft.text.TextAnalysis.tokens($"text")).as("n_toks"))
+    val off = d.groupBy($"n_toks").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum($"c").over(
+        Window.orderBy($"n_toks".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"n_toks", $"off")
+    val wIn = Window.partitionBy($"n_toks").orderBy($"doc_id")
+    d.join(off, "n_toks")
+      .withColumn("rk", $"off" + row_number().over(wIn))
+      .withColumn("batch_id", expr("CAST((rk - 1) DIV 32 AS BIGINT)"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n_toks").as("max_len"), min($"n_toks").as("min_len"),
+        sum($"n_toks").cast("long").as("sum_tokens"))
+      .select($"batch_id", $"n_docs", $"max_len", $"min_len", $"sum_tokens",
+        ($"max_len" * $"n_docs" - $"sum_tokens").as("pad_waste"))
+      .orderBy($"batch_id")
+  }
+
+  val lengthBatchingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.text.TextAnalysis.sqlTokens("text")}) AS INTEGER)
+       |      AS n_toks
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT n_toks,
+       |    (row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) // 32
+       |      AS batch_id
+       |  FROM d)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, COUNT(*) AS n_docs,
+       |  MAX(n_toks) AS max_len, MIN(n_toks) AS min_len,
+       |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       |  CAST(MAX(n_toks) * COUNT(*) - SUM(n_toks) AS BIGINT) AS pad_waste
+       |FROM ranked GROUP BY batch_id
+       |ORDER BY batch_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "curate_length_batching" -> (lengthBatching, Some(lengthBatchingSql)),
     "curate_mlm_masking" -> (mlmMasking, Some(mlmMaskingSql)),
     "curate_span_corruption" -> (spanCorruption, Some(spanCorruptionSql)),
     "curate_dsir_importance" -> (dsirImportance, Some(dsirImportanceSql)),

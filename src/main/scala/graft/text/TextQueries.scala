@@ -1513,7 +1513,75 @@ object TextQueries {
        |SELECT u, w, cuw, num, den, rk FROM r WHERE rk <= 3
        |ORDER BY u, rk""".stripMargin
 
+  /** Exact multi-token PHRASE search — the positional-inverted-index
+    * primitive (Zobel & Moffat 2006 §4's phrase-query evaluation) the
+    * surface's BM25 bag-of-words gate cannot express: a phrase matches
+    * at start position p0 iff token p0+j equals phrase term j for ALL j.
+    * Query phrases are 3-token passages lifted from a hash-selected ~2%
+    * of docs (positions 10–12), so every phrase has a known source
+    * occurrence plus whatever organic repeats the corpus carries.
+    *
+    * Spark shape (the r12 query-anchored discipline + the substring-span
+    * diagonal trick): the phrase-term table is query-sized and
+    * BROADCAST; the corpus token stream semi-joins it BEFORE any
+    * aggregation — only tokens that appear in some phrase survive the
+    * scan, so the full corpus vocabulary never shuffles. A surviving
+    * (doc, p, term) hit aligned to phrase term j votes for start
+    * p − j; a start with all 3 distinct j votes IS a match (the
+    * diagonal-alignment grouping — no per-term self-join chain, one
+    * shuffle keyed (doc, phrase, start) regardless of phrase length).
+    */
+  val phraseSearch: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", tokens($"text").as("toks"))
+    val phrases = base
+      .filter(graft.functions.KeyHash.bucket100("phrase|", $"doc_id") < 2 &&
+        size($"toks") >= 20)
+      .select(slice($"toks", 10, 3).as("pt")).distinct()
+    val terms = phrases.select(array_join($"pt", " ").as("phrase"),
+      posexplode($"pt")).toDF("phrase", "j", "term")
+    val toks = base.select($"doc_id", posexplode($"toks").as(Seq("p", "term")))
+    toks.join(broadcast(terms), "term")
+      .groupBy($"doc_id", $"phrase", ($"p" - $"j").as("start"))
+      .agg(count_distinct($"j").as("nj"))
+      .filter($"nj" === 3)
+      .groupBy($"phrase", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"), min($"start").as("first_pos"))
+      .orderBy($"phrase", $"doc_id")
+  }
+
+  val phraseSearchSql: String = {
+    val b = graft.functions.KeyHash.sqlBucket100("phrase|", "doc_id")
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |ph AS (
+       |  SELECT DISTINCT list_slice(toks, 10, 12) AS pt
+       |  FROM docs WHERE $b < 2 AND len(toks) >= 20),
+       |terms AS (
+       |  SELECT array_to_string(pt, ' ') AS phrase, j, pt[j + 1] AS term
+       |  FROM ph CROSS JOIN range(0, 3) t(j)),
+       |toks AS (
+       |  SELECT doc_id, struct_extract(u, 'p') AS p,
+       |    struct_extract(u, 't') AS term
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(toks) + 1),
+       |            i -> {'p': i - 1, 't': toks[i]})) AS u
+       |        FROM docs)),
+       |starts AS (
+       |  SELECT doc_id, phrase, p - j AS start
+       |  FROM toks JOIN terms USING (term)
+       |  GROUP BY doc_id, phrase, p - j
+       |  HAVING COUNT(DISTINCT j) = 3)
+       |SELECT phrase, doc_id, COUNT(*) AS n_occ,
+       |  CAST(MIN(start) AS INTEGER) AS first_pos
+       |FROM starts GROUP BY phrase, doc_id
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "text_phrase_search" -> (phraseSearch, Some(phraseSearchSql)),
     "text_kneser_ney_bigram" -> (kneserNeyBigram, Some(kneserNeyBigramSql)),
     "text_gopher_repetition" ->
       (gopherRepetition, Some(gopherRepetitionSql)),

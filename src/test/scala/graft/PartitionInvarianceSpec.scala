@@ -12,7 +12,9 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val gates = Seq("text_kneser_ney_bigram", "events_holt_winters",
     "dedup_cdc_chunks", "agg_kmv_intersect", "dedup_substring_spans",
-    "curate_decontaminate_ngrams")
+    "curate_decontaminate_ngrams", "text_phrase_search",
+    "curate_length_batching", "dedup_edit_distance",
+    "multimodal_crossmodal_ann")
 
   test("r15/r16 gates are row-identical under shuffle partitions 3 and 17") {
     gates.foreach { g =>

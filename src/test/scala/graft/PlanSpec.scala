@@ -830,6 +830,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("phrase search: broadcast phrase terms, no cartesian") {
+    val p = plan("text_phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "the query-sized phrase-term table must broadcast into the token stream:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("length batching: corpus rank windows partition by length, never global") {
+    val p = plan("curate_length_batching")
+    // the per-doc row_number must partition by n_toks (bounded groups);
+    // the only unpartitioned window allowed runs over the length histogram
+    assert("windowspecdefinition\\(n_toks#\\d+, doc_id#\\d+L? ASC".r
+      .findFirstIn(p).isDefined,
+      "the corpus row_number must partition by n_toks:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("edit distance: persisted corpus text, equi-keyed candidates, no cartesian") {
+    val p = plan("dedup_edit_distance")
+    assert(p.contains("InMemoryTableScan"),
+      "the shingle+text frame is read three times and must persist:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidates must ride the (band, mh) equi-key:\n" + p)
+  }
+
+  test("cross-modal ANN: bin-keyed candidates only, no cartesian") {
+    val p = plan("multimodal_crossmodal_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "audio->image candidates must ride the probed-bin equi-key:\n" + p)
+  }
+
   test("pq distortion: persisted slices, broadcast codebook, M-row report") {
     val p = plan("sim_pq_distortion")
     assert(p.contains("InMemoryTableScan"),
