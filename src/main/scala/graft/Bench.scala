@@ -148,8 +148,9 @@ object Bench {
     // a "zero regressions" claim — the r14 claim was falsified under one
     // reading of its own threshold. Pinned wording: a query regresses iff
     // (now - prev) > 0.3 s AND now / prev > 1.4.
-    val (regressBaseline, priorTimes, priorDuckTotal) = priorRecordWithDuck()
-    val lf = loadFactor(duckTotal, priorDuckTotal)
+    val (regressBaseline, priorTimes, priorDuck) = priorRecordFull()
+    val lf = loadFactorCommon(
+      duck.collect { case (k, Some(v)) if v > 0 => k -> v }.toMap, priorDuck)
     val regs = regressions(priorTimes, results.toMap, loadFactor = lf)
     val regJson = regs.map { case (q, prev, now) =>
       s"""{"q":"$q","prev":${fmt(prev)},"now":${fmt(now)}}"""
@@ -212,6 +213,20 @@ object Bench {
       math.max(1.0, nowDuckTotal / priorDuckTotal)
     else 1.0
 
+  /** [[loadFactor]] restricted to queries PRESENT IN BOTH runs — the
+    * raw-total version misreads surface growth as load (7 new oracles'
+    * DuckDB cost lands in this run's total but not the n−7 baseline's,
+    * inflating the estimate and loosening the predicate for every
+    * query). Summing only the common keys makes the estimate a pure
+    * same-work/same-engine comparison.
+    */
+  def loadFactorCommon(nowDuck: Map[String, Double],
+      priorDuck: Map[String, Double]): Double = {
+    val common = nowDuck.keySet & priorDuck.keySet
+    loadFactor(common.iterator.map(nowDuck).sum,
+      common.iterator.map(priorDuck).sum)
+  }
+
   /** The prior committed per-query record: the file named by
     * SPARK_GRAFT_BENCH_BASELINE, else the newest BENCH_SELF_r*.json in
     * the working directory (highest round number). Returns (filename,
@@ -225,9 +240,19 @@ object Bench {
   }
 
   /** [[priorRecord]] plus the baseline record's `duckdb_total` (0.0 when
-    * absent) — the denominator of the regression gate's load estimate.
+    * absent) — kept for spec compatibility; the load estimate itself now
+    * rides [[priorRecordFull]]'s per-query map.
     */
   def priorRecordWithDuck(): (Option[String], Map[String, Double], Double) = {
+    val (n, q, d) = priorRecordFull()
+    (n, q, d.values.sum)
+  }
+
+  /** [[priorRecord]] plus the baseline record's per-query `duckdb` map
+    * (empty when absent) — the denominator side of the common-queries
+    * load estimate ([[loadFactorCommon]]).
+    */
+  def priorRecordFull(): (Option[String], Map[String, Double], Map[String, Double]) = {
     try {
       val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
         .map(java.nio.file.Paths.get(_))
@@ -249,22 +274,27 @@ object Bench {
           val m = new com.fasterxml.jackson.databind.ObjectMapper()
           val node = m.readTree(txt)
           val qn = node.get("queries")
-          if (qn == null || !qn.isObject) (None, Map.empty, 0.0)
+          if (qn == null || !qn.isObject) (None, Map.empty, Map.empty)
           else {
             import scala.jdk.CollectionConverters._
             val qs = qn.fieldNames().asScala.map { k =>
               k -> qn.get(k).asDouble()
             }.toMap
-            val dt = Option(node.get("duckdb_total"))
-              .map(_.asDouble(0.0)).getOrElse(0.0)
-            (Some(p.getFileName.toString), qs, dt)
+            val dn = node.get("duckdb")
+            val ds =
+              if (dn == null || !dn.isObject) Map.empty[String, Double]
+              else dn.fieldNames().asScala.flatMap { k =>
+                val v = dn.get(k)
+                if (v == null || v.isNull) None else Some(k -> v.asDouble())
+              }.toMap
+            (Some(p.getFileName.toString), qs, ds)
           }
-        case _ => (None, Map.empty, 0.0)
+        case _ => (None, Map.empty, Map.empty)
       }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] baseline record unavailable: $e")
-        (None, Map.empty, 0.0)
+        (None, Map.empty, Map.empty)
     }
   }
 

@@ -92,6 +92,17 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadFactor(300.0, 0.0) == 1.0)   // baseline had no duck total
   }
 
+  test("common-queries load factor ignores surface growth on either side") {
+    // a new query's 100 s oracle must NOT read as host load
+    val prior = Map("a" -> 1.0, "b" -> 2.0)
+    val now = Map("a" -> 2.0, "b" -> 4.0, "brand_new" -> 100.0)
+    assert(Bench.loadFactorCommon(now, prior) == 2.0)
+    // a RETIRED query's cost drops out of the denominator symmetrically
+    assert(Bench.loadFactorCommon(Map("a" -> 1.0), prior + ("gone" -> 50.0)) == 1.0)
+    // no overlap -> neutral factor
+    assert(Bench.loadFactorCommon(Map("x" -> 1.0), prior) == 1.0)
+  }
+
   test("regression predicate is load-normalized: phantoms under uniform load") {
     // a uniformly 1.6x-loaded host: every query slower by the same factor,
     // duckdb_total inflated identically -> loadFactor 1.6 -> zero flags
