@@ -39,6 +39,11 @@ object ConnectedComponents {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .localCheckpoint(true)
+    // one cheap columnar count over the just-written checkpoint blocks
+    // sizes the loop's shuffle width (graft.LoopConf — r16: AQE's
+    // per-exchange jobs dominated every CC-riding gate at gate scale)
+    val stateRows = und.count()
+    graft.LoopConf.tight(edges.sparkSession, stateRows) {
     var labels = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
@@ -75,5 +80,6 @@ object ConnectedComponents {
     require(!changed,
       s"connected components did not converge in $maxRounds rounds")
     (labels, rounds)
+    }
   }
 }

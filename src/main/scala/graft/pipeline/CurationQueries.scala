@@ -664,10 +664,8 @@ object CurationQueries {
 
   val pagerankLinks: Q = (s, dir) => {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-    val n = docs.count()
-    val edges = linkEdges(docs, n).distinct()
-    pagerankLoop(docs, edges, n, iters = 10)
+    val (docs, edges, n) = linkDirected(s, dir)
+    graft.LoopConf.tight(s, n) { pagerankLoop(docs, edges, n, iters = 10) }
       .orderBy($"r".desc, $"node").limit(50)
   }
 
@@ -736,10 +734,7 @@ object CurationQueries {
     */
   val pprSeeds: Q = (s, dir) => {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-      .localCheckpoint(true)
-    val n = docs.count()
-    val edges = linkEdges(docs, n).distinct()
+    val (docs, edges, n) = linkDirected(s, dir)
     val seed = bucket100("ppr|", $"doc_id") < 2
     val nSeeds = docs.filter(seed).count()
     // a regenerated/tiny corpus whose md5 2% bucket lands empty would
@@ -752,7 +747,7 @@ object CurationQueries {
     val base = docs.select($"doc_id".as("node"),
       when(seed, lit(15L * unit / 100L)).otherwise(lit(0L)).as("b"),
       when(seed, lit(unit)).otherwise(lit(0L)).as("r0"))
-    pprLoop(base, edges, 10)
+    graft.LoopConf.tight(s, n) { pprLoop(base, edges, 10) }
       .orderBy($"r".desc, $"node").limit(50)
   }
 
@@ -1015,12 +1010,12 @@ object CurationQueries {
     */
   val triangleCount: Q = (s, dir) => {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-    val n = docs.count()
+    // r16: the linkGraph artifact's adjacency filtered to src < dst IS
+    // the canonical undirected edge table this gate built per query
+    val (_, adjA, _) = linkGraph(s, dir)
     val und = graft.CacheTracker.persistTracked(
-      linkEdges(docs, n)
-        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-        .distinct())
+      adjA.filter($"src" < $"dst")
+        .select($"src".as("a"), $"dst".as("b")))
     triangleNodes(s, und)
       .orderBy($"n_triangles".desc, $"node").limit(20)
   }
@@ -1116,14 +1111,19 @@ object CurationQueries {
     */
   val triangleCountHub: Q = (s, dir) => {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-    val n = docs.count()
-    val hub = docs
+    // r16: base edges from the linkGraph artifact (its src < dst half
+    // is exactly the least/greatest-distinct canonical table); only the
+    // planted hub edges still derive from the node list. The union can
+    // duplicate a hub edge the generator also produced — the distinct
+    // below is unchanged semantics.
+    val (docsA, adjA, _) = linkGraph(s, dir)
+    val hub = docsA
       .filter(bucket100("hub|", $"doc_id") < 30 && $"doc_id" =!= 0)
-      .select(lit(0L).as("src"), $"doc_id".as("dst"))
+      .select(lit(0L).as("a"), $"doc_id".as("b"))
     val und = graft.CacheTracker.persistTracked(
-      linkEdges(docs, n).unionByName(hub)
-        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      adjA.filter($"src" < $"dst")
+        .select($"src".as("a"), $"dst".as("b"))
+        .unionByName(hub)
         .distinct())
     triangleNodes(s, und)
       .orderBy($"n_triangles".desc, $"node").limit(20)
@@ -1304,6 +1304,34 @@ object CurationQueries {
     (s.read.parquet(nodesP), s.read.parquet(adjP), n)
   }
 
+  private val linkDirectedPaths = new graft.KeyedMemo[String]
+
+  /** Scratch-parquet memo of the DIRECTED deterministic 3-out edge list
+    * (distinct, self-loops dropped) — the input the directed-walk gates
+    * ([[pagerankLinks]], [[pprSeeds]], [[hitsScores]]) iterate over.
+    * r16: those gates re-derived it per invocation (docs checkpoint +
+    * count + generator + distinct per query); it is the same pure
+    * function of the read-only corpus as [[linkGraph]], so it gets the
+    * same artifact treatment, billed to warm-up on first touch. Built
+    * FROM the linkGraph nodes artifact (one parquet scan, no second
+    * docs count).
+    */
+  private[graft] def linkDirected(s: org.apache.spark.sql.SparkSession,
+      dir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Long) = {
+    val (nodes, _, n) = linkGraph(s, dir)
+    val path = linkDirectedPaths.getOrBuild(dir) {
+      graft.ArtifactCache.publishStaged("linkdirected", dir, Seq("documents")) {
+        val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val b = s"${graft.Scratch.dir}/graft_linkdirected_" +
+          s"${graft.Scratch.runToken}_$dirKey"
+        linkEdges(nodes, n).distinct().write.mode("overwrite").parquet(b)
+        b
+      }
+    }
+    (nodes, s.read.parquet(path), n)
+  }
+
   /** The matching oracle prefix: docs/stats/edges0/und/adj CTEs shared
     * by every graph-fixpoint oracle so the three gates cannot drift
     * apart on graph construction. `adj` is MATERIALIZED: DuckDB inlines
@@ -1328,8 +1356,10 @@ object CurationQueries {
 
   val kcore: Q = (s, dir) => {
     import s.implicits._
-    val (docs, adj, _) = linkGraph(s, dir)
-    kcoreLoop(docs, adj, 10)
+    val (docs, adj, n) = linkGraph(s, dir)
+    // r16: loop under LoopConf.tight — AQE's per-exchange jobs were ~90%
+    // of the gate (QueryProbe kcoreab: 2.20 → 1.47 s, checksum-identical)
+    graft.LoopConf.tight(s, n) { kcoreLoop(docs, adj, 10) }
       .select($"node", $"c".as("core")).orderBy($"node")
   }
 
@@ -1407,8 +1437,8 @@ object CurationQueries {
 
   val labelPropagation: Q = (s, dir) => {
     import s.implicits._
-    val (docs, adj, _) = linkGraph(s, dir)
-    lpaLoop(docs, adj, 5)
+    val (docs, adj, n) = linkGraph(s, dir)
+    graft.LoopConf.tight(s, n) { lpaLoop(docs, adj, 5) }
       .groupBy($"lab").agg(count(lit(1)).as("size"))
       .select($"lab".as("community"), $"size")
       .orderBy($"size".desc, $"community").limit(100)
@@ -1525,9 +1555,10 @@ object CurationQueries {
     */
   val modularity: Q = (s, dir) => {
     import s.implicits._
-    val (docs, adj, _) = linkGraph(s, dir)
+    val (docs, adj, n) = linkGraph(s, dir)
     // read four times (edge labeling twice, degrees, sizes): persist
-    val labels = graft.CacheTracker.persistTracked(lpaLoop(docs, adj, 5))
+    val labels = graft.CacheTracker.persistTracked(
+      graft.LoopConf.tight(s, n) { lpaLoop(docs, adj, 5) })
     val und = adj.filter($"src" < $"dst")
     val m = und.count()
     val lab2 = und
@@ -1856,16 +1887,16 @@ object CurationQueries {
   val jaccardLinkPrediction: Q = (s, dir) => {
     import s.implicits._
     val cap = 64L
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-      .localCheckpoint(true)
-    val n = docs.count()
+    // r16: ride the shared linkGraph artifact — the adjacency it stores
+    // IS this gate's `adj` (both directions of the distinct canonical
+    // edges), and `und` is its src < dst half; the per-query docs
+    // checkpoint + count + generator + distinct build is gone
+    val (_, adjA, _) = linkGraph(s, dir)
     val und = graft.CacheTracker.persistTracked(
-      linkEdges(docs, n)
-        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-        .distinct())
+      adjA.filter($"src" < $"dst")
+        .select($"src".as("a"), $"dst".as("b")))
     val adj = graft.CacheTracker.persistTracked(
-      und.select($"a".as("ctr"), $"b".as("nb"))
-        .unionByName(und.select($"b".as("ctr"), $"a".as("nb"))))
+      adjA.select($"src".as("ctr"), $"dst".as("nb")))
     val deg = graft.CacheTracker.persistTracked(
       adj.groupBy($"nb".as("node")).agg(count(lit(1)).as("deg")))
     // the wedge self-join reads centers TWICE — persist the derived
@@ -2174,10 +2205,12 @@ object CurationQueries {
     */
   val hitsScores: Q = (s, dir) => {
     import s.implicits._
-    val docs = Tables(s, dir, "documents").select($"doc_id")
-    val n = docs.count()
-    val edges = linkEdges(docs, n).distinct().localCheckpoint(true)
-    val nodes = docs.select($"doc_id".as("node")).localCheckpoint(true)
+    val (docsA, edgesA, n) = linkDirected(s, dir)
+    // the 8 half-steps join `edges` AND `nodes` each — eager-checkpoint
+    // both artifact reads once (the loop's original leaf shape; a lazy
+    // persist / bare parquet leaf re-read per half-step measured slower)
+    val edges = edgesA.localCheckpoint(true)
+    val nodes = docsA.select($"doc_id".as("node")).localCheckpoint(true)
     // one ROUND (auth half-step then hub half-step) as a single lazy
     // plan: auth is referenced exactly once inside the hub update (the
     // contribution shuffles are deduped by ReuseExchange where they
@@ -2204,12 +2237,17 @@ object CurationQueries {
         .select($"node",
           expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("h"))
     }
-    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
-      .localCheckpoint(true)
     // rounds 1-3 checkpoint only the round-end hub (auth stays lazy —
     // one checkpoint per round instead of per HALF-step); round 4 keeps
     // the half-step checkpoint because the OUTPUT needs auth4 and
-    // hub4 = hubOf(auth4) — auth4 must materialize anyway
+    // hub4 = hubOf(auth4) — auth4 must materialize anyway.
+    // r16 measured NULL-to-LOSS (interleaved A/B, don't re-try):
+    // LoopConf.tight on this loop — each half-step's contribution
+    // aggregate feeds BOTH the total (broadcast) and the join, and only
+    // AQE's per-stage materialization reuses that exchange; with AQE
+    // off the contribution computes twice per half-step.
+    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
+      .localCheckpoint(true)
     for (_ <- 1 to 3) hub = hubOf(authOf(hub)).localCheckpoint(true)
     val auth = authOf(hub).localCheckpoint(true) // r4 auth half-step
     hub = hubOf(auth).localCheckpoint(true) // r4 hub half-step

@@ -1457,10 +1457,14 @@ object DedupQueries {
   val substringSpans: Q = (s, dir) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 15)
+    // persisted (r16): the planted-variant branch AND the union both
+    // read it — unpersisted, the normText+split tokenize pass ran twice
+    // per rep (the phraseSearch finding, same shape)
+    val base = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 15))
     // planted plagiarism: a hash-selected ~10% of long docs each spawn a
     // +50000 variant carrying a 16-27-token passage lifted from the
     // original at a SHIFTED offset (copied span starts at position 7 in
@@ -1492,9 +1496,13 @@ object DedupQueries {
     val grams = corpus
       .select($"doc_id", posexplode(posGramKeys($"toks", k)))
       .toDF("doc_id", "p", "g")
+    // "shared by ≥2 docs" needs no distinct count — min(doc) ≠ max(doc)
+    // is the same predicate as a cheap single-pass aggregate, avoiding
+    // the distinct-aggregation Expand (×2) on the full gram stream (r16)
     val kept = grams.groupBy($"g")
-      .agg(count(lit(1)).as("occ"), count_distinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2 && $"occ" <= occCap)
+      .agg(count(lit(1)).as("occ"),
+        min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .filter($"d0" =!= $"d1" && $"occ" <= occCap)
       .select($"g")
     // the pair join reads hits TWICE — persist the (small, capped) table
     val hits = graft.CacheTracker.persistTracked(grams.join(kept, "g"))

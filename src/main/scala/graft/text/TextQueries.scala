@@ -1533,9 +1533,14 @@ object TextQueries {
     */
   val phraseSearch: Q = (s, dir) => {
     import s.implicits._
-    val base = Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", tokens($"text").as("toks"))
+    // r16: persist the tokenized corpus — the phrase-lift branch and the
+    // token-stream branch both read it, and without the cache each rep
+    // ran the normText regex + split over every doc TWICE (tokenize was
+    // the measured bulk of the gate's 29 CPU-s).
+    val base = graft.CacheTracker.persistTracked(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", tokens($"text").as("toks")))
     val phrases = base
       .filter(graft.functions.KeyHash.bucket100("phrase|", $"doc_id") < 2 &&
         size($"toks") >= 20)
@@ -1543,10 +1548,14 @@ object TextQueries {
     val terms = phrases.select(array_join($"pt", " ").as("phrase"),
       posexplode($"pt")).toDF("phrase", "j", "term")
     val toks = base.select($"doc_id", posexplode($"toks").as(Seq("p", "term")))
+    // all-3-j's-present via a j-bitmask (j ∈ {0,1,2}, and (doc, phrase,
+    // start, j) is unique since p = start + j): bit_or(1 << j) == 7 is
+    // value-identical to count_distinct(j) == 3 but a single-pass
+    // aggregate — no distinct-aggregation Expand on the hit stream
     toks.join(broadcast(terms), "term")
       .groupBy($"doc_id", $"phrase", ($"p" - $"j").as("start"))
-      .agg(count_distinct($"j").as("nj"))
-      .filter($"nj" === 3)
+      .agg(bit_or(expr("shiftleft(1, j)")).as("jmask"))
+      .filter($"jmask" === 7)
       .groupBy($"phrase", $"doc_id")
       .agg(count(lit(1)).as("n_occ"), min($"start").as("first_pos"))
       .orderBy($"phrase", $"doc_id")

@@ -151,12 +151,18 @@ object WordpieceQueries {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-    val pm = pieceVocab(
-      BpeQueries.vocabOf(Tables(s, dir, "documents")).localCheckpoint(true))
     val toks = graft.CacheTracker.persistTracked(
       docs.select($"lang", explode(TextAnalysis.tokens($"text")).as("w"))
         .filter(length($"w").between(2, 12) &&
           length(regexp_replace($"w", "[a-z]", "")) === 0))
+    // r16: the vocabulary is the SAME filtered token stream aggregated —
+    // deriving it from the persisted `toks` (identical filter class,
+    // count is lang-blind) instead of BpeQueries.vocabOf's fresh scan
+    // drops a second full-corpus tokenize+explode pass per rep
+    val pm = pieceVocab(
+      toks.groupBy($"w").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"w").limit(BpeQueries.BpeVocab)
+        .localCheckpoint(true))
     val encW = toks.select($"w").distinct()
       .crossJoin(broadcast(pm))
       .withColumn("st", greedyEnc)

@@ -46,6 +46,9 @@ object QueryProbe {
       case "sqltwin" => sqlTwin(spark, sfDir, reps)
       case "rrf" => rrf(spark, sfDir, reps)
       case "ppl_buckets" => pplBuckets(spark, sfDir, reps)
+      case "ivfpq" =>
+        graft.vector.SimilarityQueries.ivfpqProbeStages(spark, sfDir)
+          .foreach { case (name, f) => timed(name, reps)(f()) }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
@@ -316,7 +319,24 @@ object QueryProbe {
     val variants: Seq[(String, () => DataFrame)] = Seq(
       ("window b2 (r13)", () => windowB2()),
       ("hist-fixed b2", () => CurationQueries.kcoreLoop(docs, adj, 10, 2)),
-      ("hist-fixed b5", () => CurationQueries.kcoreLoop(docs, adj, 10, 5)))
+      ("hist-fixed b5", () => CurationQueries.kcoreLoop(docs, adj, 10, 5)),
+      // r16: the loop is EAGER (per-batch localCheckpoint), so scoped
+      // conf overrides are sound; AQE off collapses the ~11 per-
+      // checkpoint stage-materialization jobs into one job per batch
+      ("hist b2 aqe-off", () => graft.Confs.withConf(s,
+        "spark.sql.adaptive.enabled" -> "false") {
+        CurationQueries.kcoreLoop(docs, adj, 10, 2)
+      }),
+      ("hist b2 aqe-off sp4", () => graft.Confs.withConf(s,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4") {
+        CurationQueries.kcoreLoop(docs, adj, 10, 2)
+      }),
+      ("hist b5 aqe-off sp4", () => graft.Confs.withConf(s,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4") {
+        CurationQueries.kcoreLoop(docs, adj, 10, 5)
+      }))
     val sums = variants.map { case (n, f) => n -> checksum(f()) }.toMap
     require(sums.values.toSet.size == 1, s"variant checksums diverged: $sums")
     val ts = (1 to reps).flatMap { _ =>

@@ -650,10 +650,15 @@ object SimilarityQueries {
       s.read.schema("c_label INT, cv ARRAY<DOUBLE>, cc DOUBLE")
         .parquet(ivfTrain(s, dir, vectors))
         .withColumn("cn", normExact($"cv")))
-    // at deployment this materializes as the bucketed-by-cell index table
-    val assigned =
+    // at deployment this materializes as the bucketed-by-cell index
+    // table. Persisted (r16): the residual gate reads it three times
+    // (candidates + home-cell lookup + the residual-encode join) and
+    // each unpersisted reference re-ran the whole screened rank
+    // (measured 1.2 s per evaluation at sf0.1, the largest stage of the
+    // composed IVF-PQ probe).
+    val assigned = graft.CacheTracker.persistTracked(
       screenedCellRank(vectors, centroidArr, IvfReplicas, Seq("label"))
-        .select($"vec_id", $"label", $"c_label".as("nearest_label"), $"rn")
+        .select($"vec_id", $"label", $"c_label".as("nearest_label"), $"rn"))
     (centroidArr, vectors, assigned)
   }
 
@@ -1140,6 +1145,9 @@ object SimilarityQueries {
         // parked on the SHORTEST branch (the critical path is the two
         // NN-descent builds at ~35-43 s; this branch sums ~35 s)
         timed("link_graph")(graft.pipeline.CurationQueries.linkGraph(cs, dir))
+        // the directed 3-out edge list the walk gates iterate (r16)
+        timed("link_directed")(
+          graft.pipeline.CurationQueries.linkDirected(cs, dir))
         // the shared 4-landmark BFS settled table (r16): bfs_layers +
         // closeness_landmarks both read it; ArtifactCache-persisted
         timed("landmark_bfs")(graft.pipeline.CurationQueries.landmarkBfs(cs, dir))
@@ -1448,6 +1456,13 @@ object SimilarityQueries {
   private def pqAssign(subs: org.apache.spark.sql.DataFrame,
       cbDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import subs.sparkSession.implicits._
+    // r16 measured NULL: a dot_double screen before the exact argmin
+    // (the screenedCellRank discipline at keepTop=1) LOST here — the
+    // subvectors are length-4, so the n·M·k exact kernels cost under a
+    // CPU-second total and the screen's second scoring pass + min
+    // broadcast + survivor re-join added 4 stages per encode (ivfpq
+    // gates +0.1–1.5 s, A/B'd at sf0.1). Screens pay on length-64
+    // kernels (screenedCellRank), not here.
     subs.join(broadcast(cbDf), Seq("m"))
       .select($"vec_id", $"m", $"c_code",
         ($"cc" - lit(2.0) * dotExact($"sub", $"cbv")).as("score"))
@@ -1570,6 +1585,40 @@ object SimilarityQueries {
     * the residual pass is one scan of the persisted slices joined to
     * the k·M-row codebook; the report is M rows.
     */
+  /** r16 optimization-round probe: named eager stages of the composed
+    * IVF-PQ read path, cumulative from scratch (memoized codebooks stay
+    * warm) — QueryProbe's `ivfpq` case times each with caches released
+    * between reps.
+    */
+  private[graft] def ivfpqProbeStages(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, () => Long)] = {
+    import s.implicits._
+    def structure() = ivfStructure(s, dir)
+    Seq(
+      "assigned (screenedCellRank)" -> (() => structure()._3.count()),
+      "probes" -> (() => {
+        val (c, v, _) = structure(); ivfProbesFor(s, v, c).count()
+      }),
+      "cand" -> (() => {
+        val (c, v, a) = structure()
+        val probes = ivfProbesFor(s, v, c)
+        a.select($"vec_id", $"nearest_label")
+          .join(broadcast(probes), $"nearest_label" === $"probe_label")
+          .where($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id").distinct().count()
+      }),
+      "subs" -> (() => pqSubs(s, dir).count()),
+      "enc (pqAssign)" -> (() => {
+        val subs = pqSubs(s, dir)
+        pqAssign(subs, pqCbRead(s, pqTrain(s, dir, subs))).count()
+      }),
+      "lut" -> (() => {
+        val subs = pqSubs(s, dir)
+        pqLut(subs, pqCbRead(s, pqTrain(s, dir, subs))).count()
+      }),
+      "full gate" -> (() => ivfpqSearch(s, dir).count()))
+  }
+
   val pqDistortion: Q = (s, dir) => {
     import s.implicits._
     import graft.functions.Exact.dsum
@@ -2324,9 +2373,16 @@ object SimilarityQueries {
     def wlit(j: Int) = typedLit(
       Array.tabulate(64)(d0 => rpWeight(j, d0 + 1).toDouble / 48.0))
     // persisted: the pair self-join reads both sides — without the cache
-    // each side re-runs the 16 decimal dots per vector
+    // each side re-runs the 16 decimal dots per vector.
+    // r16: project only the vectors the distortion report can read —
+    // the a-side is vec_id < 20 and the b-side joins on b.vec_id − 100
+    // = a_id, so only vec_id ∈ [100, 120) can match; the persist
+    // barrier kept Catalyst from pushing that bound through the 16
+    // decimal dots itself (2000 → ≤40 projected vectors, result rows
+    // provably unchanged)
     val projected = graft.CacheTracker.persistTracked(
       Tables(s, dir, "embeddings")
+        .filter($"vec_id" < 20 || ($"vec_id" >= 100 && $"vec_id" < 120))
         .select($"vec_id",
           transform($"embedding", x => x.cast("double")).as("v"))
         .withColumn("p", array((1 to 16).map(j =>
@@ -5032,7 +5088,10 @@ object SimilarityQueries {
       Tables(s, dir, "embeddings")
         .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
         .withColumn("xn", normExact($"v")))
-    graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+    // r16: LoopConf.tight instead of the bare AQE-off — the loop's
+    // per-round state joins also get the state-sized shuffle width (the
+    // count doubles as the cache materialization round 1 needs anyway)
+    graft.LoopConf.tight(s, emb.count()) {
       val first = emb.select($"vec_id", dotExact($"v", $"v").as("nsq"))
         .orderBy($"nsq".desc, $"vec_id").limit(1)
         .select($"vec_id".as("c_id"), lit(1).as("round"),

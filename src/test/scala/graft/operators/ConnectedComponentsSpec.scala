@@ -98,7 +98,8 @@ object ConnectedComponentsSpec extends Properties("connectedComponents") {
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
       }
-    // setup = 2 jobs (und + initial labels checkpoints)
-    jobs.get() == 2 + 3 * rounds
+    // setup = 3 jobs (und checkpoint, the r16 LoopConf width-sizing
+    // count over the checkpointed blocks, initial labels checkpoint)
+    jobs.get() == 3 + 3 * rounds
   }
 }
