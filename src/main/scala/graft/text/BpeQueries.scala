@@ -62,7 +62,9 @@ object BpeQueries {
   private[graft] def trainOn(s: org.apache.spark.sql.SparkSession,
       base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+    // r16: LoopConf.tight (was bare AQE-off) — the merge loop's state is
+    // vocabulary-sized, so its stages get the state-derived width too
+    graft.LoopConf.tight(s, BpeVocab.toLong) {
       var vocab = base
         .withColumn("s", trim(regexp_replace($"w", "(.)", "<$1> ")))
         .localCheckpoint(true)

@@ -56,26 +56,40 @@ object DedupQueries {
     ()
   }
 
+  private val shingledPaths = new graft.KeyedMemo[String]
+
   private[graft] def shingledCorpus(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    assertVariantIdHeadroom(s, dir)
-    // repartition BEFORE the per-row work: the one-file documents scan is
-    // a single partition, and tokenize+shingle+minhash would otherwise
-    // run one-core (the r12 single-partition lesson, applied r14)
-    val base = Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      .filter(size($"toks") >= 15)
-    val corpus = base.select(explode(array(
-        struct($"doc_id", $"toks"),
-        struct(($"doc_id" + 10000).as("doc_id"),
-          slice($"toks", lit(1), size($"toks") - 5).as("toks")))).as("r"))
-      .select($"r.doc_id", $"r.toks")
-    // read three times (signature build + both sides of the exact-Jaccard
-    // verify): persist so tokenization+shingling run once per doc
+    // r16: scratch-parquet memo per (JVM, dir) — five gates each re-ran
+    // the tokenize+shingle pass per invocation; the shingle table is the
+    // signature-index input a production dedup pipeline persists (the
+    // clusterCorpusEdges discipline, one shelf over)
+    val path = shingledPaths.getOrBuild(dir) {
+      assertVariantIdHeadroom(s, dir)
+      // repartition BEFORE the per-row work: the one-file documents scan
+      // is a single partition, and tokenize+shingle+minhash would
+      // otherwise run one-core (the r12 single-partition lesson, r14)
+      val base = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 15)
+      val corpus = base.select(explode(array(
+          struct($"doc_id", $"toks"),
+          struct(($"doc_id" + 10000).as("doc_id"),
+            slice($"toks", lit(1), size($"toks") - 5).as("toks")))).as("r"))
+        .select($"r.doc_id", $"r.toks")
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val p = s"${graft.Scratch.dir}/graft_shingled_" +
+        s"${graft.Scratch.runToken}_$dirKey"
+      corpus.select($"doc_id", wordShingles($"toks", 3).as("sh"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    // read up to three times per gate (signature build + both sides of
+    // the exact-Jaccard verify): persist the parquet read
     graft.CacheTracker.persistTracked(
-      corpus.select($"doc_id", wordShingles($"toks", 3).as("sh")))
+      s.read.schema("doc_id BIGINT, sh ARRAY<STRING>").parquet(path))
   }
 
   /** Banded LSH candidate pairs at an EXPLICIT (k, r) shape — the

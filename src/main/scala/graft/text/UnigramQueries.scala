@@ -112,7 +112,8 @@ object UnigramQueries {
     */
   private[graft] def trainOn(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
-    graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+    // r16: LoopConf.tight (was bare AQE-off) — EM state is vocab-sized
+    graft.LoopConf.tight(s, SeedPieces.toLong) {
       val words = base.localCheckpoint(true)
       // seed vocabulary: every substring occurrence of length 1..4,
       // weighted by word frequency; top-SeedPieces by (cnt desc, piece),

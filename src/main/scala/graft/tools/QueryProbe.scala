@@ -49,6 +49,7 @@ object QueryProbe {
       case "ivfpq" =>
         graft.vector.SimilarityQueries.ivfpqProbeStages(spark, sfDir)
           .foreach { case (name, f) => timed(name, reps)(f()) }
+      case "hitsab" => hitsAb(spark, sfDir, reps)
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
@@ -285,6 +286,83 @@ object QueryProbe {
     * removed; receipts in BENCH_NOTES r15). Alternating reps in one
     * session; checksum (Σ coreness) required identical across variants.
     */
+  /** r16 A/B: graph_hits edge sourcing — the r15 per-query build (docs
+    * scan + count + generator + distinct + checkpoint) vs the
+    * linkDirected artifact read + eager checkpoints. Alternating reps,
+    * checksum-required-identical.
+    */
+  private def hitsAb(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.pipeline.CurationQueries
+    // warm the artifact path outside timing
+    CurationQueries.linkDirected(s, dir)
+    def oldStyle(): DataFrame = {
+      val docs = graft.Tables(s, dir, "documents").select($"doc_id")
+      val n = docs.count()
+      val edges = docs.select($"doc_id".as("src"), explode(array(
+          ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
+          ($"doc_id" * 29 + 3) % n)).as("dst"))
+        .filter($"src" =!= $"dst")
+        .distinct().localCheckpoint(true)
+      val nodes = docs.select($"doc_id".as("node")).localCheckpoint(true)
+      hitsLoopOn(s, nodes, edges, n)
+    }
+    def newStyle(): DataFrame = {
+      val (docsA, edgesA, n) = CurationQueries.linkDirected(s, dir)
+      val edges = edgesA.localCheckpoint(true)
+      val nodes = docsA.select($"doc_id".as("node")).localCheckpoint(true)
+      hitsLoopOn(s, nodes, edges, n)
+    }
+    def checksum(df: DataFrame): Long =
+      df.agg(sum($"authority")).head.getLong(0)
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq(("old per-query build", () => oldStyle()),
+        ("artifact read", () => newStyle()))
+    val sums = variants.map { case (nm, f) => nm -> checksum(f()) }.toMap
+    require(sums.values.toSet.size == 1, s"checksums diverged: $sums")
+    val ts = (1 to reps).flatMap { _ =>
+      variants.map { case (nm, f) =>
+        val t0 = System.nanoTime(); f().count()
+        (nm, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    variants.foreach { case (nm, _) =>
+      val xs = ts.filter(_._1 == nm).map(_._2).sorted
+      println(f"[probe] hits:$nm%-22s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+
+  private def hitsLoopOn(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, n: Long): DataFrame = {
+    import s.implicits._
+    def authOf(hub: DataFrame): DataFrame = {
+      val a0 = edges.join(hub, $"src" === $"node")
+        .groupBy($"dst").agg(sum($"h").as("v"))
+      val at = a0.agg(sum($"v").as("t"))
+      nodes.join(a0, $"node" === $"dst", "left")
+        .crossJoin(broadcast(at))
+        .select($"node",
+          expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("a"))
+    }
+    def hubOf(auth: DataFrame): DataFrame = {
+      val h0 = edges.join(auth, $"dst" === $"node")
+        .groupBy($"src").agg(sum($"a").as("v"))
+      val ht = h0.agg(sum($"v").as("t"))
+      nodes.join(h0, $"node" === $"src", "left")
+        .crossJoin(broadcast(ht))
+        .select($"node",
+          expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("h"))
+    }
+    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) hub = hubOf(authOf(hub)).localCheckpoint(true)
+    val auth = authOf(hub).localCheckpoint(true)
+    hub = hubOf(auth).localCheckpoint(true)
+    auth.join(hub, "node")
+      .select($"node", $"a".as("authority"), $"h".as("hub_score"))
+      .orderBy($"authority".desc, $"node").limit(50)
+  }
+
   private def kcoreAb(s: SparkSession, dir: String, reps: Int): Unit = {
     import s.implicits._
     import graft.pipeline.CurationQueries

@@ -570,8 +570,9 @@ object SimilarityQueries {
           .agg(min_by($"c_label", struct($"score", $"c_label")).as("c_label"))
       // AQE off for the eager training actions, as in the PQ trainer:
       // every join is an explicit broadcast, adaptive staging only adds
-      // per-job scheduling fixed cost to the loop's many tiny stages
-      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      // per-job scheduling fixed cost to the loop's many tiny stages.
+      // r16: LoopConf.tight (narrow task waves too — cold-build path)
+      graft.LoopConf.tight(s, vectors.count()) {
         var cb = materialize(rollup(vectors
           .select($"label".as("c_label"), posexplode($"v"))
           .toDF("c_label", "pos", "val")), "seed")
@@ -650,15 +651,20 @@ object SimilarityQueries {
       s.read.schema("c_label INT, cv ARRAY<DOUBLE>, cc DOUBLE")
         .parquet(ivfTrain(s, dir, vectors))
         .withColumn("cn", normExact($"cv")))
-    // at deployment this materializes as the bucketed-by-cell index
-    // table. Persisted (r16): the residual gate reads it three times
-    // (candidates + home-cell lookup + the residual-encode join) and
-    // each unpersisted reference re-ran the whole screened rank
+    // The assignment IS the bucketed-by-cell index table the layout
+    // artifact materializes — r16: every whole-corpus gate now READS
+    // that artifact instead of re-running the screened rank per query
     // (measured 1.2 s per evaluation at sf0.1, the largest stage of the
-    // composed IVF-PQ probe).
+    // composed IVF-PQ probe; the residual gate referenced it three
+    // times). Types re-pinned to the computed form (the partition
+    // column round-trips through directory names). Persisted: several
+    // gates read it 2-3 times per plan.
+    val (idxPath, _) = ivfIndexLayout(s, dir)
     val assigned = graft.CacheTracker.persistTracked(
-      screenedCellRank(vectors, centroidArr, IvfReplicas, Seq("label"))
-        .select($"vec_id", $"label", $"c_label".as("nearest_label"), $"rn"))
+      s.read
+        .schema("vec_id BIGINT, label INT, rn INT, nearest_label INT")
+        .parquet(idxPath)
+        .select($"vec_id", $"label", $"nearest_label", $"rn"))
     (centroidArr, vectors, assigned)
   }
 
@@ -793,7 +799,7 @@ object SimilarityQueries {
   val ivfSearch: Q = (s, dir) => {
     import s.implicits._
     val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val probes = ivfProbesArt(s, dir)
     // a vector indexed under two probed cells is one candidate, once
     val cand = assigned.select($"vec_id", $"nearest_label")
       .join(broadcast(probes), $"nearest_label" === $"probe_label")
@@ -939,7 +945,7 @@ object SimilarityQueries {
   val ivfDeleteTombstone: Q = (s, dir) => {
     import s.implicits._
     val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val probes = ivfProbesArt(s, dir)
     val candAll = graft.CacheTracker.persistTracked(
       assigned.select($"vec_id", $"nearest_label")
         .join(broadcast(probes), $"nearest_label" === $"probe_label")
@@ -1010,7 +1016,7 @@ object SimilarityQueries {
   val ivfFilteredSearch: Q = (s, dir) => {
     import s.implicits._
     val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val probes = ivfProbesArt(s, dir)
     val cand = assigned.select($"vec_id", $"label", $"nearest_label")
       .filter($"label" % 2 === 0)
       .join(broadcast(probes), $"nearest_label" === $"probe_label")
@@ -1069,7 +1075,22 @@ object SimilarityQueries {
     ivfIdxPaths.getOrBuild(dir) {
       val base = graft.ArtifactCache.publishStaged(
         "ivfidx", dir, Seq("embeddings")) {
-        val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
+        // RAW computation — ivfStructure itself now reads this artifact,
+        // so the builder must not call back into it
+        import s.implicits._
+        val vectors = Tables(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding", x => x.cast("double")).as("v"))
+          .withColumn("xn", normExact($"v"))
+          .transform(graft.CacheTracker.persistTracked)
+        val centroidArr = graft.CacheTracker.persistTracked(
+          s.read.schema("c_label INT, cv ARRAY<DOUBLE>, cc DOUBLE")
+            .parquet(ivfTrain(s, dir, vectors))
+            .withColumn("cn", normExact($"cv")))
+        val assigned =
+          screenedCellRank(vectors, centroidArr, IvfReplicas, Seq("label"))
+            .select($"vec_id", $"label", $"c_label".as("nearest_label"),
+              $"rn")
         val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
         val b = s"${graft.Scratch.dir}/graft_ivf_idx_" +
           s"${graft.RefQueries.runToken}_$dirKey"
@@ -1081,6 +1102,16 @@ object SimilarityQueries {
       }
       (s"$base/idx", s"$base/probes")
     }
+
+  /** The memoized probe table (q_id, probe_label) from the layout
+    * artifact — r16: the whole-corpus read-path gates read it instead
+    * of re-running the q×k exact ranking per query.
+    */
+  private def ivfProbesArt(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (_, probesPath) = ivfIndexLayout(s, dir)
+    s.read.schema("q_id BIGINT, probe_label INT").parquet(probesPath)
+  }
 
   /** Forces every per-(JVM, sf-dir) trained/materialized model artifact
     * this module memoizes — the IVF codebook (whole-corpus + the
@@ -1154,6 +1185,9 @@ object SimilarityQueries {
         // the pre-vacuum three-commit lake fixture (r15): deterministic
         // input prep the gate then copies and mutates per invocation
         timed("lake_vacuum_fixture")(graft.LakeQueries.vacuumFixture(cs, dir))
+        // the shared text-dedup shingle table (r16 scratch memo)
+        timed("shingled_corpus")(
+          graft.text.DedupQueries.shingledCorpus(cs, dir).count())
       },
       // shared index artifacts (r11): the banded near-dup pair table
       // (cosine_neardup + dbscan), the NN-descent k-NN graph (the NNG
@@ -1526,8 +1560,11 @@ object SimilarityQueries {
       // key cardinality, so adaptive re-planning buys nothing — but it
       // bills each query stage as its own job, and this loop's many tiny
       // stages paid ~0.4 s of scheduling fixed cost per job (measured:
-      // 28 jobs, ~12 s; the compute itself is ~2 s).
-      graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      // 28 jobs, ~12 s; the compute itself is ~2 s). r16: upgraded to
+      // LoopConf.tight — AQE-off alone left each stage a 32-task wave
+      // over rows that fit in a handful (the cold-build path the
+      // driver's fresh-environment warm-up pays).
+      graft.LoopConf.tight(s, subs.count()) {
         var cb = materialize(rollup(subs
           .select(($"label" * PqG + pmod($"vec_id", lit(PqG))).as("c_code"),
             $"m", posexplode($"sub"))
@@ -1845,7 +1882,7 @@ object SimilarityQueries {
     import s.implicits._
     import graft.functions.Exact.dsum
     val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val probes = ivfProbesArt(s, dir)
     // a vector indexed under two probed cells is one candidate, once
     val cand = assigned.select($"vec_id", $"nearest_label")
       .join(broadcast(probes), $"nearest_label" === $"probe_label")
@@ -1969,7 +2006,7 @@ object SimilarityQueries {
     import s.implicits._
     import graft.functions.Exact.dsum
     val (centroidArr, vectors, assigned) = ivfStructure(s, dir)
-    val probes = ivfProbesFor(s, vectors, centroidArr)
+    val probes = ivfProbesArt(s, dir)
     val cand = assigned.select($"vec_id", $"nearest_label")
       .join(broadcast(probes), $"nearest_label" === $"probe_label")
       .where($"vec_id" =!= $"q_id")
@@ -2897,20 +2934,26 @@ object SimilarityQueries {
           $"xn".as("nb")))
         .filter($"a" =!= $"b")
         .select($"a", $"b", (dotExact($"ea", $"eb") / ($"na" * $"nb")).as("sim")))
-    var picked = cands
-      .select($"vec_id", lit(0).as("step"), $"rel".as("score"))
-      .filter(lit(false)).localCheckpoint(true)
-    for (k <- 1 to 5) {
-      val ms = sims.join(picked.select($"vec_id".as("pb")), $"b" === $"pb")
-        .groupBy($"a").agg(max($"sim").as("ms"))
-      val next = cands
-        .join(picked.select($"vec_id".as("px")), $"vec_id" === $"px",
-          "left_anti")
-        .join(ms, $"vec_id" === $"a", "left")
-        .select($"vec_id", lit(k).as("step"),
-          ($"rel" - lit(0.5) * coalesce($"ms", lit(0.0))).as("score"))
-        .orderBy($"score".desc, $"vec_id").limit(1)
-      picked = picked.unionByName(next).localCheckpoint(true)
+    // r16: the greedy 5-step loop is eager (checkpoint per step) over a
+    // 20-row candidate state — LoopConf.tight drops AQE's per-exchange
+    // jobs for the loop's duration
+    val picked = graft.LoopConf.tight(s, 20L) {
+      var p = cands
+        .select($"vec_id", lit(0).as("step"), $"rel".as("score"))
+        .filter(lit(false)).localCheckpoint(true)
+      for (k <- 1 to 5) {
+        val ms = sims.join(p.select($"vec_id".as("pb")), $"b" === $"pb")
+          .groupBy($"a").agg(max($"sim").as("ms"))
+        val next = cands
+          .join(p.select($"vec_id".as("px")), $"vec_id" === $"px",
+            "left_anti")
+          .join(ms, $"vec_id" === $"a", "left")
+          .select($"vec_id", lit(k).as("step"),
+            ($"rel" - lit(0.5) * coalesce($"ms", lit(0.0))).as("score"))
+          .orderBy($"score".desc, $"vec_id").limit(1)
+        p = p.unionByName(next).localCheckpoint(true)
+      }
+      p
     }
     picked.select($"step", $"vec_id", round($"score", 9).as("score"))
       .orderBy($"step")
@@ -4950,7 +4993,9 @@ object SimilarityQueries {
     def halfDist(scaled: org.apache.spark.sql.Column) =
       abs(abs(scaled) % 1.0 - 0.5)
     val mat = graft.CacheTracker.persistTracked(mat0)
-    graft.Confs.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+    // r16: LoopConf.tight (was bare AQE-off) — the power-iteration state
+    // is the 64-row covariance matrix, dimension-bound at any corpus
+    graft.LoopConf.tight(s, 64L) {
       var xrow = s.range(1)
         .select(transform(sequence(lit(1), lit(64)), _ => lit(0.125)).as("x"))
         .localCheckpoint(true)
