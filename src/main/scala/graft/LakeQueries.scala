@@ -768,6 +768,44 @@ object LakeQueries {
     vacuumMergeIn(s, root, u2)
   }
 
+  private val lakeBaseFixturePaths = new graft.KeyedMemo[String]
+
+  /** The v1 base commit (even orderkeys, 3 columns, status-partitioned)
+    * that [[deleteKeys]], [[deletionVectors]] and [[partitionEvolution]]
+    * each rebuilt per invocation — r17: built ONCE per (JVM, dir) as a
+    * relocation-safe fixture (Snapshots manifests store relative paths)
+    * and [[Scratch.copyTree]]-copied per invocation, the r15 vacuum
+    * discipline. Billed to bench warm-up (`lake_base_fixture`).
+    */
+  private[graft] def lakeBaseFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    lakeBaseFixturePaths.getOrBuild(dir) {
+      ArtifactCache.publishStaged("lakev1", dir, Seq("orders")) {
+        import s.implicits._
+        val root = s"${Scratch.dir}/graft_lake_v1fix_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken
+        val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .repartition($"o_orderstatus")
+        operators.Snapshots.commit(s, root, base, "o_orderstatus")
+        root
+      }
+    }
+
+  /** A throwaway copy of [[lakeBaseFixture]] under a fresh
+    * per-invocation root (the gates MUTATE the tree with further
+    * commits/sidecars).
+    */
+  private def lakeBaseCopy(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String): String = {
+    val root = s"${Scratch.dir}/graft_lake_${tag}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
+      vacInvocation.incrementAndGet()
+    Scratch.copyTree(java.nio.file.Paths.get(lakeBaseFixture(s, dir)),
+      java.nio.file.Paths.get(root))
+    root
+  }
+
   private val vacFixturePaths = new graft.KeyedMemo[String]
 
   /** The memoized pre-vacuum fixture path — exposed so the bench
@@ -861,13 +899,7 @@ object LakeQueries {
     */
   val deleteKeys: Q = (s, dir) => {
     import s.implicits._
-    val root = s"${Scratch.dir}/graft_lake_del_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
-      vacInvocation.incrementAndGet()
-    val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
-      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
-      .repartition($"o_orderstatus")
-    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val root = lakeBaseCopy(s, dir, "del")
     val keptF = operators.Snapshots.read(s, root, 1)
       .filter($"o_orderstatus" === "F" && $"o_orderkey" % 6 =!= 0)
       .repartition($"o_orderstatus")
@@ -925,13 +957,7 @@ object LakeQueries {
     */
   val deletionVectors: Q = (s, dir) => {
     import s.implicits._
-    val root = s"${Scratch.dir}/graft_lake_dv_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
-      vacInvocation.incrementAndGet()
-    val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
-      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
-      .repartition($"o_orderstatus")
-    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val root = lakeBaseCopy(s, dir, "dv")
     val v1 = operators.Snapshots.read(s, root, 1)
     // the DELETE: write the deletion vector sidecar, touch no data file
     val dvPath = root + "/_dv/v00001"
@@ -1000,13 +1026,7 @@ object LakeQueries {
     */
   val partitionEvolution: Q = (s, dir) => {
     import s.implicits._
-    val root = s"${Scratch.dir}/graft_lake_pe_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Scratch.runToken + "_" +
-      vacInvocation.incrementAndGet()
-    val base = Tables(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
-      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
-      .repartition($"o_orderstatus")
-    operators.Snapshots.commit(s, root, base, "o_orderstatus")
+    val root = lakeBaseCopy(s, dir, "pe")
     // the spec change: the delta batch lands month-partitioned;
     // o_orderstatus rides as a DATA column in the new-layout files.
     // The delta is RECENT data (the final order year) — that is what a

@@ -31,9 +31,16 @@ object SqlQueries {
     */
   private def overViews(s: SparkSession, dir: String, tables: Seq[String],
       sql: String): DataFrame = {
-    tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+    tablesAsViews(s, dir, tables)
     s.sql(sql)
   }
+
+  /** View registration alone — for gates that issue more than one SQL
+    * statement (e.g. a materialized intermediate stage).
+    */
+  private def tablesAsViews(s: SparkSession, dir: String,
+      tables: Seq[String]): Unit =
+    tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(s"graft_$t"))
 
   val sqlQ1: Q = (s, dir) => overViews(s, dir, Seq("lineitem"),
     """SELECT l_returnflag, l_linestatus,
@@ -130,11 +137,13 @@ object SqlQueries {
     * as `dedup_minhash_lsh`. (Note: `agg_grouping_sets` needs no twin —
     * its DSL gate is ALREADY issued as spark.sql text.)
     *
-    * Plans intentionally NOT identical to the DSL twin: the DSL path
-    * persists the shingled corpus and band table (read 3×/2×); SQL text
-    * has no persist hook, so Spark inlines the CTEs and re-derives them
-    * per reference. Same values, pinned by the shared hash gate; the
-    * DSL gate remains the performance formulation.
+    * Plans intentionally NOT identical to the DSL twin (the twin keeps
+    * its own banding/verify SQL text), but since r17 the twin shares
+    * the DSL family's materialization discipline: the shingle table is
+    * the `shingledCorpus` scratch-parquet artifact all five DSL dedup
+    * gates read, and the band table is a persisted SQL-text stage
+    * (read twice by the candidate self-join). Same values, pinned by
+    * the shared hash gate.
     */
   val sqlDedupMinhash: Q = (s, dir) => {
     val (k, bands, r, cap) = (graft.Tuning.minhashK, graft.Tuning.minhashBands,
@@ -144,33 +153,41 @@ object SqlQueries {
     // corpus-drift guard (collisions would be green-but-wrong in BOTH
     // engines, invisible to the hash gate)
     graft.text.DedupQueries.assertVariantIdHeadroom(s, dir)
-    // NOTE r14: a docs0 CTE with DISTRIBUTE BY doc_id (the SQL form of
-    // the single-partition repartition) measured a NULL here — paired
-    // A/B (QueryProbe sqltwin, alternating reps): distribute 2.06 s vs
-    // plain 1.96 s median. The inlined CTE chain re-evaluates shingles
-    // anyway, so the exchange only adds cost; the DSL gate keeps its
-    // repartition (its persist hook makes the parallel tokenize pay).
-    overViews(s, dir, Seq("documents"),
-      s"""WITH docs AS (
-         |  SELECT doc_id,
-         |    split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks
-         |  FROM graft_documents),
-         |base AS (SELECT * FROM docs WHERE size(toks) >= 15),
-         |corpus AS (
-         |  SELECT doc_id, toks FROM base
-         |  UNION ALL
-         |  SELECT doc_id + 10000, slice(toks, 1, size(toks) - 5) FROM base),
-         |shingled AS (SELECT doc_id, word_shingles(toks, 3) AS sh FROM corpus),
-         |sig AS (SELECT doc_id, posexplode(minhash_md5(sh, $k)) AS (i, h)
-         |        FROM shingled),
-         |bandt AS (
-         |  SELECT doc_id, CAST(floor(i / $r) AS INT) AS band,
-         |    array_join(transform(array_sort(collect_list(struct(i, h))),
-         |      st -> st.h), '|') AS mh
-         |  FROM sig GROUP BY doc_id, CAST(floor(i / $r) AS INT)),
-         |sized AS (
+    // r17 (verdict item 3): the inlined CTE chain re-derived the
+    // tokenize+shingle stream PER REFERENCE — `shingled` is read three
+    // times (sig + both sides of the exact-Jaccard verify), so the
+    // regex/split/shingle per-row work ran 3× per rep. Two-step fix,
+    // each A/B'd (QueryProbe sqltwin, alternating reps):
+    //  (a) an in-memory CACHE of the rebuilt shingle table LOST
+    //      (3.54 vs 2.88 s median — caching 10k big string arrays
+    //      costs more than one recompute; null recorded, don't
+    //      re-try);
+    //  (b) reading the `shingledCorpus` scratch-parquet ARTIFACT the
+    //      five DSL dedup gates already share (r16 "read the index
+    //      artifact" pattern) WON. The artifact is built from the
+    //      IDENTICAL corpus expressions (same tokenize, ≥15 filter,
+    //      +10000 slice variant, word_shingles(…, 3)), so values are
+    //      unchanged and the shared oracle still pins them.
+    // The small band table (docs × bands short strings) is its own
+    // SQL-text stage behind the CacheTracker hook — the candidate
+    // self-join reads it twice, exactly the DSL gate's persist shape.
+    // All query logic remains SQL text; minhash_md5 / posexplode /
+    // the banding window still resolve through the SQL parser.
+    graft.text.DedupQueries.shingledCorpus(s, dir)
+      .createOrReplaceTempView("graft_shingled_mh")
+    val bandt = s.sql(
+      s"""WITH sig AS (SELECT doc_id, posexplode(minhash_md5(sh, $k)) AS (i, h)
+         |        FROM graft_shingled_mh)
+         |SELECT doc_id, CAST(floor(i / $r) AS INT) AS band,
+         |  array_join(transform(array_sort(collect_list(struct(i, h))),
+         |    st -> st.h), '|') AS mh
+         |FROM sig GROUP BY doc_id, CAST(floor(i / $r) AS INT)""".stripMargin)
+    graft.CacheTracker.persistTracked(bandt)
+      .createOrReplaceTempView("graft_bandt_mh")
+    s.sql(
+      s"""WITH sized AS (
          |  SELECT doc_id, band, mh,
-         |    COUNT(*) OVER (PARTITION BY band, mh) AS gsz FROM bandt),
+         |    COUNT(*) OVER (PARTITION BY band, mh) AS gsz FROM graft_bandt_mh),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sized a JOIN sized b ON a.band = b.band AND a.mh = b.mh
@@ -179,8 +196,8 @@ object SqlQueries {
          |  SELECT doc_a, doc_b,
          |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
          |      CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
-         |  FROM cand JOIN shingled sa ON cand.doc_a = sa.doc_id
-         |            JOIN shingled sb ON cand.doc_b = sb.doc_id)
+         |  FROM cand JOIN graft_shingled_mh sa ON cand.doc_a = sa.doc_id
+         |            JOIN graft_shingled_mh sb ON cand.doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin)
   }

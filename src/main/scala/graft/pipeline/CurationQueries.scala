@@ -2211,49 +2211,51 @@ object CurationQueries {
     // persist / bare parquet leaf re-read per half-step measured slower)
     val edges = edgesA.localCheckpoint(true)
     val nodes = docsA.select($"doc_id".as("node")).localCheckpoint(true)
-    // one ROUND (auth half-step then hub half-step) as a single lazy
-    // plan: auth is referenced exactly once inside the hub update (the
-    // contribution shuffles are deduped by ReuseExchange where they
-    // repeat under the total-broadcast), so the plan grows LINEARLY
-    // per round and the pprLoop batching discipline applies — two
-    // rounds per checkpointed job instead of a checkpoint per
-    // HALF-step (r12 verdict item 4; values byte-identical, the gate's
-    // oracle is unchanged)
-    def authOf(hub: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val a0 = edges.join(hub, $"src" === $"node")
-        .groupBy($"dst").agg(sum($"h").as("v"))
-      val at = a0.agg(sum($"v").as("t"))
-      nodes.join(a0, $"node" === $"dst", "left")
-        .crossJoin(broadcast(at))
-        .select($"node",
-          expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("a"))
+    // r16 measured LoopConf.tight as a LOSS on the old loop shape: each
+    // half-step's contribution aggregate fed BOTH the broadcast total
+    // and the normalization join, and only AQE's per-stage
+    // materialization reused that exchange — with AQE off it computed
+    // twice per half-step. r17 (verdict item 1) removes the AQE
+    // dependency instead of keeping AQE: the CONTRIBUTION aggregate is
+    // eagerly checkpointed per half-step, so the total and the join
+    // both read the materialized rows and the whole loop runs under
+    // LoopConf.tight (jobs 64 → ~24; interleaved hitsab A/B receipts
+    // in OPTIMIZATION_r17.md). The normalizations stay LAZY over the
+    // checkpointed contributions — constant plan depth per round, no
+    // round-end checkpoint needed.
+    graft.LoopConf.tight(s, n) {
+      def authOf(hub: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val a0 = edges.join(hub, $"src" === $"node")
+          .groupBy($"dst").agg(sum($"h").as("v"))
+          .localCheckpoint(true)
+        val at = a0.agg(sum($"v").as("t"))
+        nodes.join(a0, $"node" === $"dst", "left")
+          .crossJoin(broadcast(at))
+          .select($"node",
+            expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("a"))
+      }
+      def hubOf(auth: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val h0 = edges.join(auth, $"dst" === $"node")
+          .groupBy($"src").agg(sum($"a").as("v"))
+          .localCheckpoint(true)
+        val ht = h0.agg(sum($"v").as("t"))
+        nodes.join(h0, $"node" === $"src", "left")
+          .crossJoin(broadcast(ht))
+          .select($"node",
+            expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("h"))
+      }
+      var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
+      for (_ <- 1 to 3) hub = hubOf(authOf(hub))
+      // round 4 checkpoints the NORMALIZED frames (not just the
+      // contributions): auth4 is read twice (hub4's update + the
+      // output join) and both outputs leave the LoopConf scope — the
+      // returned frame must be checkpoint-cut (LoopConf contract).
+      val auth = authOf(hub).localCheckpoint(true)
+      hub = hubOf(auth).localCheckpoint(true)
+      auth.join(hub, "node")
+        .select($"node", $"a".as("authority"), $"h".as("hub_score"))
+        .orderBy($"authority".desc, $"node").limit(50)
     }
-    def hubOf(auth: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val h0 = edges.join(auth, $"dst" === $"node")
-        .groupBy($"src").agg(sum($"a").as("v"))
-      val ht = h0.agg(sum($"v").as("t"))
-      nodes.join(h0, $"node" === $"src", "left")
-        .crossJoin(broadcast(ht))
-        .select($"node",
-          expr("(coalesce(v, 0L) * 100000) div (t div 10000000)").as("h"))
-    }
-    // rounds 1-3 checkpoint only the round-end hub (auth stays lazy —
-    // one checkpoint per round instead of per HALF-step); round 4 keeps
-    // the half-step checkpoint because the OUTPUT needs auth4 and
-    // hub4 = hubOf(auth4) — auth4 must materialize anyway.
-    // r16 measured NULL-to-LOSS (interleaved A/B, don't re-try):
-    // LoopConf.tight on this loop — each half-step's contribution
-    // aggregate feeds BOTH the total (broadcast) and the join, and only
-    // AQE's per-stage materialization reuses that exchange; with AQE
-    // off the contribution computes twice per half-step.
-    var hub = nodes.select($"node", lit(1000000000000L / n).as("h"))
-      .localCheckpoint(true)
-    for (_ <- 1 to 3) hub = hubOf(authOf(hub)).localCheckpoint(true)
-    val auth = authOf(hub).localCheckpoint(true) // r4 auth half-step
-    hub = hubOf(auth).localCheckpoint(true) // r4 hub half-step
-    auth.join(hub, "node")
-      .select($"node", $"a".as("authority"), $"h".as("hub_score"))
-      .orderBy($"authority".desc, $"node").limit(50)
   }
 
   val hitsScoresSql: String = {
@@ -2312,7 +2314,7 @@ object CurationQueries {
     import s.implicits._
     val toked = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", graft.text.TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 1)
     // read twice: the df table and the per-doc rollup
     val inst = graft.CacheTracker.persistTracked(
@@ -2854,7 +2856,10 @@ object CurationQueries {
     val toks = graft.text.TextAnalysis.tokens($"text")
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", slice(toks, 1, 48).as("toks"))
+      // explode(array(…)) Generate barrier: keeps the >=2 filter above
+      // the tokenize+slice (else it is pushed below the repartition and
+      // re-evaluates the regex single-threaded — the r17 tokensOnce fix)
+      .select($"doc_id", explode(array(slice(toks, 1, 48))).as("toks"))
       .filter(size($"toks") >= 2)
     val pos = base
       .select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
@@ -2953,7 +2958,10 @@ object CurationQueries {
     val toks = graft.text.TextAnalysis.tokens($"text")
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", slice(toks, 1, 48).as("toks"))
+      // explode(array(…)) Generate barrier: keeps the >=2 filter above
+      // the tokenize+slice (else it is pushed below the repartition and
+      // re-evaluates the regex single-threaded — the r17 tokensOnce fix)
+      .select($"doc_id", explode(array(slice(toks, 1, 48))).as("toks"))
       .filter(size($"toks") >= 2)
     val key = concat($"doc_id".cast("string"), lit("|"), $"p".cast("string"))
     val pos = base

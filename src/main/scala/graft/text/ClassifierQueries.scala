@@ -57,7 +57,7 @@ object ClassifierQueries {
     val stop = langStopwords.head._2
     val tr = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 1)
     // originals (y=1) ∪ deterministic junk twins (y=0)
     val labeled = tr.select(explode(array(

@@ -72,7 +72,7 @@ object DedupQueries {
       // otherwise run one-core (the r12 single-partition lesson, r14)
       val base = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
         .filter(size($"toks") >= 15)
       val corpus = base.select(explode(array(
           struct($"doc_id", $"toks"),
@@ -206,7 +206,7 @@ object DedupQueries {
   val simhashPairs: Q = (s, dir) => {
     import s.implicits._
     val corpus = Tables(s, dir, "documents")
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 2)
       .select(explode(array(
         struct($"doc_id", array_join($"toks", " ").as("norm")),
@@ -273,7 +273,7 @@ object DedupQueries {
     // inline the shingle build into every reference (~6 evaluations/doc)
     graft.CacheTracker.persistTracked(
       Tables(s, dir, "documents")
-        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
         .filter(size($"toks") >= 15)
         .select($"doc_id",
           wordShingles($"toks", 3).as("sh_a"),
@@ -397,7 +397,7 @@ object DedupQueries {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 15)
     assertVariantIdHeadroom(s, dir)
     val corpus = base.select(explode(array(
@@ -614,7 +614,7 @@ object DedupQueries {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val corpusSh = graft.CacheTracker.persistTracked(
       base.select($"doc_id", wordShingles($"toks", 3).as("sh")))
@@ -703,7 +703,7 @@ object DedupQueries {
   val contaminationCheck: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
     // the "eval set": 25-token spans lifted from a hash-selected ~3% of
     // docs (re-keyed +90000) — planted contamination whose source doc
     // MUST surface with containment 1.0, on top of any organic overlap
@@ -858,9 +858,12 @@ object DedupQueries {
     val grams = graft.CacheTracker.persistTracked(
       corpus.select($"doc_id", posexplode(posGramKeys($"toks", k)))
         .toDF("doc_id", "pos", "g"))
+    // "appears in ≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) —
+    // single-pass aggregates instead of the distinct-agg's extra
+    // dedup level (the r16 substring-spans predicate, verdict item 7)
     val dup = grams.groupBy($"g")
-      .agg(count_distinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"g")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx").select($"g")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
     val covered = grams.join(dup, "g")
@@ -879,7 +882,7 @@ object DedupQueries {
   val exactSubstring: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val quoted = base
       .filter(graft.functions.KeyHash.bucket100("sub|", $"doc_id") < 20 &&
@@ -1110,7 +1113,7 @@ object DedupQueries {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val corpus = base.select(explode(array(
         struct($"doc_id", $"toks"),
@@ -1196,7 +1199,7 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
     val isEval = graft.functions.KeyHash.bucket100("eval|", $"doc_id") < 3
     val evalG = base.filter(isEval && size($"toks") >= 32)
       .select(explode(wordShingles(slice($"toks", lit(8), lit(25)), 5)).as("t"))
@@ -1242,7 +1245,7 @@ object DedupQueries {
     import s.implicits._
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
     // the same hash-selected eval spans as contaminationCheck: 25-token
     // passages lifted from ~3% of docs — each contributes 13 13-grams,
     // and its SOURCE doc must come back `drop`
@@ -1477,7 +1480,7 @@ object DedupQueries {
     val base = graft.CacheTracker.persistTracked(
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
         .filter(size($"toks") >= 15))
     // planted plagiarism: a hash-selected ~10% of long docs each spawn a
     // +50000 variant carrying a 16-27-token passage lifted from the
@@ -1604,7 +1607,7 @@ object DedupQueries {
     assertVariantIdHeadroom(s, dir)
     val base = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 15)
     val corpus = base.select(explode(array(
         struct($"doc_id", $"toks"),

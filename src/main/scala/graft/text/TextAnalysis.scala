@@ -25,6 +25,19 @@ object TextAnalysis {
   def tokens(c: Column): Column = split(normText(c), " ")
   def sqlTokens(e: String): String = s"string_split(${sqlNormText(e)}, ' ')"
 
+  /** [[tokens]] behind the zero-cost `explode(array(…))` Generate
+    * barrier. Use when a `size($"toks") >= k` filter follows the
+    * projection: without the barrier Catalyst pushes that filter below
+    * any repartition and substitutes the tokenize INTO the filter, so
+    * the regex+split runs TWICE — once of it single-threaded on the
+    * one-file scan partition (r17 finding, visible in 8 gates'
+    * before-plans as `Filter (size(split(trim(regexp_replace(...)`
+    * under the exchange). The barrier keeps the filter above the
+    * Generate (its condition references the generator output), one
+    * evaluation, still whole-stage-codegen'd, no row multiplication.
+    */
+  def tokensOnce(c: Column): Column = explode(array(tokens(c)))
+
   def nTokens(c: Column): Column = size(tokens(c))
   def sqlNTokens(e: String): String = s"CAST(len(${sqlTokens(e)}) AS INT)"
 

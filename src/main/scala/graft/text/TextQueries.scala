@@ -224,7 +224,7 @@ object TextQueries {
     import s.implicits._
     winnowingOn(Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id", tokens($"text").as("toks")))
+      .select($"doc_id", tokensOnce($"text").as("toks")))
   }
 
   /** [[winnowingFingerprint]] over any (doc_id, toks) frame — split out
@@ -389,7 +389,7 @@ object TextQueries {
   val repetitionQuality: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 2)
     val tokStats = base.select($"doc_id", explode($"toks").as("t"))
       .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
@@ -451,7 +451,7 @@ object TextQueries {
     val size64 = 64
     val stride = 48
     val base = Tables(s, dir, "documents")
-      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 1)
     base
       .select($"doc_id", $"toks",
@@ -538,7 +538,7 @@ object TextQueries {
     val tr = graft.CacheTracker.persistTracked(
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", tokensOnce($"text").as("toks"))
         .filter(size($"toks") >= 2))
     def bigramsOf(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
       explode(transform(sequence(lit(1), size($"toks") - 1),
@@ -663,7 +663,7 @@ object TextQueries {
         // the one-file scan would tokenize on ONE core (the r12
         // single-partition lesson) — spread before the per-row work
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .select($"doc_id", $"lang", tokensOnce($"text").as("toks"))
         .filter(size($"toks") >= 2))
     // the bigram stream feeds BOTH the LM count table and the per-doc
     // scoring pass — build it once
@@ -1458,7 +1458,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val tr = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(tokens($"text").as("toks"))
+      .select(tokensOnce($"text").as("toks"))
       .filter(size($"toks") >= 2)
     val bg = graft.CacheTracker.persistTracked(
       tr.select(explode(transform(sequence(lit(1), size($"toks") - 1),

@@ -50,6 +50,10 @@ object QueryProbe {
         graft.vector.SimilarityQueries.ivfpqProbeStages(spark, sfDir)
           .foreach { case (name, f) => timed(name, reps)(f()) }
       case "hitsab" => hitsAb(spark, sfDir, reps)
+      case "knnrep" => knnRep(spark, sfDir, reps)
+      case "dbscan" => dbscanAb(spark, sfDir, reps)
+      case "kcenterab" => kcenterAb(spark, sfDir, reps)
+      case "freqpairs" => freqPairsAb(spark, sfDir, reps)
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
@@ -291,33 +295,256 @@ object QueryProbe {
     * linkDirected artifact read + eager checkpoints. Alternating reps,
     * checksum-required-identical.
     */
+  /** agg_frequent_pairs distinct-shape A/B (r17, verdict item 6): the
+    * r16 shape ran the (orderkey, partkey) distinct's partial agg on
+    * the one-file scan's single partition and exchanged on the pair of
+    * keys; the r17 shape repartitions on l_orderkey first so the
+    * distinct completes partition-locally in parallel. The join side
+    * broadcasts in BOTH shapes (plan-verified), so this isolates the
+    * distinct. Alternating reps, checksum-required-identical.
+    */
+  private def freqPairsAb(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    def oldStyle(): DataFrame = {
+      val items = graft.CacheTracker.persistTracked(
+        graft.Tables(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey").distinct())
+      items.alias("a").join(items.alias("b"), Seq("l_orderkey"))
+        .where($"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+        .orderBy($"support".desc, $"part_a", $"part_b").limit(100)
+    }
+    def newStyle(): DataFrame =
+      graft.Queries.queries("agg_frequent_pairs")(s, dir)
+    def checksum(df: DataFrame): Long =
+      df.agg(sum($"part_a" + $"part_b" + $"support")).head.getLong(0)
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq(("scan-local distinct (r16)", () => oldStyle()),
+        ("orderkey-clustered (r17)", () => newStyle()))
+    val sums = variants.map { case (nm, f) =>
+      val v = nm -> checksum(f()); graft.CacheTracker.releaseAll(); v
+    }.toMap
+    require(sums.values.toSet.size == 1, s"checksums diverged: $sums")
+    val ts = (1 to reps).flatMap { _ =>
+      variants.map { case (nm, f) =>
+        val t0 = System.nanoTime(); f().count()
+        graft.CacheTracker.releaseAll()
+        (nm, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    variants.foreach { case (nm, _) =>
+      val xs = ts.filter(_._1 == nm).map(_._2).sorted
+      println(f"[probe] freqpairs:$nm%-26s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+
+  /** curate_kcenter_diverse loop-shape A/B (r17, verdict item 5): the
+    * r16 loop re-joined the persisted embeddings on vec_id every round
+    * (hand-copied below); the r17 loop carries (v, xn) in the
+    * checkpointed state so the update is a map-only
+    * crossJoin(broadcast(pick)) projection. Alternating reps,
+    * checksum-required-identical.
+    */
+  private def kcenterAb(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.vector.VectorOps.{dotExact, normExact}
+    def oldStyle(): DataFrame = {
+      val emb = graft.CacheTracker.persistTracked(
+        graft.Tables(s, dir, "embeddings")
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("v"))
+          .withColumn("xn", normExact($"v")))
+      graft.LoopConf.tight(s, emb.count()) {
+        val first = emb.select($"vec_id", dotExact($"v", $"v").as("nsq"))
+          .orderBy($"nsq".desc, $"vec_id").limit(1)
+          .select($"vec_id".as("c_id"), lit(1).as("round"),
+            lit(2.0).as("picked_dist"))
+        var pickDfs = List(first)
+        var state = emb.select($"vec_id", lit(2.0).as("mind"))
+          .localCheckpoint(true)
+        for (t <- 2 to 8) {
+          val cvec = pickDfs.head
+            .join(emb.select($"vec_id".as("c_id"), $"v".as("cv"),
+              $"xn".as("cn")), "c_id")
+            .select($"cv", $"cn")
+          state = state
+            .join(emb, "vec_id")
+            .crossJoin(broadcast(cvec))
+            .select($"vec_id",
+              least($"mind",
+                lit(1.0) - dotExact($"v", $"cv") / ($"xn" * $"cn")).as("mind"))
+            .localCheckpoint(true)
+          val pick = state.orderBy($"mind".desc, $"vec_id").limit(1)
+            .select($"vec_id".as("c_id"), lit(t).as("round"),
+              round($"mind", 9).as("picked_dist"))
+          pickDfs ::= pick
+        }
+        pickDfs.reverse.reduce(_ unionByName _)
+          .select($"round", $"c_id", $"picked_dist").orderBy($"round")
+      }
+    }
+    def newStyle(): DataFrame =
+      graft.Queries.queries("curate_kcenter_diverse")(s, dir)
+    def checksum(df: DataFrame): Long =
+      df.agg(sum($"c_id" * $"round")).head.getLong(0)
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq(("emb-join loop (r16)", () => oldStyle()),
+        ("state-carried v (r17)", () => newStyle()))
+    val sums = variants.map { case (nm, f) =>
+      val v = nm -> checksum(f()); graft.CacheTracker.releaseAll(); v
+    }.toMap
+    require(sums.values.toSet.size == 1, s"checksums diverged: $sums")
+    val ts = (1 to reps).flatMap { _ =>
+      variants.map { case (nm, f) =>
+        val t0 = System.nanoTime(); f().count()
+        graft.CacheTracker.releaseAll()
+        (nm, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    variants.foreach { case (nm, _) =>
+      val xs = ts.filter(_._1 == nm).map(_._2).sorted
+      println(f"[probe] kcenter:$nm%-22s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+
+  /** sim_dbscan_cluster attribution + assembly A/B (r17, verdict item
+    * 4): times the pair-artifact read and the full gate, and A/Bs the
+    * r16 three-left-join output assembly (hand-copied below) against
+    * the r17 union+single-groupBy assembly, alternating reps with a
+    * checksum requirement.
+    */
+  private def dbscanAb(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.vector.SimilarityQueries
+    timed("pair artifact read+filter", reps)(
+      SimilarityQueries.plantedPairs(s, dir)
+        .filter($"cosine" >= 0.98).count())
+    def oldStyle(): DataFrame = {
+      val ids = SimilarityQueries.plantedRaw(s, dir).select($"vec_id")
+      val edges = graft.CacheTracker.persistTracked(
+        SimilarityQueries.plantedPairs(s, dir)
+          .filter($"cosine" >= 0.98).select($"va", $"vb"))
+      val und = edges.select($"va".as("node"), $"vb".as("nbr"))
+        .unionByName(edges.select($"vb".as("node"), $"va".as("nbr")))
+      val deg = graft.CacheTracker.persistTracked(
+        und.groupBy($"node").agg(count(lit(1)).as("deg")))
+      val core = deg.filter($"deg" >= 3).select($"node")
+      val cedges = edges
+        .join(core.withColumnRenamed("node", "va"), Seq("va"), "left_semi")
+        .join(core.withColumnRenamed("node", "vb"), Seq("vb"), "left_semi")
+        .localCheckpoint(true)
+      val comp = graft.operators.ConnectedComponents.run(cedges, "va", "vb")
+      val coreCl = graft.CacheTracker.persistTracked(
+        core.join(comp, Seq("node"), "left")
+          .select($"node", coalesce($"comp", $"node").as("cluster")))
+      val borderCl = und
+        .join(coreCl.select($"node".as("nbr"), $"cluster"), "nbr")
+        .join(core, Seq("node"), "left_anti")
+        .groupBy($"node").agg(min($"cluster").as("cluster"))
+      ids
+        .join(deg.toDF("vec_id", "deg"), Seq("vec_id"), "left")
+        .join(coreCl.toDF("vec_id", "core_cl"), Seq("vec_id"), "left")
+        .join(borderCl.toDF("vec_id", "border_cl"), Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"deg", lit(0L)).as("deg"),
+          when($"core_cl".isNotNull, "core")
+            .when($"border_cl".isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce($"core_cl", $"border_cl", lit(-1L)).as("cluster"))
+        .orderBy($"vec_id")
+    }
+    def newStyle(): DataFrame =
+      graft.Queries.queries("sim_dbscan_cluster")(s, dir)
+    def checksum(df: DataFrame): Long =
+      df.agg(sum($"cluster" + $"deg")).head.getLong(0)
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq(("3-left-join assembly (r16)", () => oldStyle()),
+        ("union+groupBy assembly (r17)", () => newStyle()))
+    val sums = variants.map { case (nm, f) =>
+      val v = nm -> checksum(f()); graft.CacheTracker.releaseAll(); v
+    }.toMap
+    require(sums.values.toSet.size == 1, s"checksums diverged: $sums")
+    val ts = (1 to reps).flatMap { _ =>
+      variants.map { case (nm, f) =>
+        val t0 = System.nanoTime(); f().count()
+        graft.CacheTracker.releaseAll()
+        (nm, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    variants.foreach { case (nm, _) =>
+      val xs = ts.filter(_._1 == nm).map(_._2).sorted
+      println(f"[probe] dbscan:$nm%-28s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+
+  /** A/B the r17 repartition-before-kernel on the brute-force kNN pair
+    * (sim_knn_brute / sim_knn_topk_agg): the one-file embeddings scan
+    * runs the 10k exact-decimal dots on ONE core without the spread.
+    * "old" is the hand-copied pre-r17 shape (no repartition);
+    * alternating reps, row-count-required-identical.
+    */
+  private def knnRep(s: SparkSession, dir: String, reps: Int): Unit = {
+    import s.implicits._
+    import graft.vector.VectorOps.{dotExact, normExact}
+    def oldKnn(): DataFrame = {
+      val emb = graft.Tables(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dotExact($"embedding", $"q_emb") / ($"xn" * $"qxn")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .withColumn("cosine", round($"cosine", 9))
+        .orderBy($"q_id", $"rank")
+    }
+    def newKnn(): DataFrame = graft.Queries.queries("sim_knn_brute")(s, dir)
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq(("single-partition (old)", () => oldKnn()),
+        ("repartitioned (r17)", () => newKnn()))
+    val counts = variants.map { case (nm, f) => nm -> f().count() }.toMap
+    require(counts.values.toSet.size == 1, s"row counts diverged: $counts")
+    val ts = (1 to reps).flatMap { _ =>
+      variants.map { case (nm, f) =>
+        val t0 = System.nanoTime(); f().count()
+        (nm, (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    variants.foreach { case (nm, _) =>
+      val xs = ts.filter(_._1 == nm).map(_._2).sorted
+      println(f"[probe] knn:$nm%-24s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
+    }
+  }
+
   private def hitsAb(s: SparkSession, dir: String, reps: Int): Unit = {
     import s.implicits._
     import graft.pipeline.CurationQueries
     // warm the artifact path outside timing
     CurationQueries.linkDirected(s, dir)
+    // r17 A/B: both variants read the artifact (the r16-settled edge
+    // build); what differs is the LOOP shape — the r16 AQE-reuse loop
+    // (round-end checkpoints, contribution exchange reused only by
+    // AQE's stage materialization) vs the r17 per-half-step
+    // contribution checkpoint under LoopConf.tight.
     def oldStyle(): DataFrame = {
-      val docs = graft.Tables(s, dir, "documents").select($"doc_id")
-      val n = docs.count()
-      val edges = docs.select($"doc_id".as("src"), explode(array(
-          ($"doc_id" * 7 + 1) % n, ($"doc_id" * 13 + 2) % n,
-          ($"doc_id" * 29 + 3) % n)).as("dst"))
-        .filter($"src" =!= $"dst")
-        .distinct().localCheckpoint(true)
-      val nodes = docs.select($"doc_id".as("node")).localCheckpoint(true)
-      hitsLoopOn(s, nodes, edges, n)
-    }
-    def newStyle(): DataFrame = {
       val (docsA, edgesA, n) = CurationQueries.linkDirected(s, dir)
       val edges = edgesA.localCheckpoint(true)
       val nodes = docsA.select($"doc_id".as("node")).localCheckpoint(true)
       hitsLoopOn(s, nodes, edges, n)
     }
+    def newStyle(): DataFrame =
+      graft.Queries.queries("graph_hits")(s, dir)
     def checksum(df: DataFrame): Long =
       df.agg(sum($"authority")).head.getLong(0)
     val variants: Seq[(String, () => DataFrame)] =
-      Seq(("old per-query build", () => oldStyle()),
-        ("artifact read", () => newStyle()))
+      Seq(("aqe-reuse loop (r16)", () => oldStyle()),
+        ("ckpt-contrib tight (r17)", () => newStyle()))
     val sums = variants.map { case (nm, f) => nm -> checksum(f()) }.toMap
     require(sums.values.toSet.size == 1, s"checksums diverged: $sums")
     val ts = (1 to reps).flatMap { _ =>
@@ -431,15 +658,18 @@ object QueryProbe {
       graft.Queries.queries("graph_kcore")(s, dir).count())
   }
 
-  /** A/B the sql_dedup_minhash DISTRIBUTE BY doc_id exchange (r14):
-    * identical SQL text modulo the docs0 CTE, alternating reps in one
-    * session so host-load bursts hit both variants equally.
+  /** A/B the sql_dedup_minhash formulation change, alternating reps in
+    * one session so host-load bursts hit both variants equally. r14:
+    * DISTRIBUTE BY vs plain (null — the inlined chain re-evaluated
+    * shingles regardless). r17: the gate now materializes the shingle
+    * stage through a persist hook + REPARTITION hint (verdict item 3);
+    * the hand-copied "inlined" variant below is the OLD single-statement
+    * formulation, kept verbatim as the A/B baseline.
     *
-    * MAINTENANCE: the plain variant below is a hand-copied twin of the
-    * gate SQL in `graft.SqlQueries` (initializing that object here trips
-    * a cross-object init cycle, so the text cannot be derived from it) —
-    * any edit to the sql_dedup_minhash gate must be mirrored here, and
-    * the row-count `require` in the loop catches result-changing drift.
+    * MAINTENANCE: the inlined variant is a hand-copied twin of the old
+    * gate SQL (initializing SqlQueries here trips a cross-object init
+    * cycle, so the text cannot be derived from it) — the row-count
+    * `require` in the loop catches result-changing drift.
     */
   private def sqlTwin(s: SparkSession, dir: String, reps: Int): Unit = {
     graft.functions.Registry.registerAll(s)
@@ -491,9 +721,9 @@ object QueryProbe {
       val t0 = System.nanoTime(); val na = run(); val a = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime(); val nb = noDist(); val b = (System.nanoTime() - t1) / 1e9
       require(na == nb, s"variant row counts diverged: $na vs $nb")
-      Seq(("distribute", a), ("plain", b))
+      Seq(("persist-hook", a), ("inlined-old", b))
     }
-    Seq("distribute", "plain").foreach { v =>
+    Seq("persist-hook", "inlined-old").foreach { v =>
       val xs = ts.filter(_._1 == v).map(_._2).sorted
       println(f"[probe] sqltwin:$v%-12s median ${xs(xs.size / 2)}%6.3f s  all ${xs.map(x => f"$x%.2f").mkString(",")}")
     }

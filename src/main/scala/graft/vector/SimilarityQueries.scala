@@ -88,7 +88,11 @@ object SimilarityQueries {
     */
   val knnBrute: Q = (s, dir) => {
     import s.implicits._
+    // one-file scan → the 10k exact-decimal kernels would run on ONE
+    // core without the spread (r12 single-partition lesson; r17 knnrep
+    // A/B receipt in OPTIMIZATION_r17.md)
     val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
@@ -435,6 +439,14 @@ object SimilarityQueries {
       .join(coreCl.select($"node".as("nbr"), $"cluster"), "nbr")
       .join(core, Seq("node"), "left_anti")
       .groupBy($"node").agg(min($"cluster").as("cluster"))
+    // r17 measured NULL-TO-LOSS (QueryProbe `dbscan`, alternating reps,
+    // checksum-identical — do not re-try): folding these three LEFT
+    // JOINs into a tagged union + single groupBy lost every pair
+    // (2.53 s vs 2.96 s median at sf0.1) — the joins are broadcast-hash
+    // over tiny frames, while the union forces a real shuffle of all
+    // four branches. Attribution for the gate's remaining cost: pair
+    // artifact read+filter 0.30 s; the rest is the degree pass + CC
+    // rounds + this assembly at the per-job floor.
     ids
       .join(deg.toDF("vec_id", "deg"), Seq("vec_id"), "left")
       .join(coreCl.toDF("vec_id", "core_cl"), Seq("vec_id"), "left")
@@ -1185,6 +1197,9 @@ object SimilarityQueries {
         // the pre-vacuum three-commit lake fixture (r15): deterministic
         // input prep the gate then copies and mutates per invocation
         timed("lake_vacuum_fixture")(graft.LakeQueries.vacuumFixture(cs, dir))
+        // the shared v1 base commit (r17): delete_keys, deletion_vectors
+        // and partition_evolution each copy-then-mutate it
+        timed("lake_base_fixture")(graft.LakeQueries.lakeBaseFixture(cs, dir))
         // the shared text-dedup shingle table (r16 scratch memo)
         timed("shingled_corpus")(
           graft.text.DedupQueries.shingledCorpus(cs, dir).count())
@@ -1276,8 +1291,10 @@ object SimilarityQueries {
   val knnTopkAgg: Q = (s, dir) => {
     import s.implicits._
     import graft.operators.{ScoredId, TopKByScore}
-    // norms hoisted as in [[knnBrute]] — one decimal kernel per pair
+    // norms hoisted as in [[knnBrute]] — one decimal kernel per pair;
+    // same single-partition spread as there (r17)
     val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding", normExact($"embedding").as("xn"))
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"xn".as("qxn"))
@@ -2137,7 +2154,7 @@ object SimilarityQueries {
         val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
         val p = s"${graft.Scratch.dir}/graft_bigram_base_" +
           s"${graft.RefQueries.runToken}_$dirKey"
-        val toks = graft.text.TextAnalysis.tokens($"text")
+        val toks = graft.text.TextAnalysis.tokensOnce($"text")
         Tables(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select($"doc_id", toks.as("toks"))
@@ -5137,36 +5154,42 @@ object SimilarityQueries {
     // per-round state joins also get the state-sized shuffle width (the
     // count doubles as the cache materialization round 1 needs anyway)
     graft.LoopConf.tight(s, emb.count()) {
-      val first = emb.select($"vec_id", dotExact($"v", $"v").as("nsq"))
-        .orderBy($"nsq".desc, $"vec_id").limit(1)
-        .select($"vec_id".as("c_id"), lit(1).as("round"),
-          lit(2.0).as("picked_dist"))
+      // r17 (verdict item 5, guide §2.4 remove shuffles outright): the
+      // state now CARRIES (v, xn) instead of re-joining `emb` on vec_id
+      // every round, and each round's TakeOrdered pick row carries the
+      // center's vector directly — the update becomes a map-only
+      // project(crossJoin(state, broadcast(pick))) with ZERO exchanges
+      // and zero lookup joins (jobs 34 → ~17; values bit-identical —
+      // same kernel over the same rows, `least` per row and the argmax
+      // tie-break are partitioning-invariant). The 2 000-row ×
+      // 64-double state copy is what a distributed farthest-point
+      // sweep ships anyway.
+      //
       // ONE checkpoint per round (r14): only `state` carries lineage
       // across rounds, so only state is cut. Each round's pick is a
       // top-1 TakeOrdered over the just-checkpointed state LEAF — kept
       // LAZY: it executes once inside the next round's broadcast build
-      // (the 1-row center lookup) and once in the final union, both
-      // leaf-scans, instead of paying its own eager checkpoint job
-      // (was 2 cp jobs/round — 14 scheduled jobs for 8 one-row picks).
-      var pickDfs = List(first)
-      var state = emb.select($"vec_id", lit(2.0).as("mind"))
+      // (now the center row itself) and once in the final union, both
+      // leaf-scans, instead of paying its own eager checkpoint job.
+      var state = emb.select($"vec_id", $"v", $"xn", lit(2.0).as("mind"))
         .localCheckpoint(true)
+      val first = state
+        .select($"vec_id", $"v", $"xn", dotExact($"v", $"v").as("nsq"))
+        .orderBy($"nsq".desc, $"vec_id").limit(1)
+      var pickDfs = List(first.select($"vec_id".as("c_id"),
+        lit(1).as("round"), lit(2.0).as("picked_dist")))
+      var cvec = first.select($"v".as("cv"), $"xn".as("cn"))
       for (t <- 2 to KcK) {
-        val cvec = pickDfs.head
-          .join(emb.select($"vec_id".as("c_id"), $"v".as("cv"),
-            $"xn".as("cn")), "c_id")
-          .select($"cv", $"cn")
         state = state
-          .join(emb, "vec_id")
           .crossJoin(broadcast(cvec))
-          .select($"vec_id",
+          .select($"vec_id", $"v", $"xn",
             least($"mind",
               lit(1.0) - dotExact($"v", $"cv") / ($"xn" * $"cn")).as("mind"))
           .localCheckpoint(true)
-        val pick = state.orderBy($"mind".desc, $"vec_id").limit(1)
-          .select($"vec_id".as("c_id"), lit(t).as("round"),
-            round($"mind", 9).as("picked_dist"))
-        pickDfs ::= pick
+        val pickFull = state.orderBy($"mind".desc, $"vec_id").limit(1)
+        pickDfs ::= pickFull.select($"vec_id".as("c_id"), lit(t).as("round"),
+          round($"mind", 9).as("picked_dist"))
+        cvec = pickFull.select($"v".as("cv"), $"xn".as("cn"))
       }
       pickDfs.reverse.reduce(_ unionByName _)
         .select($"round", $"c_id", $"picked_dist").orderBy($"round")
