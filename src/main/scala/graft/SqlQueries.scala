@@ -240,9 +240,13 @@ object SqlQueries {
     */
   val sqlKnnBrute: Q = (s, dir) => {
     graft.functions.Registry.registerAll(s)
+    // REPARTITION hint mirrors the DSL twin's r17 spread: the one-file
+    // embeddings scan otherwise runs every exact-decimal kernel on one
+    // core (knnrep A/B receipt)
     overViews(s, dir, Seq("embeddings"),
-      """WITH emb AS (
-        |  SELECT vec_id, embedding,
+      s"""WITH emb AS (
+        |  SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */
+        |    vec_id, embedding,
         |    sqrt(dot_exact_dec(embedding, embedding)) AS xn
         |  FROM graft_embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, xn AS qxn

@@ -89,21 +89,28 @@ object ClassifierQueries {
 
     var w = Seq((0.0, 0.0, 0.0, 0.0, 0.0))
       .toDF("b", "ws", "wu", "wa", "wl")
-    for (_ <- 1 to rounds) {
-      val scoredRound = feats.crossJoin(broadcast(w))
-        .withColumn("sig", lit(1.0) / (lit(1.0) +
-          exp(-zOf($"b", $"ws", $"wu", $"wa", $"wl"))))
-      w = scoredRound.agg(
-          round(max($"b") + lit(lr) * davg($"y" - $"sig"), 6).as("b"),
-          round(max($"ws") + lit(lr) * davg(($"y" - $"sig") * $"x_stop"), 6)
-            .as("ws"),
-          round(max($"wu") + lit(lr) * davg(($"y" - $"sig") * $"x_uniq"), 6)
-            .as("wu"),
-          round(max($"wa") + lit(lr) * davg(($"y" - $"sig") * $"x_alpha"), 6)
-            .as("wa"),
-          round(max($"wl") + lit(lr) * davg(($"y" - $"sig") * $"x_len"), 6)
-            .as("wl"))
-        .localCheckpoint(true)
+    // r17: LoopConf.tight around the gradient rounds — each round is
+    // one global aggregate over the persisted features + a 1-row
+    // checkpoint, the pprLoop-flat shape the r16 trainer A/Bs showed
+    // winning under {AQE off, state-sized width} (whole-JVM
+    // LOOPCONF=0/1 alternation receipts in OPTIMIZATION_r17.md)
+    graft.LoopConf.tight(s, 10000L) {
+      for (_ <- 1 to rounds) {
+        val scoredRound = feats.crossJoin(broadcast(w))
+          .withColumn("sig", lit(1.0) / (lit(1.0) +
+            exp(-zOf($"b", $"ws", $"wu", $"wa", $"wl"))))
+        w = scoredRound.agg(
+            round(max($"b") + lit(lr) * davg($"y" - $"sig"), 6).as("b"),
+            round(max($"ws") + lit(lr) * davg(($"y" - $"sig") * $"x_stop"), 6)
+              .as("ws"),
+            round(max($"wu") + lit(lr) * davg(($"y" - $"sig") * $"x_uniq"), 6)
+              .as("wu"),
+            round(max($"wa") + lit(lr) * davg(($"y" - $"sig") * $"x_alpha"), 6)
+              .as("wa"),
+            round(max($"wl") + lit(lr) * davg(($"y" - $"sig") * $"x_len"), 6)
+              .as("wl"))
+          .localCheckpoint(true)
+      }
     }
 
     feats.crossJoin(broadcast(w))
